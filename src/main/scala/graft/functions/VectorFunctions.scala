@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over ARRAY<DOUBLE> columns via Catalyst higher-order
+  * functions — codegen-friendly, no UDFs (SURVEY.md §2.2 P12).
+  *
+  * Reference semantics: dot product + axpy-style factor updates computed
+  * with per-element Java loops (als-ms/SGD.java:182-207,
+  * flink-queryable-client/ALSPredict.java:74-82, als-ms/MSE.java:150-154).
+  * Here they are column expressions so Catalyst can pipeline them inside
+  * whole-stage codegen.
+  *
+  * Fold order note: `dot` accumulates left-to-right from 0.0, which matches
+  * a left-associated `a1*b1 + a2*b2 + …` in ANSI SQL bit-for-bit — relied on
+  * by the DuckDB oracles.
+  */
+object VectorFunctions {
+
+  /** Σ a_i * b_i */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Σ a_i² (no sqrt — exact-compare friendly) */
+  def sqNorm(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  def l2Norm(a: Column): Column = sqrt(sqNorm(a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** y + alpha * x, elementwise (the SGD update kernel, SGD.java:193-206). */
+  def axpy(alpha: Column, x: Column, y: Column): Column =
+    zip_with(x, y, (xi, yi) => yi + alpha * xi)
+
+  def scale(a: Column, s: Column): Column = transform(a, x => x * s)
+
+  def add(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x + y)
+
+  def sub(a: Column, b: Column): Column = zip_with(a, b, (x, y) => x - y)
+
+  /** True iff any component is NaN (P11 NaN guard, SGDV0.java:207-226). */
+  def anyNaN(a: Column): Column =
+    exists(a, x => isnan(x))
+
+  /** Cast an ARRAY<FLOAT> column (e.g. embeddings) to ARRAY<DOUBLE>. */
+  def toDoubleArray(a: Column): Column = a.cast("array<double>")
+}

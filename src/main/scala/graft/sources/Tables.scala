@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source surface of the engine (SURVEY.md §2.1).
+  *
+  * Parquet loaders for the driver test tables, plus the reference's file
+  * formats re-expressed as declarative Spark reads:
+  *  - S1/S2 typed CSV ratings scan with delimiter + optional header
+  *    (reference: flink-als/ALSImpl.scala:22-32, als-ms/MSE.java:40-44)
+  *  - S3 libsvm scan (flink-svm/SVMImpl.scala:21)
+  *  - S4/S5/S6 text scan, recursive enumeration, streaming directory poll
+  *    (flink-als/ALSMeanVector.scala:25, als-ms/SGD.java:44-60)
+  *  - S7 collection/range source (model-generator/ALSModelGenerator.scala:46-53)
+  *
+  * All reads declare an explicit schema — never inference — matching the
+  * reference's fixed positional schemas.
+  */
+object Tables {
+
+  /** Names of the driver-provided test tables. */
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Load one driver test table from an sf directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema of the reference's rating fact: userId, itemId, rating. */
+  val ratingSchema: StructType = StructType(Seq(
+    StructField("user_id", IntegerType, nullable = false),
+    StructField("item_id", IntegerType, nullable = false),
+    StructField("rating", DoubleType, nullable = false)))
+
+  /** S1/S2: typed CSV scan; delimiter comma or tab, optional header skip. */
+  def ratingsCsv(spark: SparkSession, path: String,
+                 delimiter: String = ",", header: Boolean = false): DataFrame =
+    spark.read.schema(ratingSchema)
+      .option("sep", delimiter)
+      .option("header", header.toString)
+      .csv(path)
+
+  /** S3: libsvm scan -> (label DOUBLE, features VECTOR). */
+  def libsvm(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("libsvm").load(path)
+
+  /** S4/S5: text lines, optionally recursive directory enumeration. */
+  def textLines(spark: SparkSession, path: String,
+                recursive: Boolean = false): DataFrame =
+    spark.read.option("recursiveFileLookup", recursive.toString).text(path)
+
+  /** S6: continuously-polled directory as a stream (micro-batch). */
+  def textStream(spark: SparkSession, dir: String,
+                 maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .text(dir)
+
+  /** S7: collection source, `env.fromCollection(1 to n)` analog. */
+  def idRange(spark: SparkSession, n: Long, parallelism: Int = 0): DataFrame = {
+    val base = spark.range(1, n + 1)
+    (if (parallelism > 0) base.repartition(parallelism) else base).toDF("id")
+  }
+}

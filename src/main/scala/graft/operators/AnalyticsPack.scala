@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.sources.Tables
+
+/** General relational surface: hash aggregation, top-k, event-time windows,
+  * JSON extraction, ranking/analytic window functions.
+  *
+  * The reference has no SQL surface — its aggregations are hand-rolled
+  * reduces (SURVEY.md §2.4) and it has no window/sort/top-k operators at all
+  * (§2.5-2.7). These queries define that surface for the Spark engine, all
+  * as single-shuffle Catalyst plans with map-side partial aggregation.
+  */
+object AnalyticsPack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Hash aggregate with partial/final split (TPC-H Q1 flavor).
+    "q06_lineitem_agg" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Top-k: total rating per item, deterministic tiebreak, limit 10.
+    "q11_topk_items" -> ((s, dir) => {
+      Ratings.ratings(s, dir)
+        .groupBy(col("item_id"))
+        .agg(sum(col("rating")).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("total").desc, col("item_id"))
+        .limit(10)
+    }),
+
+    // Event-time tumbling window aggregation (batch twin of the streaming
+    // windowed agg; Structured Streaming version in graft.streaming).
+    "q12_event_windows" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Semi-structured extraction: props is a JSON object column.
+    "q13_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("k")), 6).as("avg_k"),
+          sum(col("k")).cast("long").as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Ranking window function: top-3 orders per customer by total price.
+    "q14_rank_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.table(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // Analytic window frame: running revenue per customer over order date.
+    "q15_running_total" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.table(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q06_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q11_topk_items" ->
+      s"""WITH r AS (${Ratings.ratingsSql})
+         |SELECT item_id, SUM(rating) AS total, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM r GROUP BY 1 ORDER BY total DESC, item_id LIMIT 10""".stripMargin,
+
+    "q12_event_windows" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(SUM(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT event_type,
+        |       ROUND(AVG(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_rank_per_customer" ->
+      """SELECT o_custkey, o_orderkey, rk, ROUND(o_totalprice, 2) AS price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |      FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q15_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        |FROM orders WHERE o_custkey % 100 = 1
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
+  )
+}

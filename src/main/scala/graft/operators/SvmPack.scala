@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.Portable
+
+/** SVM model layout + sparse prediction operators (SURVEY.md §2.2 P6/P7,
+  * §2.4 A2/A6, §2.3 J4).
+  *
+  * The reference exports a flat `(featureId, weight)` model plus a
+  * range-partitioned layout `"bucket,idx:w;idx:w;…"` with
+  * bucket = featureId / range (flink-svm/SVMImpl.scala:33-44,63-71), then
+  * amortizes client lookups per bucket
+  * (RangePartitionSVMPredict.java:56-106). In Spark the bucketed layout is a
+  * grouped sorted aggregation, and the "N lookups per query vector" becomes
+  * one equi-join of the exploded query vectors against the weight table.
+  */
+object SvmPack extends QueryPack {
+
+  val Range = 1000
+
+  /** Weight fixture: one weight per part key, uniform(-10, 10) via LCG —
+    * mirrors SVMModelGenerator.scala:30-52's distributional role. */
+  def weights(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.table(spark, dir, "part")
+      .select(
+        col("p_partkey").as("feature_id"),
+        (Portable.lcgUnit(col("p_partkey"), 1) * 20.0 - 10.0).as("w"))
+
+  def weightsSql: String =
+    s"SELECT p_partkey AS feature_id, (${Portable.lcgUnitSql("p_partkey", 1)} * 20.0 - 10.0) AS w FROM part"
+
+  /** P7 bucket assignment: featureId / range, integer division. */
+  def bucketOf(featureId: Column): Column =
+    (featureId.cast("long") / Range).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P7 + A2: range-partitioned model export "bucket,idx:w;…" — grouped
+    // sorted string aggregation (SVMImpl.scala:40-44,63-71). sort_array
+    // makes the within-bucket order deterministic (the reference relies on
+    // implicit order; SURVEY.md §7.4).
+    "q05_range_partition" -> ((s, dir) => {
+      weights(s, dir)
+        .groupBy(bucketOf(col("feature_id")).as("bucket"))
+        .agg(
+          concat_ws(";",
+            transform(
+              array_sort(collect_list(struct(col("feature_id"), col("w")))),
+              e => concat_ws(":",
+                e.getField("feature_id"),
+                format_string("%.6f", e.getField("w"))))).as("payload"),
+          count(lit(1)).as("n_features"))
+        .orderBy("bucket")
+    }),
+
+    // J4 + A6: sparse dot product — query vectors are each order's
+    // (partkey: quantity) pairs; prediction = Σ w_f * x_f. One shuffle on
+    // the group key; weight side broadcast.
+    "q09_sparse_predict" -> ((s, dir) => {
+      graft.sources.Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("feature_id"),
+          col("l_quantity").as("x"))
+        .join(broadcast(weights(s, dir)), "feature_id")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("w") * col("x")), 6).as("prediction"),
+          count(lit(1)).as("n_features"))
+        .orderBy("l_orderkey")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q05_range_partition" ->
+      s"""WITH w AS ($weightsSql)
+         |SELECT CAST(feature_id // $Range AS BIGINT) AS bucket,
+         |       string_agg(printf('%d:%.6f', CAST(feature_id AS BIGINT), w), ';' ORDER BY feature_id) AS payload,
+         |       CAST(COUNT(*) AS BIGINT) AS n_features
+         |FROM w GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q09_sparse_predict" ->
+      s"""WITH w AS ($weightsSql)
+         |SELECT l_orderkey,
+         |       ROUND(SUM(w * l_quantity), 6) AS prediction,
+         |       CAST(COUNT(*) AS BIGINT) AS n_features
+         |FROM lineitem JOIN w ON l_partkey = feature_id
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+  )
+}

@@ -34,6 +34,15 @@ object Tables {
     StructField("item_id", IntegerType, nullable = false),
     StructField("rating", DoubleType, nullable = false)))
 
+  /** The events table, with its TIMESTAMP(NANOS) parquet column converted
+    * to a Spark microsecond timestamp (Spark rejects nanos by default;
+    * integer `div` keeps full precision — ns values exceed double's 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** S1/S2: typed CSV scan; delimiter comma or tab, optional header skip. */
   def ratingsCsv(spark: SparkSession, path: String,
                  delimiter: String = ",", header: Boolean = false): DataFrame =

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, TextFunctions => T}
+
+/** Document deduplication operators for large-scale corpus curation:
+  * exact (hash-groupBy), MinHash+LSH (shingle → signature → band →
+  * bucket-join), SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one shuffle on a 128-bit content hash — never on the
+  *    raw text;
+  *  - minhash signatures are computed with ONE aggregation producing all H
+  *    minima (no H passes over the shingles);
+  *  - LSH band-bucket join touches only candidate pairs, so the quadratic
+  *    verification work is bounded by bucket collisions, not n²;
+  *  - everything is expressions + relational ops — no driver-side state.
+  *
+  * Input contract: a DataFrame with (id LONG, text STRING) columns.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash of the normalized text; keep the
+    * smallest id as the cluster representative. */
+  def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .select(col(id), md5(T.normalize(col(text))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-`n`-gram shingles per document: (id, sh). */
+  def shingles(docs: DataFrame, n: Int,
+               id: String = "doc_id", text: String = "text"): DataFrame =
+    docs
+      .select(col(id), explode(T.wordNgrams(T.tokens(col(text)), n)).as("sh"))
+      .distinct()
+
+  /** MinHash signature per document: one aggregation computing all
+    * `numHashes` minima over the universal hash family Portable.permute. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int, id: String = "doc_id"): DataFrame = {
+    val h = Portable.hash32m(col("sh"))
+    sh.groupBy(col(id))
+      .agg(
+        min(Portable.permute(h, 1)).as("m1"),
+        (2 to numHashes).map(i => min(Portable.permute(h, i)).as(s"m$i")): _*)
+  }
+
+  /** LSH band keys: `bands` rows per doc, key = concatenated signature
+    * slice. Docs sharing any band key are candidate duplicates. */
+  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int,
+               id: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val perBand = (0 until bands).map { b =>
+      sigs.select(col(id), lit(b).as("band"),
+        concat_ws(":", (1 to r).map(j => col(s"m${b * r + j}")): _*).as("bkey"))
+    }
+    perBand.reduce(_ union _)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
+  def lshCandidates(bands: DataFrame, id: String = "doc_id"): DataFrame = {
+    val l = bands.select(col("band"), col("bkey"), col(id).as("doc_a"))
+    val r = bands.select(col("band"), col("bkey"), col(id).as("doc_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct shingle sets for given (doc_a, doc_b)
+    * pairs: |A∩B| via equi-join on the shingle, sizes via per-doc counts. */
+  def jaccard(pairs: DataFrame, sh: DataFrame, id: String = "doc_id"): DataFrame = {
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val shared = pairs
+      .join(sh.select(col(id).as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col(id).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
+    * verified with exact Jaccard ≥ threshold. */
+  def minhashLsh(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 16,
+                 bands: Int = 4, threshold: Double = 0.5,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val sh = shingles(docs, shingleN, id, text)
+    val cand = lshCandidates(lshBands(minhashSignatures(sh, numHashes, id), numHashes, bands, id), id)
+    jaccard(cand, sh, id).filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-document SimHash over `bits` bits of the token hashes (with
+    * multiplicity): bit b is set iff Σ_tokens ±1 (by hash bit b) > 0. */
+  def simhash(docs: DataFrame, bits: Int = 16,
+              id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = docs.select(col(id), explode(T.tokens(col(text))).as("tok"))
+      .withColumn("h", Portable.hash32m(col("tok")))
+    val bitSums = toks.groupBy(col(id))
+      .agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("s0"),
+        (1 until bits).map(b =>
+          sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")): _*)
+    val sig = (0 until bits)
+      .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    bitSums.select(col(id), sig.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+}

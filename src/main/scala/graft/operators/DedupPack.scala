@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Dedup operators as driver-contract queries. The documents corpus has no
+  * exact duplicates, so each query injects a deterministic "re-crawl": a
+  * copy of every (or every 5th) document with id+100000. The operators must
+  * then rediscover exactly those pairs/clusters.
+  */
+object DedupPack extends QueryPack {
+
+  val CopyOffset = 100000L
+
+  /** documents ∪ shifted copy of documents. */
+  def withCopies(spark: SparkSession, dir: String, mod: Int = 1): DataFrame = {
+    val d = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % mod === 0)
+    d.union(d.select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+  }
+
+  def withCopiesSql(mod: Int = 1): String =
+    s"""SELECT doc_id, text FROM documents WHERE doc_id % $mod = 0
+       |UNION ALL
+       |SELECT doc_id + $CopyOffset AS doc_id, text FROM documents WHERE doc_id % $mod = 0""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on normalized content.
+    "q30_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(withCopies(s, dir))
+        .select(col("content_hash"), col("keeper"), col("n_copies"))
+        .orderBy("keeper")
+    }),
+
+    // MinHash + LSH near-dup candidates, Jaccard-verified.
+    "q31_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(withCopies(s, dir, mod = 2), shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Per-document 16-bit SimHash.
+    "q32_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.table(s, dir, "documents"), bits = 16)
+        .orderBy("doc_id")
+    }),
+
+    // Exact n-gram Jaccard over all pairs of a blocked subset.
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      val docs = withCopies(s, dir, mod = 5)
+      val sh = Dedup.shingles(docs, n = 3)
+      val pairs = sh.select(col("doc_id").as("doc_a")).distinct()
+        .crossJoin(sh.select(col("doc_id").as("doc_b")).distinct())
+        .filter(col("doc_a") < col("doc_b"))
+      Dedup.jaccard(pairs, sh)
+        .filter(col("jaccard") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  // ---- DuckDB twins --------------------------------------------------------
+
+  /** Distinct word-3-gram shingles CTE body over docs(doc_id, text). */
+  private def shinglesSql(docsCte: String): String = {
+    val toks = TextPack.toksSql("text")
+    s"""SELECT DISTINCT doc_id, unnest(
+       |  CASE WHEN len(toks) >= 3
+       |       THEN list_transform(generate_series(1, len(toks) - 2),
+       |                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       |       ELSE CAST([] AS VARCHAR[]) END) AS sh
+       |FROM (SELECT doc_id, $toks AS toks FROM $docsCte)""".stripMargin
+  }
+
+  private def jaccardTailSql(threshold: Double, extraCols: String = ""): String =
+    s"""counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+       |           FROM cand c
+       |           JOIN sh sa ON sa.doc_id = c.doc_a
+       |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |           GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, n_shared,
+       |             CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) AS jaccard
+       |      FROM shared JOIN counts ca ON ca.doc_id = doc_a
+       |                  JOIN counts cb ON cb.doc_id = doc_b)
+       |SELECT doc_a, doc_b,$extraCols ROUND(jaccard, 6) AS jaccard
+       |FROM j WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      s"""WITH docs AS (${withCopiesSql(1)})
+         |SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+         |       MIN(doc_id) AS keeper,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM docs GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "q31_minhash_lsh" -> {
+      val h = Portable.hash32mSql("sh")
+      val mins = (1 to 16).map(i => s"MIN(${Portable.permuteSql("h", i)}) AS m$i")
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (1 to 4).map(j => s"m${b * 4 + j}")
+        s"SELECT doc_id, $b AS band, concat_ws(':', ${cols.mkString(", ")}) AS bkey FROM sig"
+      }
+      s"""WITH docs AS (${withCopiesSql(2)}),
+         |sh AS (${shinglesSql("docs")}),
+         |h AS (SELECT doc_id, sh, $h AS h FROM sh),
+         |sig AS (SELECT doc_id, ${mins.mkString(", ")} FROM h GROUP BY doc_id),
+         |bands AS (${bandSelects.mkString("\nUNION ALL\n")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |         WHERE x.doc_id < y.doc_id),
+         |${jaccardTailSql(0.5)}""".stripMargin
+    },
+
+    "q32_simhash" -> {
+      val sums = (0 until 16).map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")
+      val sig = (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, unnest(${TextPack.toksSql("text")}) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${Portable.hash32mSql("tok")} AS h FROM toks),
+         |bits AS (SELECT doc_id, ${sums.mkString(", ")} FROM h GROUP BY doc_id)
+         |SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin
+    },
+
+    "q33_ngram_jaccard" ->
+      s"""WITH docs AS (${withCopiesSql(5)}),
+         |sh AS (${shinglesSql("docs")}),
+         |ids AS (SELECT DISTINCT doc_id FROM sh),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         |${jaccardTailSql(0.3, " CAST(n_shared AS BIGINT) AS n_shared,")}""".stripMargin
+  )
+}

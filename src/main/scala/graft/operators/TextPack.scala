@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.{Portable, TextFunctions => T}
+import graft.sources.Tables
+
+/** Text-analysis operators over the documents corpus: language-ID
+  * heuristic, quality scoring, token counting, content fingerprinting.
+  * All pure column expressions — at 100 TB these run embarrassingly
+  * parallel inside the scan stage, no shuffle until the final (tiny)
+  * ordering.
+  */
+object TextPack extends QueryPack {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "y"),
+    "zh" -> Seq("de", "le", "shi", "bu"))
+
+  /** English-ish stopwords for quality scoring. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language ID: stopword-profile scores + argmax with deterministic
+    // tiebreak (profile order).
+    "q20_lang_id" -> ((s, dir) => {
+      val toks = T.tokens(col("text"))
+      val scored = Tables.table(s, dir, "documents")
+        .select(col("doc_id") +: col("lang") +:
+          langProfiles.map { case (l, ws) => T.vocabHits(toks, ws).as(s"s_$l") }: _*)
+      val best = langProfiles.map(_._1).foldRight(lit("und")) { (l, rest) =>
+        when(col(s"s_$l") === greatest(langProfiles.map(p => col(s"s_${p._1}")): _*)
+          && col(s"s_$l") > 0, l).otherwise(rest)
+      }
+      scored.withColumn("pred_lang", best)
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length/stopword/token-shape features + linear score.
+    "q21_quality_score" -> ((s, dir) => {
+      val toks = T.tokens(col("text"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks)).as("avg_tok_len"),
+          (T.vocabHits(toks, stopwords).cast("double") / size(toks)).as("stop_ratio"))
+        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
+          round(col("avg_tok_len"), 6).as("avg_tok_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(
+            least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
+              + col("stop_ratio") * 0.3
+              + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.2, 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token counting: whitespace + BPE-ish regex segmentation.
+    "q22_token_stats" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(T.tokens(col("text"))).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).as("alpha_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprint of the normalized text (md5-derived 32-bit).
+    "q23_fingerprint" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---- DuckDB twins --------------------------------------------------------
+
+  /** DuckDB: non-empty whitespace tokens of `text`. */
+  def toksSql(text: String): String =
+    s"list_filter(regexp_split_to_array($text, '\\s+'), t -> len(t) > 0)"
+
+  private def hitsSql(toks: String, ws: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+
+  def oracles: Map[String, String] = Map(
+    "q20_lang_id" -> {
+      val scores = langProfiles.map { case (l, ws) => s"${hitsSql("toks", ws)} AS s_$l" }
+      val greatest = s"greatest(${langProfiles.map(p => s"s_${p._1}").mkString(", ")})"
+      val best = langProfiles.map(_._1).foldRight("'und'") { (l, rest) =>
+        s"CASE WHEN s_$l = $greatest AND s_$l > 0 THEN '$l' ELSE $rest END"
+      }
+      s"""WITH t AS (SELECT doc_id, lang, ${toksSql("text")} AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang, ${scores.mkString(", ")} FROM t)
+         |SELECT doc_id, lang, ${langProfiles.map(p => s"CAST(s_${p._1} AS INTEGER) AS s_${p._1}").mkString(", ")},
+         |       $best AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q21_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |f AS (SELECT doc_id,
+         |             len(toks) AS n_tokens,
+         |             length(text) AS n_chars,
+         |             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) AS avg_tok_len,
+         |             CAST(${hitsSql("toks", stopwords)} AS DOUBLE) / len(toks) AS stop_ratio
+         |      FROM t)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         |       CAST(n_tokens AS INTEGER) AS n_tokens,
+         |       CAST(n_chars AS INTEGER) AS n_chars,
+         |       ROUND(avg_tok_len, 6) AS avg_tok_len,
+         |       ROUND(stop_ratio, 6) AS stop_ratio,
+         |       ROUND(least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3
+         |             + least(avg_tok_len / 10.0, 1.0) * 0.2, 6) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q22_token_stats" ->
+      s"""SELECT doc_id,
+         |       CAST(len(${toksSql("text")}) AS INTEGER) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INTEGER) AS alpha_tokens,
+         |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprint" ->
+      s"""SELECT doc_id,
+         |       ${Portable.hash32Sql("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

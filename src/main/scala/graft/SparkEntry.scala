@@ -15,7 +15,7 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    AlsPack, ModelCodec, SvmPack, AnalyticsPack,
+    AlsPack, ModelCodec, SvmPack, ServePack, AnalyticsPack,
     TextPack, DedupPack, SimilarityPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

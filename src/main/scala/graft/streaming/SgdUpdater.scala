@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.VectorFunctions._
+
+/** Online matrix-factorization SGD over the served model (SURVEY.md §2.9,
+  * §7.2 step 5).
+  *
+  * Reference: als-ms/SGD.java:160-217 — per rating, fetch user/item vectors
+  * from queryable state (mean-vector fallback when absent,
+  * SGD.java:142-147,227), compute the prediction error, apply an axpy-style
+  * update to both vectors, and emit the updated records back to Kafka —
+  * which feeds the consumer's state: a feedback loop.
+  *
+  * Spark re-design: per-record RPC+update becomes a *mini-batch* gradient
+  * step as pure dataflow — each micro-batch joins against a snapshot of the
+  * model, aggregates per-key gradients (one partial-agg shuffle per side),
+  * and upserts the updated vectors into the [[ServingStore]], closing the
+  * same loop at micro-batch granularity. Gradients within a batch are
+  * computed from the same snapshot (the reference tolerates stale reads the
+  * same way — SURVEY.md §7.4).
+  *
+  * Update rule per key (lr = learning rate, λ = L2 regularization):
+  *   u' = u + lr * ( Σ_ratings err·i  −  λ·u )   with err = r − u·i
+  * and symmetrically for items.
+  */
+object SgdUpdater {
+
+  /** One mini-batch SGD step for the USER side: returns updated
+    * (user_id, uf). Aggregates Σ err·itf per user — partial map-side sums,
+    * one shuffle keyed by user — then applies the axpy update. */
+  def userStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
+               lr: Double, lambda: Double = 0.0): DataFrame =
+    gradStep(ratings, userF, itemF, lr, lambda,
+      keyCol = "user_id", vecCol = "uf", otherVecCol = "itf")
+
+  /** Symmetric step for the ITEM side: returns updated (item_id, itf). */
+  def itemStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
+               lr: Double, lambda: Double = 0.0): DataFrame =
+    gradStep(ratings, userF, itemF, lr, lambda,
+      keyCol = "item_id", vecCol = "itf", otherVecCol = "uf")
+
+  private def gradStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
+                       lr: Double, lambda: Double,
+                       keyCol: String, vecCol: String, otherVecCol: String): DataFrame = {
+    val scored = ratings
+      .join(broadcast(userF), "user_id")
+      .join(broadcast(itemF), "item_id")
+      .withColumn("err", col("rating") - dot(col("uf"), col("itf")))
+    // Σ err·other per key: explode to (pos, err*other_j), partial-agg sums.
+    val grads = scored
+      .select(col(keyCol), posexplode(scale(col(otherVecCol), col("err"))).as(Seq("pos", "g")))
+      .groupBy(col(keyCol), col("pos")).agg(sum(col("g")).as("g"))
+      .groupBy(col(keyCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("g")))),
+        e => e.getField("g")).as("grad"))
+    // u' = u + lr*(grad − λ·u)
+    val cur = (if (keyCol == "user_id") userF else itemF)
+    cur.join(grads, keyCol)
+      .select(col(keyCol),
+        zip_with(col(vecCol), col("grad"),
+          (u, g) => u + lit(lr) * (g - lit(lambda) * u)).as(vecCol))
+  }
+
+  /** Wire a rating-record stream into the feedback loop: each micro-batch
+    * reads the store snapshot, takes one SGD step on both sides, and
+    * upserts updated vectors back under their "id-U"/"id-I" state keys. */
+  def updateLoop(spark: SparkSession, ratingLines: DataFrame,
+                 store: ServingStore.FactorStore,
+                 lr: Double, lambda: Double = 0.0,
+                 checkpointDir: Option[String] = None): StreamingQuery = {
+    val w = ratingLines.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val s = batch.sparkSession
+        val ratings = batch.select(
+          split(col("value"), ",").getItem(0).cast("long").as("user_id"),
+          split(col("value"), ",").getItem(1).cast("long").as("item_id"),
+          split(col("value"), ",").getItem(2).cast("double").as("rating"))
+        val snap = ServingStore.snapshotDF(s, store)
+        val userF = snap.filter(col("key").endsWith("-U"))
+          .select(split(col("key"), "-").getItem(0).cast("long").as("user_id"),
+            col("factors").as("uf"))
+        val itemF = snap.filter(col("key").endsWith("-I"))
+          .select(split(col("key"), "-").getItem(0).cast("long").as("item_id"),
+            col("factors").as("itf"))
+        val newU = userStep(ratings, userF, itemF, lr, lambda)
+          .select(concat(col("user_id"), lit("-U")).as("key"), col("uf").as("factors"))
+        val newI = itemStep(ratings, userF, itemF, lr, lambda)
+          .select(concat(col("item_id"), lit("-I")).as("key"), col("itf").as("factors"))
+        ServingStore.upsertBatch(store, newU.unionAll(newI))
+      }
+    checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
+  }
+}

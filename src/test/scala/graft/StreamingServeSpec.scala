@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AlsScoring, Ratings}
+import graft.streaming._
+
+/** End-to-end serve loop (SURVEY.md §7.3) driven by MemoryStream — no Kafka
+  * needed: records → latest-per-key state → ServingStore → predict, then the
+  * SGD feedback loop updating the store.
+  */
+class StreamingServeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rec(id: Long, kind: String, fs: Double*): String =
+    s"$id,$kind,${fs.map(f => f"$f%.6f").mkString(";")}"
+
+  test("consumer keeps latest record per key across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val store = ServingStore.factorStore()
+    val q = ModelConsumer.serveTo(spark, in.toDF(), store)
+    try {
+      in.addData(rec(1, "U", 0.1, 0.2), rec(2, "U", 0.3, 0.4))
+      q.processAllAvailable()
+      assert(store.get("1-U").get.toSeq === Seq(0.1, 0.2))
+      assert(store.get("2-U").get.toSeq === Seq(0.3, 0.4))
+      assert(store.get("9-U").isEmpty)
+
+      // second batch: overwrite key 1, add item key; latest wins
+      in.addData(rec(1, "U", 0.9, 0.8), rec(5, "I", 1.0, 2.0))
+      q.processAllAvailable()
+      assert(store.get("1-U").get.toSeq === Seq(0.9, 0.8))
+      assert(store.get("5-I").get.toSeq === Seq(1.0, 2.0))
+      assert(store.size === 3)
+    } finally q.stop()
+  }
+
+  test("within one batch the highest-seq record wins per key") {
+    val parsed = Seq(
+      ("1-U", 10L, Array(1.0)), ("1-U", 11L, Array(2.0)),
+      ("2-U", 5L, Array(3.0))).toDF("key", "seq", "factors")
+    val latest = ModelConsumer.latestPerKeyBatch(parsed)
+      .select("key", "factors").as[(String, Array[Double])].collect().toMap
+    assert(latest("1-U").toSeq === Seq(2.0))
+    assert(latest("2-U").toSeq === Seq(3.0))
+  }
+
+  test("predict service: pair dot product, absent keys, mean fallback") {
+    val store = ServingStore.factorStore()
+    store.put("7-U", Array(1.0, 2.0))
+    store.put("3-I", Array(0.5, 0.25))
+    val svc = new PredictService(store)
+    assert(svc.predictPair(7, 3).get === 1.0 * 0.5 + 2.0 * 0.25)
+    assert(svc.predictPair(7, 99).isEmpty) // UnknownKeyOrNamespace -> empty
+    val withMean = new PredictService(store, meanVector = Some(Array(1.0, 1.0)))
+    assert(withMean.predictPair(7, 99).get === 3.0) // 1*1 + 2*1
+  }
+
+  test("predict service: sparse SVM accumulation skips absent features") {
+    val store = ServingStore.factorStore()
+    store.put("10-W", Array(2.0))
+    store.put("11-W", Array(-1.0))
+    val svc = new PredictService(store)
+    assert(svc.predictSparse(Map(10L -> 3.0, 11L -> 4.0, 12L -> 100.0)) === 2.0)
+    assert(svc.classify(Map(10L -> 3.0)) === 1)
+    assert(svc.classify(Map(11L -> 3.0)) === -1)
+  }
+
+  test("SGD feedback loop through the store decreases MSE") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = ServingStore.factorStore()
+    // seed the store with the deterministic fixture model at sf0.001
+    val uf = Ratings.userFactors(spark, sf0).collect()
+    val itf = Ratings.itemFactors(spark, sf0).collect()
+    uf.foreach(r => store.put(s"${r.getLong(0)}-U", r.getSeq[Double](1).toArray))
+    itf.foreach(r => store.put(s"${r.getLong(0)}-I", r.getSeq[Double](1).toArray))
+
+    def mseNow(): Double = {
+      val snap = ServingStore.snapshotDF(spark, store)
+      val u = snap.filter(col("key").endsWith("-U"))
+        .select(split(col("key"), "-").getItem(0).cast("long").as("user_id"),
+          col("factors").as("uf"))
+      val i = snap.filter(col("key").endsWith("-I"))
+        .select(split(col("key"), "-").getItem(0).cast("long").as("item_id"),
+          col("factors").as("itf"))
+      AlsScoring.mse(AlsScoring.predictions(Ratings.ratings(spark, sf0), u, i))
+        .collect()(0).getDouble(0)
+    }
+
+    val before = mseNow()
+    val in = MemoryStream[String]
+    val q = SgdUpdater.updateLoop(spark, in.toDF(), store, lr = 1e-4)
+    try {
+      val lines = Ratings.ratings(spark, sf0).limit(2000)
+        .collect().map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getDouble(2)}")
+      in.addData(lines.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val after = mseNow()
+    assert(after < before, s"SGD step should reduce MSE: before=$before after=$after")
+  }
+}

@@ -15,8 +15,8 @@ import graft.operators._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    AlsPack, ModelCodec, SvmPack, ServePack, AnalyticsPack,
-    TextPack, DedupPack, SimilarityPack)
+    AlsPack, ModelCodec, SvmPack, ServePack, GeneratorPack, TrainPack,
+    AnalyticsPack, TextPack, DedupPack, SimilarityPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end capability in one plan: rating fact ⋈

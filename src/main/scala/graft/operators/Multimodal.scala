@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal (image/audio/video) columns as opaque BINARY + typed metadata
+  * (builder-prompt north star; no reference analog — the reference is
+  * numeric-only).
+  *
+  * Design for 100 TB: media bytes travel as a BINARY column next to typed
+  * metadata; per-record codec work runs inside `mapPartitions` over the
+  * typed Dataset — the Scala analog of `mapInPandas` (per-partition batch
+  * iterator, no driver collect, no shuffle added by the transform itself).
+  * Decode/resize/frame-sample change only partition-local rows, so the
+  * pipeline scales linearly with partitions.
+  *
+  * The actual image/audio codec is STUBBED (no codec libs in this
+  * container): [[Multimodal.realDecode]] is the marked extension point, and
+  * a deterministic fake codec (header-described synthetic media) stands in,
+  * which keeps every operator DuckDB-oracle-checkable. The Spark-side
+  * plumbing — schema, binary encoding, batch iteration, partitioning — is
+  * real and tested.
+  *
+  * Fake wire format (8-byte header + payload):
+  *   bytes 0-1  magic "MM"
+  *   byte  2    kind: 0=image 1=audio 2=video
+  *   byte  3    channels
+  *   bytes 4-5  width  (big-endian u16)
+  *   bytes 6-7  height (big-endian u16)
+  *   payload    the document text's UTF-8 bytes ("pixels"/"samples")
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, kind: String, data: Array[Byte])
+  case class Decoded(doc_id: Long, kind: String, channels: Int,
+                     width: Int, height: Int, pixels: Array[Byte])
+  case class Frame(doc_id: Long, frame_no: Int, frame: Array[Byte])
+
+  val Kinds = Seq("image", "audio", "video")
+  val HeaderLen = 8
+  val FrameBytes = 32
+
+  def kindOf(docId: Long): String = Kinds((docId % 3).toInt)
+  def widthOf(docId: Long): Int = 16 + (docId % 48).toInt
+  def heightOf(docId: Long): Int = 16 + ((docId * 7) % 32).toInt
+  def channelsOf(docId: Long): Int = if (docId % 3 == 0) 3 else 1
+
+  /** Media ingest: documents → (doc_id, kind, data BINARY). Deterministic,
+    * so every downstream operator has an exact arithmetic oracle. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val payload = text.getBytes(StandardCharsets.UTF_8)
+        val w = widthOf(id); val h = heightOf(id)
+        val header = Array[Byte]('M', 'M',
+          (id % 3).toByte, channelsOf(id).toByte,
+          (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte)
+        MediaRow(id, kindOf(id), header ++ payload)
+      })
+  }
+
+  /** The REAL codec boundary — wire an actual decoder (libjpeg/ffmpeg/…)
+    * here when the runtime has one. Deliberately unimplemented in this
+    * container. */
+  def realDecode(data: Array[Byte]): Decoded =
+    throw new UnsupportedOperationException(
+      "real media codec not available in this runtime — use decode() (deterministic fake)")
+
+  /** Decode the fake wire format: header → typed metadata, payload →
+    * "pixels". Runs batch-wise per partition, the mapInPandas shape. */
+  def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val d = m.data
+      require(d.length >= HeaderLen && d(0) == 'M' && d(1) == 'M',
+        s"bad media header for doc ${m.doc_id}")
+      Decoded(m.doc_id, Kinds(d(2).toInt), d(3).toInt,
+        ((d(4) & 0xff) << 8) | (d(5) & 0xff),
+        ((d(6) & 0xff) << 8) | (d(7) & 0xff),
+        d.drop(HeaderLen))
+    })
+  }
+
+  /** Feature extraction: 16-bin byte histogram over the payload — the
+    * deterministic stand-in for an embedding model forward pass. */
+  def byteHistogram(decoded: Dataset[Decoded]): DataFrame = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val hist = new Array[Long](16)
+      d.pixels.foreach(b => hist((b & 0xff) / 16) += 1)
+      (d.doc_id, hist)
+    }).toDF("doc_id", "hist")
+  }
+
+  /** Resize: keep every `factor`-th pixel byte, recompute dims. The fake
+    * twin of an image downscale — output size contracts by the factor. */
+  def resize(decoded: Dataset[Decoded], factor: Int): Dataset[Decoded] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions(_.map { d =>
+      val px = d.pixels.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+      d.copy(width = math.max(1, d.width / factor),
+        height = math.max(1, d.height / factor), pixels = px)
+    })
+  }
+
+  /** Frame sampling: slice a video payload into fixed-size frames —
+    * flatMap, one row per frame, order-stable via frame_no. */
+  def frameSample(media: Dataset[MediaRow]): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
+      m.data.drop(HeaderLen).grouped(FrameBytes).zipWithIndex
+        .map { case (chunk, i) => Frame(m.doc_id, i, chunk) }
+    })
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+
+/** Driver-contract queries over the multimodal BINARY pipeline. The fake
+  * codec (graft.operators.Multimodal) is pure arithmetic over doc_id and
+  * the UTF-8 text payload, so DuckDB can recompute metadata, histograms and
+  * frame layouts without touching the bytes. */
+object MultimodalPack extends QueryPack {
+
+  import Multimodal._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Ingest + decode: typed metadata out of the binary header.
+    "q26_media_meta" -> ((s, dir) => {
+      decode(mediaTable(s, dir)).toDF()
+        .select(col("doc_id"), col("kind"), col("channels"),
+          col("width"), col("height"),
+          length(col("pixels")).cast("long").as("n_payload"))
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling over video payloads.
+    "q27_frame_sample" -> ((s, dir) => {
+      frameSample(mediaTable(s, dir)).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          max(length(col("frame"))).cast("long").as("max_frame"),
+          min(length(col("frame"))).cast("long").as("min_frame"))
+        .orderBy("doc_id")
+    }),
+
+    // Feature extraction: 16-bin byte histogram for a doc sample, exploded
+    // to (doc_id, bin, n) rows.
+    "q28_byte_histogram" -> ((s, dir) => {
+      byteHistogram(decode(mediaTable(s, dir)))
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), posexplode(col("hist")).as(Seq("bin", "n")))
+        .filter(col("n") > 0)
+        .orderBy("doc_id", "bin")
+    }),
+
+    // Resize: contracted dims + payload size after 4x downsample.
+    "q29_resize" -> ((s, dir) => {
+      resize(decode(mediaTable(s, dir)), factor = 4).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          length(col("pixels")).cast("long").as("n_payload"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q26_media_meta" ->
+      s"""SELECT doc_id,
+         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+         |  CAST(16 + doc_id % 48 AS INT) AS width,
+         |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+         |  octet_length(encode(text)) AS n_payload
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_frame_sample" ->
+      s"""SELECT doc_id,
+         |  CAST(CEIL(octet_length(encode(text)) / $FrameBytes.0) AS BIGINT) AS n_frames,
+         |  CAST(LEAST(octet_length(encode(text)), $FrameBytes) AS BIGINT) AS max_frame,
+         |  CAST(CASE WHEN octet_length(encode(text)) % $FrameBytes = 0
+         |            THEN $FrameBytes ELSE octet_length(encode(text)) % $FrameBytes
+         |       END AS BIGINT) AS min_frame
+         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+
+    "q28_byte_histogram" ->
+      s"""WITH bytes AS (
+         |  SELECT doc_id, ascii(substring(text, CAST(pos AS INT), 1)) // 16 AS bin
+         |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS pos)
+         |  WHERE doc_id % 25 = 0)
+         |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM bytes GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
+
+    "q29_resize" ->
+      s"""SELECT doc_id,
+         |  CAST(GREATEST(1, (16 + doc_id % 48) // 4) AS INT) AS width,
+         |  CAST(GREATEST(1, (16 + (doc_id * 7) % 32) // 4) AS INT) AS height,
+         |  CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_payload
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

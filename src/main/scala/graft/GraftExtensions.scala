@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expressions.DotProduct
+
+/** SparkSessionExtensions entry point — makes the engine's native
+  * expressions available to pure-SQL users:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT graft_dot(a.vec, b.vec) FROM ...
+  *
+  * Scala users get the same expressions through
+  * [[graft.functions.VectorFunctions]] without any session config.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot takes exactly 2 arguments")
+        // accept ARRAY<FLOAT|DOUBLE>: insert the cast the analyzer would
+        val cast = args.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            a, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))
+        DotProduct(cast.head, cast(1))
+      }))
+
+  /** Register on an existing session (for sessions built without the
+    * spark.sql.extensions config — tests, Verify, Bench). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

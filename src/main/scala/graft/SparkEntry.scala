@@ -24,9 +24,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_mse")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each entry
+    * ensures the engine's native SQL functions (graft_dot, …) are
+    * registered on the session before the query plan is built. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+    packs.flatMap(_.queries).toMap.map { case (name, fn) =>
+      name -> { (s: SparkSession, dir: String) =>
+        GraftExtensions.register(s)
+        fn(s, dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ a_i * b_i */
+  /** Σ a_i * b_i — a native codegen expression (see
+    * [[graft.functions.expressions.DotProduct]]); bit-identical to the
+    * composed `aggregate(zip_with(...))` form it replaced, minus the
+    * interpreted-lambda and allocation cost that dominated all-pairs
+    * similarity scans. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
-  /** Σ a_i² (no sqrt — exact-compare friendly) */
-  def sqNorm(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  /** Σ a_i² (no sqrt — exact-compare friendly); same fused loop as [[dot]]. */
+  def sqNorm(a: Column): Column = dot(a, a)
 
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 

@@ -38,26 +38,29 @@ object Dedup {
       .distinct()
 
   /** MinHash signature per document: one aggregation computing all
-    * `numHashes` minima over the universal hash family Portable.permute. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int, id: String = "doc_id"): DataFrame = {
-    val h = Portable.hash32m(col("sh"))
-    sh.groupBy(col(id))
+    * `numHashes` minima over the universal hash family Portable.permute.
+    * The md5-based base hash is materialized once per shingle, not once per
+    * hash function — the aggregation permutes a ready LONG. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int, id: String = "doc_id"): DataFrame =
+    sh.select(col(id), Portable.hash32m(col("sh")).as("h"))
+      .groupBy(col(id))
       .agg(
-        min(Portable.permute(h, 1)).as("m1"),
-        (2 to numHashes).map(i => min(Portable.permute(h, i)).as(s"m$i")): _*)
-  }
+        min(Portable.permute(col("h"), 1)).as("m1"),
+        (2 to numHashes).map(i => min(Portable.permute(col("h"), i)).as(s"m$i")): _*)
 
   /** LSH band keys: `bands` rows per doc, key = concatenated signature
-    * slice. Docs sharing any band key are candidate duplicates. */
+    * slice. Docs sharing any band key are candidate duplicates. One pass
+    * over the signatures (posexplode), not one scan per band — a union of
+    * per-band selects would recompute the whole signature pipeline `bands`
+    * times. */
   def lshBands(sigs: DataFrame, numHashes: Int, bands: Int,
                id: String = "doc_id"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val perBand = (0 until bands).map { b =>
-      sigs.select(col(id), lit(b).as("band"),
-        concat_ws(":", (1 to r).map(j => col(s"m${b * r + j}")): _*).as("bkey"))
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws(":", (1 to r).map(j => col(s"m${b * r + j}")): _*)
     }
-    perBand.reduce(_ union _)
+    sigs.select(col(id), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. */
@@ -77,6 +80,26 @@ object Dedup {
     val shared = pairs
       .join(sh.select(col(id).as("doc_a"), col("sh")), "doc_a")
       .join(sh.select(col(id).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+  }
+
+  /** All-pairs exact Jaccard WITHOUT materializing the pair cross product:
+    * the shared-shingle counts come from a self-equi-join on the shingle —
+    * only pairs that share at least one shingle ever exist, so the cost is
+    * Σ_shingle df(shingle)² instead of |docs|². Pairs with zero shared
+    * shingles (jaccard 0) are absent, which any threshold > 0 filters
+    * anyway. */
+  def allPairsJaccard(sh: DataFrame, id: String = "doc_id"): DataFrame = {
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col(id).as("doc_a"), col("sh"))
+      .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared

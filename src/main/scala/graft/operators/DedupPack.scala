@@ -51,14 +51,12 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Exact n-gram Jaccard over all pairs of a blocked subset.
+    // Exact n-gram Jaccard over all pairs of a blocked subset — via the
+    // shared-shingle self-join, so only pairs with overlap are scored.
     "q33_ngram_jaccard" -> ((s, dir) => {
       val docs = withCopies(s, dir, mod = 5)
       val sh = Dedup.shingles(docs, n = 3)
-      val pairs = sh.select(col("doc_id").as("doc_a")).distinct()
-        .crossJoin(sh.select(col("doc_id").as("doc_b")).distinct())
-        .filter(col("doc_a") < col("doc_b"))
-      Dedup.jaccard(pairs, sh)
+      Dedup.allPairsJaccard(sh)
         .filter(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("n_shared"),
           round(col("jaccard"), 6).as("jaccard"))

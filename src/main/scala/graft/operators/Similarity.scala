@@ -18,6 +18,12 @@ import graft.functions.VectorFunctions._
   *    corpus written partitioned-by-centroid the pruning happens at the
   *    file-scan level.
   *
+  * Pair-scan cost discipline: the FLOAT→DOUBLE cast and the squared norm of
+  * every vector are computed ONCE per row before any pair join; the
+  * per-pair work is a single codegen dot product + one divide. The
+  * arithmetic (dot/(sqrt(n2a)·sqrt(n2b))) is exactly the composed cosine the
+  * oracles compute — only hoisted.
+  *
   * Ranking ties are broken on (rounded sim DESC, id ASC) so results are
   * deterministic and stable across engines (1-ulp float differences can't
   * reorder ranks).
@@ -27,26 +33,43 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
-  private def sim(a: String, b: String) =
-    round(cosine(toDoubleArray(col(a)), toDoubleArray(col(b))), 4)
+  /** Project (id, vec, …) → (id, vec cast to ARRAY<DOUBLE>, n2 = Σv²),
+    * renaming to avoid collisions after self-joins. */
+  private def prepped(df: DataFrame, idCol: String, vecCol: String,
+                      suffix: String): DataFrame =
+    df.select(col(idCol).as(s"id$suffix"),
+      toDoubleArray(col(vecCol)).as(s"vec$suffix"),
+      sqNorm(toDoubleArray(col(vecCol))).as(s"n2$suffix"))
+
+  /** Cosine from precomputed sides — one dot per pair. */
+  private def pairSim(sa: String, sb: String) =
+    round(dot(col(s"vec$sa"), col(s"vec$sb")) /
+      (sqrt(col(s"n2$sa")) * sqrt(col(s"n2$sb"))), 4)
 
   /** Exact top-k neighbors per query by cosine similarity. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), sim("vec", "qvec").as("sim"))
+    val c = prepped(corpus, "id", "vec", "_c")
+    val q = prepped(queries, "qid", "qvec", "_q")
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id_c") =!= col("id_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Assign each row to its highest-cosine centroid: (id, cid). */
+  /** Assign each row to its highest-cosine centroid: (id, vec, cid). */
   def assign(data: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(sim(vecCol, "cvec").desc, col("cid"))
-    data.crossJoin(broadcast(centroids))
+    val d = prepped(data, idCol, vecCol, "_d")
+    val c = prepped(centroids, "cid", "cvec", "_k")
+    val w = Window.partitionBy(col("id_d"))
+      .orderBy(pairSim("_d", "_k").desc, col("id_k"))
+    d.crossJoin(broadcast(c))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
+      .select(col("id_d").as(idCol), col("vec_d").as(vecCol),
+        col("n2_d").as("n2"), col("id_k").as("cid"))
   }
 
   /** IVF top-k: search only the query's centroid bucket. Trades recall for
@@ -54,21 +77,26 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               k: Int): DataFrame = {
     val corpusB = assign(corpus, centroids, "id", "vec")
+      .select(col("cid"), col("id").as("id_c"), col("vec").as("vec_c"),
+        col("n2").as("n2_c"))
     val queriesB = assign(queries, centroids, "qid", "qvec")
+      .select(col("cid"), col("qid").as("id_q"), col("qvec").as("vec_q"),
+        col("n2").as("n2_q"))
     val scored = queriesB.join(corpusB, "cid")
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), sim("vec", "qvec").as("sim"))
+      .filter(col("id_c") =!= col("id_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup. */
   def cosineNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
-    val l = corpus.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = corpus.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    val l = prepped(corpus, "id", "vec", "_a")
+    val r = prepped(corpus, "id", "vec", "_b")
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), sim("vec_a", "vec_b").as("cos_sim"))
+      .select(col("id_a"), col("id_b"), pairSim("_a", "_b").as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -20,6 +20,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(s)
     s
   }
 }

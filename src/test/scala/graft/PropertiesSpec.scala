@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.VectorFunctions._
+import graft.operators.Training
+
+/** ScalaCheck-generator properties for the algebraic kernels (SURVEY.md
+  * §5.3) — sampled with fixed seeds (no scalatestplus bridge in the
+  * offline cache, so sampling is explicit and deterministic). */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.listOfN(8, Gen.choose(-10.0, 10.0)).map(_.toArray)
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("dot is symmetric, linear, and matches a reference loop") {
+    val cases = samples(Gen.zip(vecGen, vecGen, Gen.choose(-5.0, 5.0)), 20)
+    val df = cases.toDF("a", "b", "s")
+    val rows = df.select(
+      dot($"a", $"b"), dot($"b", $"a"),
+      dot(transform($"a", x => x * $"s"), $"b"),
+      $"a", $"b", $"s")
+      .as[(Double, Double, Double, Array[Double], Array[Double], Double)]
+      .collect()
+    rows.foreach { case (ab, ba, sab, a, b, s) =>
+      val expected = a.zip(b).map { case (x, y) => x * y }.sum
+      assert(math.abs(ab - expected) < 1e-9, "reference loop")
+      assert(math.abs(ab - ba) < 1e-9, "symmetry")
+      assert(math.abs(sab - s * ab) < 1e-6, "linearity")
+    }
+  }
+
+  test("mean vector is permutation invariant") {
+    val vs = samples(vecGen, 6).toList
+    def mean(xs: List[Array[Double]]): Seq[Double] =
+      Training.meanVector(xs.map(Tuple1(_)).toDF("factors"))
+        .as[Array[Double]].collect()(0).toSeq.map(x => math.rint(x * 1e9))
+    val shuffled = new scala.util.Random(7).shuffle(vs)
+    assert(mean(vs) === mean(shuffled))
+  }
+
+  test("range bucketing: bucket * range <= idx < (bucket+1) * range") {
+    samples(Gen.choose(1L, 100000L), 100).foreach { idx =>
+      val bucket = idx / graft.operators.SvmPack.Range
+      assert(bucket * graft.operators.SvmPack.Range <= idx)
+      assert(idx < (bucket + 1) * graft.operators.SvmPack.Range)
+    }
+  }
+
+  test("axpy then inverse axpy is identity") {
+    val cases = samples(Gen.zip(vecGen, vecGen, Gen.choose(-5.0, 5.0)), 20)
+    val df = cases.toDF("x", "y", "alpha")
+    val rows = df.select(
+      axpy(-$"alpha", $"x", axpy($"alpha", $"x", $"y")), $"y")
+      .as[(Array[Double], Array[Double])].collect()
+    rows.foreach { case (roundtrip, y) =>
+      roundtrip.zip(y).foreach { case (r, yi) =>
+        assert(math.abs(r - yi) < 1e-9)
+      }
+    }
+  }
+
+  test("SGD step with tiny lr reduces squared error on a single rating") {
+    val cases = samples(Gen.zip(vecGen, vecGen, Gen.choose(0.5, 5.0)), 10)
+    cases.foreach { case (u, v, r) =>
+      val pred = u.zip(v).map { case (a, b) => a * b }.sum
+      val err = r - pred
+      val lr = 1e-3
+      val u2 = u.zip(v).map { case (ui, vi) => ui + lr * err * vi }
+      val pred2 = u2.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(r - pred2) <= math.abs(err) + 1e-12,
+        s"error should not grow: $err -> ${r - pred2}")
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.{ModelConsumer, ServingStore}
+
+/** Source/sink surface (SURVEY.md §2.1): typed CSV with delimiter/header,
+  * libsvm, text, recursive enumeration, the streaming file source feeding
+  * the serve loop, and the overwrite text sink. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String) = {
+    val d = Files.createTempDirectory(prefix).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("S1: CSV ratings scan honors delimiter and header options") {
+    val dir = tmpDir("csv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/r.csv"),
+      "user_id\titem_id\trating\n1\t2\t3.5\n4\t5\t1.0\n")
+    val df = Tables.ratingsCsv(spark, s"$dir/r.csv", delimiter = "\t", header = true)
+    assert(df.schema.fieldNames.toSeq === Seq("user_id", "item_id", "rating"))
+    assert(df.count() === 2)
+    assert(df.filter(col("user_id") === 1).select("rating")
+      .first().getDouble(0) === 3.5)
+  }
+
+  test("S3: libsvm scan produces (label, features)") {
+    val dir = tmpDir("libsvm")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.txt"),
+      "1.0 1:0.5 3:0.25\n-1.0 2:1.5\n")
+    val df = Tables.libsvm(spark, s"$dir/d.txt")
+    assert(df.schema.fieldNames.toSeq === Seq("label", "features"))
+    assert(df.count() === 2)
+  }
+
+  test("S4/S5: recursive text scan enumerates nested dirs") {
+    val dir = tmpDir("txt")
+    Files.createDirectories(java.nio.file.Paths.get(s"$dir/nested/deep"))
+    Files.writeString(java.nio.file.Paths.get(s"$dir/top.txt"), "a\nb\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/nested/deep/in.txt"), "c\n")
+    assert(Tables.textLines(spark, dir, recursive = true).count() === 3)
+  }
+
+  test("S10: overwrite text sink round-trips records") {
+    val dir = tmpDir("sink") + "/out"
+    val recs = graft.operators.Ratings.userFactors(spark, sf0)
+      .limit(10)
+      .select(graft.operators.ModelCodec.encodeRecord(
+        col("user_id"), lit("U"), col("uf")).as("value"))
+    recs.write.mode("overwrite").text(dir)
+    recs.write.mode("overwrite").text(dir) // overwrite semantics: no append
+    assert(Tables.textLines(spark, dir).count() === 10)
+  }
+
+  test("S6: streaming file source feeds the serve loop (SGD.java dir poll)") {
+    val dir = tmpDir("stream")
+    val store = ServingStore.factorStore()
+    val q = ModelConsumer.serveTo(spark, Tables.textStream(spark, dir), store)
+    try {
+      Files.writeString(java.nio.file.Paths.get(s"$dir/m1.txt"),
+        "1,U,0.100000;0.200000\n2,I,0.300000;0.400000\n")
+      q.processAllAvailable()
+      assert(store.get("1-U").get.toSeq === Seq(0.1, 0.2))
+      // a later file overwrites — PROCESS_CONTINUOUSLY semantics
+      Files.writeString(java.nio.file.Paths.get(s"$dir/m2.txt"),
+        "1,U,0.900000;0.800000\n")
+      q.processAllAvailable()
+      assert(store.get("1-U").get.toSeq === Seq(0.9, 0.8))
+      assert(store.size === 2)
+    } finally q.stop()
+  }
+}

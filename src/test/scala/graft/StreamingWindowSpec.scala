@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation with watermark (SURVEY.md §2.9): the
+  * streaming twin of q12's per-hour rollup must agree with the batch
+  * computation over the same events, and the watermark must drop
+  * too-late rows. */
+class StreamingWindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600_000L * 24 + minute * 60_000L)
+
+  test("streaming hourly windows equal the batch rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val windowed = in.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    val q = windowed.writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try {
+      val events = Seq(
+        (ts(5), "click", 1.5), (ts(20), "click", 2.5), (ts(30), "view", 1.0),
+        (ts(65), "click", 4.0), (ts(100), "view", 0.5))
+      in.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("hourly")
+        .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = events.toDF("ts", "event_type", "value")
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("watermark in append mode drops rows later than the threshold") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val windowed = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(col("value")).as("total"))
+    val q = windowed.writeStream
+      .format("memory").queryName("late").outputMode("append").start()
+    try {
+      in.addData((ts(10), 1.0), (ts(50), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 → hour-0 window finalizes
+      in.addData((ts(300), 1.0))
+      q.processAllAvailable()
+      // this event is hours behind the watermark: must be dropped
+      in.addData((ts(15), 100.0))
+      q.processAllAvailable()
+      in.addData((ts(400), 1.0))
+      q.processAllAvailable()
+      val hour0 = spark.table("late")
+        .filter(col("window.start") === ts(0))
+        .select("total").as[Double].collect()
+      assert(hour0.toSeq === Seq(3.0), "late row must not re-open the window")
+    } finally q.stop()
+  }
+}

@@ -82,7 +82,10 @@ object Similarity {
     val queriesB = assign(queries, centroids, "qid", "qvec")
       .select(col("cid"), col("qid").as("id_q"), col("qvec").as("vec_q"),
         col("n2").as("n2_q"))
-    val scored = queriesB.join(corpusB, "cid")
+    // query side is always ≪ corpus: broadcast it so the corpus never
+    // shuffles on cid (post-window stats are unknown to Catalyst, which
+    // would otherwise pick a sort-merge join)
+    val scored = broadcast(queriesB).join(corpusB, "cid")
       .filter(col("id_c") =!= col("id_q"))
       .select(col("id_q").as("qid"), col("id_c").as("id"),
         pairSim("_c", "_q").as("sim"))

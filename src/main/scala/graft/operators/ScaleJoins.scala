@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the shapes that break at 100 TB (builder-prompt
+  * scale requirements; no reference analog — flink-ms never joins).
+  *
+  *  - [[saltedJoin]]: equi-join under heavy key skew. A hot key sends its
+  *    entire fact partition to one reducer; salting splits each fact key
+  *    across `salt` sub-keys and replicates the (small-side) build rows
+  *    once per sub-key, so the hot key's work spreads over `salt` tasks.
+  *    AQE's skew handling covers sort-merge joins automatically; explicit
+  *    salting is for when the build side must also stay shuffled (too big
+  *    to broadcast) or the engine's runtime re-plan is unavailable.
+  *  - [[colocatedWrite]] / bucketed tables: pre-shuffle both sides of a
+  *    recurring join ONCE at write time (`bucketBy` on the join key); every
+  *    later join on that key is exchange-free — the 100 TB pattern for the
+  *    rating-fact ⋈ factor-model join when the model outgrows broadcast.
+  */
+object ScaleJoins {
+
+  /** Skew-safe inner equi-join on `key`. `fact` rows get a random-but-
+    * deterministic salt in [0, salt); `dim` rows are replicated `salt`
+    * times. Result equals `fact.join(dim, key)` exactly. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    // deterministic salt from the row content keeps retries idempotent
+    val salted = fact.withColumn("_salt",
+      pmod(hash(struct(fact.columns.map(col).toSeq: _*)), lit(salt)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write `df` bucketed+sorted by `key` into the session catalog as
+    * `table`, so subsequent equi-joins on `key` between co-bucketed tables
+    * need no shuffle (both sides already hash-distributed identically). */
+  def colocatedWrite(df: DataFrame, table: String, key: String,
+                     buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Null-safe skew diagnosis: rows per key, top-n heaviest keys with
+    * their share of the total — the decision input for salt sizing. */
+  def skewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
+    val total = sum(col("n")).over()
+    counts
+      .select(col("key"), col("n"), round(col("n") / total, 6).as("share"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
+}

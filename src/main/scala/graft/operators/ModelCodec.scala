@@ -31,9 +31,11 @@ object ModelCodec extends QueryPack {
   def parseFactors(rec: Column): Column =
     transform(split(split(rec, ",").getItem(2), ";"), s => s.cast("double"))
 
-  /** P4: state key "id-KIND" (ALSKafkaConsumer.java:78-80). */
+  /** P4: state key "id-KIND" (ALSKafkaConsumer.java:78-80). Uses the RAW
+    * id field, not the numeric parse — the mean rows are keyed "MEAN-U" /
+    * "MEAN-I" (ALSMeanVector.scala:35, SGD.java:142-147) and must survive. */
   def stateKey(rec: Column): Column =
-    concat_ws("-", parseId(rec), parseKind(rec))
+    concat_ws("-", split(rec, ",").getItem(0), parseKind(rec))
 
   // ---- driver-contract queries -------------------------------------------
 

@@ -67,6 +67,17 @@ object Training {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean_f")))),
         e => e.getField("mean_f")).as("mean_vector"))
 
+  /** The mean rows in wire format — "MEAN,U,…" / "MEAN,I,…", the exact
+    * export of ALSMeanVector.scala:35 that SGD's fallback consumes. */
+  def meanExport(userF: DataFrame, itemF: DataFrame): DataFrame = {
+    def row(df: DataFrame, kind: String) =
+      meanVector(df.withColumnRenamed(
+        if (kind == "U") "uf" else "itf", "factors"))
+        .select(ModelCodec.encodeRecord(lit("MEAN"), lit(kind),
+          col("mean_vector")).as("record"))
+    row(userF, "U").unionAll(row(itemF, "I"))
+  }
+
   /** Held-out RMSE of an ALS model — the quality gate replacing bitwise
     * factor comparison (MSE.java's role for the trained model). */
   def alsRmse(model: (DataFrame, DataFrame), ratings: DataFrame): Double = {

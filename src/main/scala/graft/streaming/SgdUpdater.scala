@@ -33,22 +33,40 @@ object SgdUpdater {
     * (user_id, uf). Aggregates Σ err·itf per user — partial map-side sums,
     * one shuffle keyed by user — then applies the axpy update. */
   def userStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
-               lr: Double, lambda: Double = 0.0): DataFrame =
+               lr: Double, lambda: Double = 0.0,
+               meanU: Option[Array[Double]] = None,
+               meanI: Option[Array[Double]] = None): DataFrame =
     gradStep(ratings, userF, itemF, lr, lambda,
-      keyCol = "user_id", vecCol = "uf", otherVecCol = "itf")
+      keyCol = "user_id", vecCol = "uf", otherVecCol = "itf", meanU, meanI)
 
   /** Symmetric step for the ITEM side: returns updated (item_id, itf). */
   def itemStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
-               lr: Double, lambda: Double = 0.0): DataFrame =
+               lr: Double, lambda: Double = 0.0,
+               meanU: Option[Array[Double]] = None,
+               meanI: Option[Array[Double]] = None): DataFrame =
     gradStep(ratings, userF, itemF, lr, lambda,
-      keyCol = "item_id", vecCol = "itf", otherVecCol = "uf")
+      keyCol = "item_id", vecCol = "itf", otherVecCol = "uf", meanU, meanI)
+
+  private def meanCol(m: Option[Array[Double]]) =
+    m.map(v => array(v.toSeq.map(lit): _*))
 
   private def gradStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
                        lr: Double, lambda: Double,
-                       keyCol: String, vecCol: String, otherVecCol: String): DataFrame = {
-    val scored = ratings
-      .join(broadcast(userF), "user_id")
-      .join(broadcast(itemF), "item_id")
+                       keyCol: String, vecCol: String, otherVecCol: String,
+                       meanU: Option[Array[Double]],
+                       meanI: Option[Array[Double]]): DataFrame = {
+    // With mean vectors present, missing keys fall back to the served MEAN
+    // rows instead of dropping the rating — the reference's orElse(MEAN)
+    // (SGD.java:142-147,227); without them the joins stay inner.
+    def side(df: DataFrame, key: String, vec: String,
+             mean: Option[Array[Double]])(base: DataFrame): DataFrame =
+      mean match {
+        case Some(m) => base.join(broadcast(df), Seq(key), "left_outer")
+          .withColumn(vec, coalesce(col(vec), array(m.toSeq.map(lit): _*)))
+        case None => base.join(broadcast(df), key)
+      }
+    val scored = side(itemF, "item_id", "itf", meanI)(
+      side(userF, "user_id", "uf", meanU)(ratings))
       .withColumn("err", col("rating") - dot(col("uf"), col("itf")))
     // Σ err·other per key: explode to (pos, err*other_j), partial-agg sums.
     val grads = scored
@@ -57,12 +75,18 @@ object SgdUpdater {
       .groupBy(col(keyCol))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("g")))),
         e => e.getField("g")).as("grad"))
-    // u' = u + lr*(grad − λ·u)
-    val cur = (if (keyCol == "user_id") userF else itemF)
-    cur.join(grads, keyCol)
-      .select(col(keyCol),
-        zip_with(col(vecCol), col("grad"),
-          (u, g) => u + lit(lr) * (g - lit(lambda) * u)).as(vecCol))
+    // u' = u + lr*(grad − λ·u); a key absent from the model starts from the
+    // MEAN vector (cold-start onboarding, SGD.java:219-234)
+    val cur = if (keyCol == "user_id") userF else itemF
+    val thisMean = meanCol(if (keyCol == "user_id") meanU else meanI)
+    val joined = thisMean match {
+      case Some(m) => grads.join(broadcast(cur), Seq(keyCol), "left_outer")
+        .withColumn(vecCol, coalesce(col(vecCol), m))
+      case None => cur.join(grads, keyCol)
+    }
+    joined.select(col(keyCol),
+      zip_with(col(vecCol), col("grad"),
+        (u, g) => u + lit(lr) * (g - lit(lambda) * u)).as(vecCol))
   }
 
   /** Wire a rating-record stream into the feedback loop: each micro-batch
@@ -79,16 +103,22 @@ object SgdUpdater {
           split(col("value"), ",").getItem(0).cast("long").as("user_id"),
           split(col("value"), ",").getItem(1).cast("long").as("item_id"),
           split(col("value"), ",").getItem(2).cast("double").as("rating"))
+        // served MEAN rows (ALSMeanVector output) drive the missing-key
+        // fallback; they are excluded from the factor tables themselves
+        val meanU = store.get("MEAN-U")
+        val meanI = store.get("MEAN-I")
         val snap = ServingStore.snapshotDF(s, store)
         val userF = snap.filter(col("key").endsWith("-U"))
-          .select(split(col("key"), "-").getItem(0).cast("long").as("user_id"),
+          .select(split(col("key"), "-").getItem(0).try_cast("long").as("user_id"),
             col("factors").as("uf"))
+          .filter(col("user_id").isNotNull)
         val itemF = snap.filter(col("key").endsWith("-I"))
-          .select(split(col("key"), "-").getItem(0).cast("long").as("item_id"),
+          .select(split(col("key"), "-").getItem(0).try_cast("long").as("item_id"),
             col("factors").as("itf"))
-        val newU = userStep(ratings, userF, itemF, lr, lambda)
+          .filter(col("item_id").isNotNull)
+        val newU = userStep(ratings, userF, itemF, lr, lambda, meanU, meanI)
           .select(concat(col("user_id"), lit("-U")).as("key"), col("uf").as("factors"))
-        val newI = itemStep(ratings, userF, itemF, lr, lambda)
+        val newI = itemStep(ratings, userF, itemF, lr, lambda, meanU, meanI)
           .select(concat(col("item_id"), lit("-I")).as("key"), col("itf").as("factors"))
         ServingStore.upsertBatch(store, newU.unionAll(newI))
       }

@@ -68,6 +68,40 @@ class StreamingServeSpec extends SparkSpec {
     assert(svc.classify(Map(11L -> 3.0)) === -1)
   }
 
+  test("MEAN rows flow through the consumer under their literal state key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val store = ServingStore.factorStore()
+    val q = ModelConsumer.serveTo(spark, in.toDF(), store)
+    try {
+      in.addData("MEAN,U,0.500000;0.600000", rec(3, "U", 0.1, 0.2))
+      q.processAllAvailable()
+      assert(store.get("MEAN-U").get.toSeq === Seq(0.5, 0.6))
+      assert(store.get("3-U").get.toSeq === Seq(0.1, 0.2))
+    } finally q.stop()
+  }
+
+  test("SGD with MEAN fallback onboards a user missing from the model") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = ServingStore.factorStore()
+    store.put("MEAN-U", Array(0.5, 0.5))
+    store.put("MEAN-I", Array(0.5, 0.5))
+    store.put("7-I", Array(1.0, 2.0)) // item exists; user 42 does not
+    val in = MemoryStream[String]
+    val q = SgdUpdater.updateLoop(spark, in.toDF(), store, lr = 0.1)
+    try {
+      in.addData("42,7,4.0")
+      q.processAllAvailable()
+    } finally q.stop()
+    // user 42 was onboarded from MEAN: u' = mean + lr*err*i
+    val u = store.get("42-U").get
+    val err = 4.0 - (0.5 * 1.0 + 0.5 * 2.0)
+    assert(math.abs(u(0) - (0.5 + 0.1 * err * 1.0)) < 1e-9)
+    assert(math.abs(u(1) - (0.5 + 0.1 * err * 2.0)) < 1e-9)
+    // the item side updated against the mean user vector
+    assert(store.get("7-I").isDefined)
+  }
+
   test("SGD feedback loop through the store decreases MSE") {
     implicit val sqlCtx = spark.sqlContext
     val store = ServingStore.factorStore()

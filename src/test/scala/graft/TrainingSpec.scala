@@ -32,6 +32,13 @@ class TrainingSpec extends SparkSpec {
     assert(recs.count() === uf.count() + itf.count())
   }
 
+  test("meanExport emits the MEAN,U / MEAN,I wire rows") {
+    val uf = Seq((1L, Array(1.0, 3.0)), (2L, Array(3.0, 5.0))).toDF("user_id", "uf")
+    val itf = Seq((1L, Array(0.0, 2.0))).toDF("item_id", "itf")
+    val recs = Training.meanExport(uf, itf).as[String].collect().sorted
+    assert(recs === Array("MEAN,I,0.000000;2.000000", "MEAN,U,2.000000;4.000000"))
+  }
+
   test("meanVector matches hand-computed element-wise mean") {
     val f = Seq(Tuple1(Array(1.0, 3.0)), Tuple1(Array(3.0, 5.0))).toDF("factors")
     val mv = Training.meanVector(f).as[Array[Double]].collect()(0)

@@ -75,6 +75,31 @@ object AnalyticsPack extends QueryPack {
         .orderBy("o_custkey", "rk")
     }),
 
+    // Sessionization: per-user sessions split on >30 min event gaps —
+    // lag + cumulative-sum session ids, one shuffle on user_id. The
+    // streaming twin (session_window + watermark) lives in
+    // StreamingWindowSpec; this batch form is the oracle-checked one.
+    "q37_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // fractional epoch seconds on BOTH engines (DuckDB epoch() keeps
+      // microseconds) so a gap of exactly 1800.x s can't disagree
+      val epochS = col("ts").cast("double")
+      val newSession = when(
+        epochS - lag(epochS, 1).over(byUser) > 1800.0, 1).otherwise(0)
+      Tables.events(s, dir)
+        .withColumn("new_s", newSession)
+        .withColumn("session_no", sum(col("new_s")).over(byUser))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          round(sum(col("session_value")), 4).as("total_value"))
+        .orderBy("user_id")
+    }),
+
     // Analytic window frame: running revenue per customer over order date.
     "q15_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -123,6 +148,26 @@ object AnalyticsPack extends QueryPack {
         |                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         |      FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q37_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+        |  FROM marked),
+        |per_session AS (
+        |  SELECT user_id, session_no, COUNT(*) AS n_events,
+        |         ROUND(SUM(value), 4) AS session_value
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |       CAST(MAX(n_events) AS BIGINT) AS max_session_events,
+        |       ROUND(SUM(session_value), 4) AS total_value
+        |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q15_running_total" ->
       """SELECT o_custkey, o_orderkey,

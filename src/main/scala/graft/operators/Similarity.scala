@@ -93,6 +93,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** ANN via spark.ml BucketedRandomProjectionLSH: hash vectors into
+    * random-hyperplane buckets, approx-join within buckets. The third
+    * strategy next to brute force (exact) and IVF (centroid-pruned);
+    * seeded, so deterministic, but not SQL-expressible → rows-only check +
+    * recall assertion in SimilaritySpec. Euclidean-bucketed: candidates are
+    * re-scored with exact cosine and re-ranked. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              bucketLength: Double = 2.0, numTables: Int = 3,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = prepped(corpus, "id", "vec", "_c")
+      .withColumn("features", array_to_vector(col("vec_c")))
+    val q = prepped(queries, "qid", "qvec", "_q")
+      .withColumn("features", array_to_vector(col("vec_q")))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(c)
+    val pairs = model.approxSimilarityJoin(c, q, Double.MaxValue, "dist")
+      .select(col("datasetA.id_c"), col("datasetA.vec_c"), col("datasetA.n2_c"),
+        col("datasetB.id_q"), col("datasetB.vec_q"), col("datasetB.n2_q"))
+      .filter(col("id_c") =!= col("id_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup. */
   def cosineNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
     val l = prepped(corpus, "id", "vec", "_a")

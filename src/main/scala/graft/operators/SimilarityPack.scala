@@ -47,6 +47,14 @@ object SimilarityPack extends QueryPack {
       Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir), centroids(s, dir), k = 3)
         .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("sim"))
         .orderBy("qid", "rank")
+    }),
+
+    // spark.ml random-hyperplane LSH ANN (seeded; not SQL-expressible →
+    // rows-only check; recall asserted in SimilaritySpec).
+    "q38_ann_lsh" -> ((s, dir) => {
+      Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), k = 3)
+        .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("sim"))
+        .orderBy("qid", "rank")
     })
   )
 

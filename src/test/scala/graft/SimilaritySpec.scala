@@ -5,6 +5,7 @@ import graft.operators.Similarity
 import graft.sources.Tables
 
 class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val corpus = Tables.table(spark, sf1, "embeddings")
     .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -34,6 +35,21 @@ class SimilaritySpec extends SparkSpec {
     // IVF with 8 random centroids on near-orthogonal data is approximate;
     // just require it returns a result per query and overlaps brute force at all.
     assert(ivf.map(_._1) === bf.map(_._1), "every query answered")
+  }
+
+  test("LSH ANN achieves high rank-1 recall vs brute force") {
+    val corpus = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshTopK(corpus, queries, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, n) => lsh.get(q).contains(n) }
+    assert(hits >= exact.size / 2,
+      s"rank-1 recall too low: $hits/${exact.size}")
   }
 
   test("cosineNearDup returns only pairs above threshold, a<b") {

@@ -40,6 +40,29 @@ class StreamingWindowSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows split on the 30-minute gap like q37") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = in.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "4 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try {
+      // user 1: events at 0,10,25 min (one session), then 90 min (new one)
+      in.addData((ts(0), 1L, 1.0), (ts(10), 1L, 1.0), (ts(25), 1L, 1.0),
+        (ts(90), 1L, 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select(col("user_id"), col("n_events"), col("session_value"))
+        .as[(Long, Long, Double)].collect().sortBy(_._2)
+      assert(rows.length === 2)
+      assert(rows(0) === ((1L, 1L, 5.0)))
+      assert(rows(1) === ((1L, 3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("watermark in append mode drops rows later than the threshold") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.DotProduct
+import graft.functions.expressions.{DotProduct, VectorSumAgg}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -35,6 +35,14 @@ object GraftExtensions {
             a, org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.DoubleType)))
         DotProduct(cast.head, cast(1))
+      }),
+    (FunctionIdentifier("graft_vecsum"),
+      new ExpressionInfo(classOf[VectorSumAgg].getName, "graft_vecsum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_vecsum takes exactly 1 argument")
+        VectorSumAgg(org.apache.spark.sql.catalyst.expressions.Cast(
+          args.head, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))
       }))
 
   /** Register on an existing session (for sessions built without the

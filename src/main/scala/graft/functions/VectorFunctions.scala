@@ -29,6 +29,12 @@ object VectorFunctions {
   /** Σ a_i² (no sqrt — exact-compare friendly); same fused loop as [[dot]]. */
   def sqNorm(a: Column): Column = dot(a, a)
 
+  /** Element-wise sum AGGREGATE over ARRAY<DOUBLE> rows — one mutable
+    * buffer per group with map-side combine (see
+    * [[graft.functions.expressions.VectorSumAgg]]); replaces
+    * posexplode→per-pos-sum→re-assemble and its extra shuffle. */
+  def vecSum(a: Column): Column = call_function("graft_vecsum", a)
+
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 
   def cosine(a: Column, b: Column): Column =

@@ -68,13 +68,13 @@ object SgdUpdater {
     val scored = side(itemF, "item_id", "itf", meanI)(
       side(userF, "user_id", "uf", meanU)(ratings))
       .withColumn("err", col("rating") - dot(col("uf"), col("itf")))
-    // Σ err·other per key: explode to (pos, err*other_j), partial-agg sums.
+    // Σ err·other per key in ONE aggregation: the graft_vecsum
+    // TypedImperativeAggregate keeps a mutable k-dim buffer per key with
+    // map-side combine — no posexplode row blow-up, no second shuffle.
     val grads = scored
-      .select(col(keyCol), posexplode(scale(col(otherVecCol), col("err"))).as(Seq("pos", "g")))
-      .groupBy(col(keyCol), col("pos")).agg(sum(col("g")).as("g"))
+      .select(col(keyCol), scale(col(otherVecCol), col("err")).as("g"))
       .groupBy(col(keyCol))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("g")))),
-        e => e.getField("g")).as("grad"))
+      .agg(vecSum(col("g")).as("grad"))
     // u' = u + lr*(grad − λ·u); a key absent from the model starts from the
     // MEAN vector (cold-start onboarding, SGD.java:219-234)
     val cur = if (keyCol == "user_id") userF else itemF

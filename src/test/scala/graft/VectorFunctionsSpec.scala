@@ -4,6 +4,28 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
 class VectorFunctionsSpec extends SparkSpec {
+
+  test("vecSum aggregates element-wise across partitions (partial merge)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => (i % 3, Array(i.toDouble, 1.0)))
+      .toDF("k", "v").repartition(8)
+    val got = df.groupBy($"k")
+      .agg(graft.functions.VectorFunctions.vecSum($"v").as("s"))
+      .as[(Int, Array[Double])].collect().toMap
+    (0 to 2).foreach { k =>
+      val members = (1 to 100).filter(_ % 3 == k)
+      assert(got(k).toSeq === Seq(members.map(_.toDouble).sum, members.size.toDouble))
+    }
+    // SQL surface + null/empty behavior
+    df.createOrReplaceTempView("vecs")
+    val viaSql = spark.sql(
+      "SELECT graft_vecsum(v) FROM vecs WHERE k = 0").collect()(0)
+    assert(viaSql.getSeq[Double](0).head > 0)
+    val empty = spark.sql(
+      "SELECT graft_vecsum(v) FROM vecs WHERE k = 99").collect()(0)
+    assert(empty.isNullAt(0))
+  }
   import spark.implicits._
 
   private def arr(xs: Double*) = array(xs.map(lit): _*)

@@ -93,6 +93,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Materialize the IVF index: corpus assigned to centroids, written
+    * partitioned by centroid id. At 100 TB this is the layout that turns
+    * ANN search into a file-pruned scan — a query touches only its
+    * bucket's files, enforced by the scan, not the executor. */
+  def ivfWrite(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(corpus, centroids, "id", "vec")
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search a materialized IVF index: queries are assigned to centroids,
+    * then joined against the index on the PARTITION column — dynamic
+    * partition pruning limits the scan to the queried buckets. */
+  def ivfSearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    val corpusB = spark.read.parquet(path)
+      .select(col("cid"), col("id").as("id_c"),
+        toDoubleArray(col("vec")).as("vec_c"), col("n2").as("n2_c"))
+    val queriesB = assign(queries, centroids, "qid", "qvec")
+      .select(col("cid"), col("qid").as("id_q"),
+        toDoubleArray(col("qvec")).as("vec_q"), col("n2").as("n2_q"))
+    val scored = corpusB.join(broadcast(queriesB), "cid")
+      .filter(col("id_c") =!= col("id_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** ANN via spark.ml BucketedRandomProjectionLSH: hash vectors into
     * random-hyperplane buckets, approx-join within buckets. The third
     * strategy next to brute force (exact) and IVF (centroid-pruned);

@@ -52,6 +52,28 @@ class SimilaritySpec extends SparkSpec {
       s"rank-1 recall too low: $hits/${exact.size}")
   }
 
+  test("materialized IVF index: search matches in-memory IVF and prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivf").toFile.getAbsolutePath
+    val c0 = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q0 = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfWrite(c0, cents, path)
+    val indexed = Similarity.ivfSearchIndexed(spark, path, q0, cents, k = 3)
+    val inMem = Similarity.ivfTopK(c0, q0, cents, k = 3)
+    val a = indexed.select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val b = inMem.select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(a === b, "indexed search must equal in-memory IVF")
+    // the scan of the index must carry a dynamic partition-pruning filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"index scan should be dynamically pruned:\n${plan.take(2000)}")
+  }
+
   test("cosineNearDup returns only pairs above threshold, a<b") {
     val pairs = Similarity.cosineNearDup(corpus, 0.35).collect()
     assert(pairs.nonEmpty)

@@ -77,8 +77,29 @@ object TextPack extends QueryPack {
       Tables.table(s, dir, "documents")
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // PII redaction (emails, long digit runs) — the corpus has none, so a
+    // deterministic contact line is appended first; the patterns are
+    // RE2-conservative so both engines' regex dialects agree.
+    "q39_redact" -> ((s, dir) => {
+      val withPii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ref "),
+        (col("doc_id") * 1234567 + 100000000L).cast("string"))
+      val emails = regexp_replace(withPii, EmailPattern, "<EMAIL>")
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(emails, DigitsPattern, "<NUM>").as("redacted"),
+          size(regexp_extract_all(withPii, lit(EmailPattern), lit(0))).as("n_emails"),
+          size(regexp_extract_all(withPii, lit(DigitsPattern), lit(0))).as("n_nums"))
+        .orderBy("doc_id")
     })
   )
+
+  /** RE2-safe PII patterns (no lookarounds — portable to DuckDB). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitsPattern = "[0-9]{6,}"
 
   // ---- DuckDB twins --------------------------------------------------------
 
@@ -130,6 +151,17 @@ object TextPack extends QueryPack {
     "q23_fingerprint" ->
       s"""SELECT doc_id,
          |       ${Portable.hash32Sql("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_redact" -> {
+      val withPii = "text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 1234567 + 100000000)"
+      s"""WITH t AS (SELECT doc_id, $withPii AS wp FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(wp, '$EmailPattern', '<EMAIL>', 'g'),
+         |                      '$DigitsPattern', '<NUM>', 'g') AS redacted,
+         |       CAST(len(regexp_extract_all(wp, '$EmailPattern')) AS INTEGER) AS n_emails,
+         |       CAST(len(regexp_extract_all(wp, '$DigitsPattern')) AS INTEGER) AS n_nums
+         |FROM t ORDER BY doc_id""".stripMargin
+    }
   )
 }

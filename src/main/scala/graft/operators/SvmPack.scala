@@ -36,6 +36,25 @@ object SvmPack extends QueryPack {
   def bucketOf(featureId: Column): Column =
     (featureId.cast("long") / Range).cast("long")
 
+  /** Load the range-partitioned export ("bucket,idx:w;…" payload rows,
+    * the q05 layout) into a bucket-keyed serving store: key "bucket-B",
+    * value = range-sized array with weights at `idx % range` offsets —
+    * the layout RangePartitionSVMPredict.java:63-70 amortizes lookups
+    * against, consumed by PredictBench.svmBucketed. */
+  def bucketedStore(layout: DataFrame,
+                    range: Int = Range): graft.streaming.ServingStore.FactorStore = {
+    val store = graft.streaming.ServingStore.factorStore()
+    layout.select(col("bucket").cast("long"), col("payload")).collect().foreach { r =>
+      val packed = new Array[Double](range)
+      r.getString(1).split(";").filter(_.nonEmpty).foreach { kv =>
+        val Array(idx, w) = kv.split(":")
+        packed((idx.toLong % range).toInt) = w.toDouble
+      }
+      store.put(s"${r.getLong(0)}-B", packed)
+    }
+    store
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // P7 + A2: range-partitioned model export "bucket,idx:w;…" — grouped

@@ -59,6 +59,21 @@ class PredictBenchSpec extends SparkSpec {
     }
   }
 
+  test("bucketed store built from the q05 range layout matches direct weights") {
+    import org.apache.spark.sql.functions._
+    val layout = graft.operators.SvmPack.queries("q05_range_partition")(spark, sf0)
+    val store = graft.operators.SvmPack.bucketedStore(layout)
+    val weights = graft.operators.SvmPack.weights(spark, sf0)
+      .select(col("feature_id").cast("long"), col("w")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    weights.take(100).foreach { case (fid, w) =>
+      val packed = store.get(s"${fid / graft.operators.SvmPack.Range}-B").get
+      // layout payload is %.6f-formatted, so compare at that precision
+      assert(math.abs(packed((fid % graft.operators.SvmPack.Range).toInt) - w) < 5e-7,
+        s"feature $fid")
+    }
+  }
+
   test("S12: latency CSV has one row per query plus header") {
     val f = Files.createTempFile("bench", ".csv").toFile
     f.deleteOnExit()

@@ -102,6 +102,27 @@ class StreamingServeSpec extends SparkSpec {
     assert(store.get("7-I").isDefined)
   }
 
+  test("streaming evaluator reports per-batch MSE with MEAN fallback") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = ServingStore.factorStore()
+    store.put("1-U", Array(1.0, 0.0))
+    store.put("7-I", Array(2.0, 0.0))
+    store.put("MEAN-U", Array(0.5, 0.5))
+    store.put("MEAN-I", Array(0.5, 0.5))
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+    val in = MemoryStream[String]
+    val q = StreamingEvaluator.mseStream(spark, in.toDF(), store,
+      (b, m, n) => results.synchronized { results += ((b, m, n)) })
+    try {
+      // known pair: pred 2.0, err 1.0; unknown user 99: mean·7-I = 1.0, err 1.0
+      in.addData("1,7,3.0", "99,7,2.0")
+      q.processAllAvailable()
+    } finally q.stop()
+    val (_, mse, n) = results.synchronized(results.head)
+    assert(n === 2L)
+    assert(math.abs(mse - 1.0) < 1e-9)
+  }
+
   test("SGD feedback loop through the store decreases MSE") {
     implicit val sqlCtx = spark.sqlContext
     val store = ServingStore.factorStore()

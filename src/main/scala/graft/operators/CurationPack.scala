@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+
+/** The end-to-end corpus-curation pipeline — the composition a training-data
+  * run executes, as ONE dataflow: language filter → quality floor → exact
+  * dedup → MinHash-LSH near-dup removal → per-source corpus stats.
+  *
+  * Input is the documents table plus injected *mutated* re-crawls (text with
+  * a suffix token, ids offset by [[MutOffset]]): exact dedup must NOT catch
+  * them (they differ) and the near-dup stage MUST (shingle Jaccard ≈ 0.9),
+  * so both dedup stages are load-bearing in the oracle comparison.
+  *
+  * Scale shape: filters are scan-stage expressions; exact dedup is one
+  * shuffle on the content hash; near-dup is the LSH pipeline (bounded by
+  * bucket collisions, not n²); the keep-list anti-join broadcasts the small
+  * removal set. No stage is quadratic in the corpus.
+  */
+object CurationPack extends QueryPack {
+
+  val MutOffset = 200000L
+  val QualityFloor = 0.5
+  val JaccardThreshold = 0.5
+
+  /** documents ∪ mutated copy of every 4th doc (near- but not exact dups). */
+  def withMutatedCopies(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    d.unionAll(d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + MutOffset).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"), col("source")))
+  }
+
+  def withMutatedCopiesSql: String =
+    s"""SELECT doc_id, text, source FROM documents
+       |UNION ALL
+       |SELECT doc_id + $MutOffset AS doc_id, text || ' zzz' AS text, source
+       |FROM documents WHERE doc_id % 4 = 0""".stripMargin
+
+  /** The quality score of q21 as a column over (text). */
+  private def quality(text: org.apache.spark.sql.Column) = {
+    val toks = T.tokens(text)
+    val stopRatio = T.vocabHits(toks, TextPack.stopwords).cast("double") / size(toks)
+    val avgTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / size(toks)
+    least(size(toks) / 100.0, lit(1.0)) * 0.5 +
+      stopRatio * 0.3 + least(avgTokLen / 10.0, lit(1.0)) * 0.2
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_curation" -> ((s, dir) => {
+      val docs = withMutatedCopies(s, dir)
+      // stage 1+2: language + quality floor (scan-stage predicates)
+      val en = docs.filter(col("source").isNotNull)
+        .withColumn("q", quality(col("text")))
+        .filter(col("q") >= QualityFloor)
+      // stage 3: exact dedup — keep the min doc_id per normalized content
+      val exactKeep = en
+        .withColumn("h", md5(T.normalize(col("text"))))
+        .withColumn("keeper", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+        .filter(col("doc_id") === col("keeper"))
+        .drop("h", "keeper")
+      // stage 4: near-dup removal — drop the higher id of each verified pair
+      val pairs = Dedup.minhashLsh(exactKeep, shingleN = 3, numHashes = 16,
+        bands = 4, threshold = JaccardThreshold)
+      val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
+      val curated = exactKeep.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
+      // stage 5: per-source stats of the surviving corpus
+      curated
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(T.tokens(col("text")))).cast("long").as("total_tokens"),
+          round(avg(col("q")), 6).as("avg_quality"))
+        .orderBy("source")
+    })
+  )
+
+  def oracles: Map[String, String] = {
+    val toks = TextPack.toksSql("text")
+    val stopHits = s"len(list_filter(toks, t -> t IN (${TextPack.stopwords.map(w => s"'$w'").mkString(", ")})))"
+    val h = graft.functions.Portable.hash32mSql("sh")
+    val mins = (1 to 16).map(i => s"MIN(${graft.functions.Portable.permuteSql("h", i)}) AS m$i")
+    val bandSelects = (0 until 4).map { b =>
+      val cols = (1 to 4).map(j => s"m${b * 4 + j}")
+      s"SELECT doc_id, $b AS band, concat_ws(':', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }
+    Map("q40_curation" ->
+      s"""WITH docs AS ($withMutatedCopiesSql),
+         |scored AS (
+         |  SELECT doc_id, text, source,
+         |         least(len(toks) / 100.0, 1.0) * 0.5
+         |           + (CAST($stopHits AS DOUBLE) / len(toks)) * 0.3
+         |           + least((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)) / 10.0, 1.0) * 0.2 AS q
+         |  FROM (SELECT doc_id, text, source, $toks AS toks FROM docs)),
+         |en AS (SELECT * FROM scored WHERE source IS NOT NULL AND q >= $QualityFloor),
+         |exact_keep AS (
+         |  SELECT doc_id, text, source, q FROM (
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keeper
+         |    FROM en) t
+         |  WHERE doc_id = keeper),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, unnest(
+         |    CASE WHEN len(toks) >= 3
+         |         THEN list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+         |  FROM (SELECT doc_id, $toks AS toks FROM exact_keep)),
+         |hh AS (SELECT doc_id, sh, $h AS h FROM sh),
+         |sig AS (SELECT doc_id, ${mins.mkString(", ")} FROM hh GROUP BY doc_id),
+         |bands AS (${bandSelects.mkString("\nUNION ALL\n")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |         WHERE x.doc_id < y.doc_id),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+         |           FROM cand c
+         |           JOIN sh sa ON sa.doc_id = c.doc_a
+         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |           GROUP BY 1, 2),
+         |neardup AS (SELECT DISTINCT doc_b FROM shared
+         |            JOIN counts ca ON ca.doc_id = doc_a
+         |            JOIN counts cb ON cb.doc_id = doc_b
+         |            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= $JaccardThreshold),
+         |curated AS (SELECT * FROM exact_keep WHERE doc_id NOT IN (SELECT doc_b FROM neardup))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,
+         |       ROUND(AVG(q), 6) AS avg_quality
+         |FROM curated GROUP BY source ORDER BY source""".stripMargin)
+  }
+}

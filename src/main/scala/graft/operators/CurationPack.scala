@@ -59,12 +59,16 @@ object CurationPack extends QueryPack {
         .withColumn("q", quality(col("text")))
         .filter(col("q") >= QualityFloor)
       // stage 3: exact dedup — keep the min doc_id per normalized content
+      // persisted: the LSH pipeline + anti-join + stats all re-read this
+      // stage; in production this is the materialization point between
+      // curation passes (Spark evicts it LRU when memory is needed)
       val exactKeep = en
         .withColumn("h", md5(T.normalize(col("text"))))
         .withColumn("keeper", min(col("doc_id"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keeper"))
         .drop("h", "keeper")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // stage 4: near-dup removal — drop the higher id of each verified pair
       val pairs = Dedup.minhashLsh(exactKeep, shingleN = 3, numHashes = 16,
         bands = 4, threshold = JaccardThreshold)

@@ -46,11 +46,15 @@ object GraftExtensions {
       }))
 
   /** Register on an existing session (for sessions built without the
-    * spark.sql.extensions config — tests, Verify, Bench). */
+    * spark.sql.extensions config — tests, Verify, Bench). Idempotent:
+    * already-registered functions are left alone, so the hot-path guard in
+    * VectorFunctions costs one registry lookup. */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach { case (ident, info, builder) =>
-      registry.registerFunction(ident, info, builder)
+      if (!registry.functionExists(ident)) {
+        registry.registerFunction(ident, info, builder)
+      }
     }
   }
 }

@@ -23,8 +23,17 @@ object VectorFunctions {
     * composed `aggregate(zip_with(...))` form it replaced, minus the
     * interpreted-lambda and allocation cost that dominated all-pairs
     * similarity scans. */
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = {
+    ensureRegistered()
     call_function("graft_dot", a, b)
+  }
+
+  /** Register the native functions on the calling thread's active session
+    * (idempotent) so library users don't need session config; sessions
+    * built on other threads still need GraftExtensions.register. */
+  private def ensureRegistered(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.GraftExtensions.register)
 
   /** Σ a_i² (no sqrt — exact-compare friendly); same fused loop as [[dot]]. */
   def sqNorm(a: Column): Column = dot(a, a)
@@ -33,7 +42,10 @@ object VectorFunctions {
     * buffer per group with map-side combine (see
     * [[graft.functions.expressions.VectorSumAgg]]); replaces
     * posexplode→per-pos-sum→re-assemble and its extra shuffle. */
-  def vecSum(a: Column): Column = call_function("graft_vecsum", a)
+  def vecSum(a: Column): Column = {
+    ensureRegistered()
+    call_function("graft_vecsum", a)
+  }
 
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 

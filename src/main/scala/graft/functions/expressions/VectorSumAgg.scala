@@ -54,28 +54,35 @@ case class VectorSumAgg(
       while (i < n) { fresh(i) = arr.getDouble(i); i += 1 }
       fresh
     } else {
-      val m = math.min(n, buffer.length)
+      // grow, never truncate: row order must not affect the result when
+      // lengths are ragged (a short malformed row would otherwise clip
+      // every later row nondeterministically)
+      val out = if (n > buffer.length) java.util.Arrays.copyOf(buffer, n)
+                else buffer
       var i = 0
-      while (i < m) { buffer(i) += arr.getDouble(i); i += 1 }
-      buffer
+      while (i < n) { out(i) += arr.getDouble(i); i += 1 }
+      out
     }
   }
 
   override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
     if (b1 == null) return b2
     if (b2 == null) return b1
-    val m = math.min(b1.length, b2.length)
+    val (long, short) = if (b1.length >= b2.length) (b1, b2) else (b2, b1)
     var i = 0
-    while (i < m) { b1(i) += b2(i); i += 1 }
-    b1
+    while (i < short.length) { long(i) += short(i); i += 1 }
+    long
   }
 
   override def eval(buffer: Array[Double]): Any =
     if (buffer == null) null else new GenericArrayData(buffer)
 
+  // 1-byte presence marker disambiguates the null buffer (no rows seen)
+  // from a legitimate zero-length array
   override def serialize(buffer: Array[Double]): Array[Byte] = {
     if (buffer == null) return Array.emptyByteArray
-    val bb = ByteBuffer.allocate(8 * buffer.length)
+    val bb = ByteBuffer.allocate(1 + 8 * buffer.length)
+    bb.put(1: Byte)
     buffer.foreach(bb.putDouble)
     bb.array()
   }
@@ -83,7 +90,8 @@ case class VectorSumAgg(
   override def deserialize(bytes: Array[Byte]): Array[Double] = {
     if (bytes.isEmpty) return null
     val bb = ByteBuffer.wrap(bytes)
-    Array.fill(bytes.length / 8)(bb.getDouble)
+    bb.get()
+    Array.fill((bytes.length - 1) / 8)(bb.getDouble)
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): VectorSumAgg =

@@ -87,12 +87,6 @@ object CurationPack extends QueryPack {
   def oracles: Map[String, String] = {
     val toks = TextPack.toksSql("text")
     val stopHits = s"len(list_filter(toks, t -> t IN (${TextPack.stopwords.map(w => s"'$w'").mkString(", ")})))"
-    val h = graft.functions.Portable.hash32mSql("sh")
-    val mins = (1 to 16).map(i => s"MIN(${graft.functions.Portable.permuteSql("h", i)}) AS m$i")
-    val bandSelects = (0 until 4).map { b =>
-      val cols = (1 to 4).map(j => s"m${b * 4 + j}")
-      s"SELECT doc_id, $b AS band, concat_ws(':', ${cols.mkString(", ")}) AS bkey FROM sig"
-    }
     Map("q40_curation" ->
       s"""WITH docs AS ($withMutatedCopiesSql),
          |scored AS (
@@ -107,29 +101,9 @@ object CurationPack extends QueryPack {
          |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keeper
          |    FROM en) t
          |  WHERE doc_id = keeper),
-         |sh AS (
-         |  SELECT DISTINCT doc_id, unnest(
-         |    CASE WHEN len(toks) >= 3
-         |         THEN list_transform(generate_series(1, len(toks) - 2),
-         |                             i -> array_to_string(list_slice(toks, i, i + 2), ' '))
-         |         ELSE CAST([] AS VARCHAR[]) END) AS sh
-         |  FROM (SELECT doc_id, $toks AS toks FROM exact_keep)),
-         |hh AS (SELECT doc_id, sh, $h AS h FROM sh),
-         |sig AS (SELECT doc_id, ${mins.mkString(", ")} FROM hh GROUP BY doc_id),
-         |bands AS (${bandSelects.mkString("\nUNION ALL\n")}),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-         |         WHERE x.doc_id < y.doc_id),
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-         |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-         |           FROM cand c
-         |           JOIN sh sa ON sa.doc_id = c.doc_a
-         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-         |           GROUP BY 1, 2),
-         |neardup AS (SELECT DISTINCT doc_b FROM shared
-         |            JOIN counts ca ON ca.doc_id = doc_a
-         |            JOIN counts cb ON cb.doc_id = doc_b
-         |            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= $JaccardThreshold),
+         |sh AS (${DedupPack.shinglesSql("exact_keep")}),
+         |${DedupPack.minhashCandCtes()},
+         |${DedupPack.neardupRemovalCtes(JaccardThreshold)},
          |curated AS (SELECT * FROM exact_keep WHERE doc_id NOT IN (SELECT doc_b FROM neardup))
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,

@@ -66,8 +66,42 @@ object DedupPack extends QueryPack {
 
   // ---- DuckDB twins --------------------------------------------------------
 
+  /** CTE chain `hh, sig, bands, cand` (expects a CTE named `sh`):
+    * minhash signatures → LSH bands → candidate pairs. Shared by the q31
+    * oracle and the curation-pipeline oracle so the SQL can't desync. */
+  def minhashCandCtes(numHashes: Int = 16, bands: Int = 4): String = {
+    val h = Portable.hash32mSql("sh")
+    val r = numHashes / bands
+    val mins = (1 to numHashes).map(i => s"MIN(${Portable.permuteSql("h", i)}) AS m$i")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (1 to r).map(j => s"m${b * r + j}")
+      s"SELECT doc_id, $b AS band, concat_ws(':', ${cols.mkString(", ")}) AS bkey FROM sig"
+    }
+    s"""hh AS (SELECT doc_id, sh, $h AS h FROM sh),
+       |sig AS (SELECT doc_id, ${mins.mkString(", ")} FROM hh GROUP BY doc_id),
+       |bands AS (${bandSelects.mkString("\nUNION ALL\n")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+       |         WHERE x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** CTE chain `counts, shared, neardup` (expects `sh` and `cand`):
+    * Jaccard-verified removal list — the DISTINCT doc_b of every pair at or
+    * above the threshold. */
+  def neardupRemovalCtes(threshold: Double): String =
+    s"""counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+       |           FROM cand c
+       |           JOIN sh sa ON sa.doc_id = c.doc_a
+       |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |           GROUP BY 1, 2),
+       |neardup AS (SELECT DISTINCT doc_b FROM shared
+       |            JOIN counts ca ON ca.doc_id = doc_a
+       |            JOIN counts cb ON cb.doc_id = doc_b
+       |            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= $threshold)""".stripMargin
+
   /** Distinct word-3-gram shingles CTE body over docs(doc_id, text). */
-  private def shinglesSql(docsCte: String): String = {
+  def shinglesSql(docsCte: String): String = {
     val toks = TextPack.toksSql("text")
     s"""SELECT DISTINCT doc_id, unnest(
        |  CASE WHEN len(toks) >= 3
@@ -99,23 +133,11 @@ object DedupPack extends QueryPack {
          |       CAST(COUNT(*) AS BIGINT) AS n_copies
          |FROM docs GROUP BY 1 ORDER BY keeper""".stripMargin,
 
-    "q31_minhash_lsh" -> {
-      val h = Portable.hash32mSql("sh")
-      val mins = (1 to 16).map(i => s"MIN(${Portable.permuteSql("h", i)}) AS m$i")
-      val bandSelects = (0 until 4).map { b =>
-        val cols = (1 to 4).map(j => s"m${b * 4 + j}")
-        s"SELECT doc_id, $b AS band, concat_ws(':', ${cols.mkString(", ")}) AS bkey FROM sig"
-      }
+    "q31_minhash_lsh" ->
       s"""WITH docs AS (${withCopiesSql(2)}),
          |sh AS (${shinglesSql("docs")}),
-         |h AS (SELECT doc_id, sh, $h AS h FROM sh),
-         |sig AS (SELECT doc_id, ${mins.mkString(", ")} FROM h GROUP BY doc_id),
-         |bands AS (${bandSelects.mkString("\nUNION ALL\n")}),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
-         |         WHERE x.doc_id < y.doc_id),
-         |${jaccardTailSql(0.5)}""".stripMargin
-    },
+         |${minhashCandCtes()},
+         |${jaccardTailSql(0.5)}""".stripMargin,
 
     "q32_simhash" -> {
       val sums = (0 until 16).map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")

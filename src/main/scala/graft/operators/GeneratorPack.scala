@@ -28,7 +28,9 @@ object GeneratorPack extends QueryPack {
   val NumItems = 1500
   val K = 8
   val NumFeatures = 5000
-  val Range = 1000
+  /** Bucket width of the range layout — tied to SvmPack so the generated
+    * model and the trained-model export share one layout. */
+  val Range: Int = SvmPack.Range
 
   /** P8: ALS model rows for ids 1..nU (users) ∪ 1..nI (items). */
   def alsModel(spark: SparkSession, nUsers: Int, nItems: Int, k: Int): DataFrame = {
@@ -41,8 +43,8 @@ object GeneratorPack extends QueryPack {
   }
 
   /** P9: SVM weights for features 1..n — exactly-50% structural zeros
-    * (even LCG draw → 0) else uniform(-10,10), bucketed by idx/range. */
-  def svmModel(spark: SparkSession, nFeatures: Int, range: Int): DataFrame =
+    * (even LCG draw → 0) else uniform(-10,10). */
+  def svmModel(spark: SparkSession, nFeatures: Int): DataFrame =
     Tables.idRange(spark, nFeatures)
       .select(col("id").as("feature_id"),
         when(Portable.lcg(col("id"), 3) % 2 === 0, 0.0)
@@ -57,16 +59,14 @@ object GeneratorPack extends QueryPack {
         .orderBy("kind", "id")
     }),
 
-    // Generated SVM model in the range-partitioned export layout (A2/P7).
+    // Generated SVM model in the range-partitioned export layout — the
+    // same bucketOf/payloadExpr as the q05 layout, so the formats can't
+    // drift apart.
     "q19_svm_generator" -> ((s, _) => {
-      svmModel(s, NumFeatures, Range)
-        .groupBy((col("feature_id").cast("long") / Range).cast("long").as("bucket"))
+      svmModel(s, NumFeatures)
+        .groupBy(SvmPack.bucketOf(col("feature_id")).as("bucket"))
         .agg(
-          concat_ws(";",
-            transform(
-              array_sort(collect_list(struct(col("feature_id"), col("w")))),
-              e => concat_ws(":", e.getField("feature_id"),
-                format_string("%.6f", e.getField("w"))))).as("payload"),
+          SvmPack.payloadExpr.as("payload"),
           sum(when(col("w") === 0.0, 1).otherwise(0)).cast("long").as("n_zero"),
           count(lit(1)).as("n_features"))
         .orderBy("bucket")

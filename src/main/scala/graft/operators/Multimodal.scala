@@ -49,12 +49,12 @@ object Multimodal {
   def heightOf(docId: Long): Int = 16 + ((docId * 7) % 32).toInt
   def channelsOf(docId: Long): Int = if (docId % 3 == 0) 3 else 1
 
-  /** Media ingest: documents → (doc_id, kind, data BINARY). Deterministic,
-    * so every downstream operator has an exact arithmetic oracle. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    Tables.table(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
+  /** Media ingest from any (doc_id, text) frame → (doc_id, kind, data
+    * BINARY). Deterministic, so every downstream operator has an exact
+    * arithmetic oracle. */
+  def mediaFrom(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val payload = text.getBytes(StandardCharsets.UTF_8)
@@ -65,6 +65,10 @@ object Multimodal {
         MediaRow(id, kindOf(id), header ++ payload)
       })
   }
+
+  /** Media ingest of the driver documents table. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaFrom(Tables.table(spark, dir, "documents"))
 
   /** The REAL codec boundary — wire an actual decoder (libjpeg/ffmpeg/…)
     * here when the runtime has one. Deliberately unimplemented in this

@@ -35,10 +35,15 @@ object MultimodalPack extends QueryPack {
     }),
 
     // Feature extraction: 16-bin byte histogram for a doc sample, exploded
-    // to (doc_id, bin, n) rows.
+    // to (doc_id, bin, n) rows. The oracle counts CHARACTERS via ascii(),
+    // which only equals byte counts for ASCII text — so the ASCII subset is
+    // selected explicitly on BOTH sides (a non-ASCII doc in future fixtures
+    // must not silently diverge; it is excluded, not miscounted).
     "q28_byte_histogram" -> ((s, dir) => {
-      byteHistogram(decode(mediaTable(s, dir)))
+      val asciiDocs = graft.sources.Tables.table(s, dir, "documents")
         .filter(col("doc_id") % 25 === 0)
+        .filter(length(col("text")) === octet_length(col("text")))
+      byteHistogram(decode(mediaFrom(asciiDocs)))
         .select(col("doc_id"), posexplode(col("hist")).as(Seq("bin", "n")))
         .filter(col("n") > 0)
         .orderBy("doc_id", "bin")
@@ -70,13 +75,15 @@ object MultimodalPack extends QueryPack {
          |  CAST(CASE WHEN octet_length(encode(text)) % $FrameBytes = 0
          |            THEN $FrameBytes ELSE octet_length(encode(text)) % $FrameBytes
          |       END AS BIGINT) AS min_frame
-         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+         |FROM documents
+         |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "q28_byte_histogram" ->
       s"""WITH bytes AS (
          |  SELECT doc_id, ascii(substring(text, CAST(pos AS INT), 1)) // 16 AS bin
          |  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS pos)
-         |  WHERE doc_id % 25 = 0)
+         |  WHERE doc_id % 25 = 0 AND length(text) = octet_length(encode(text)))
          |SELECT doc_id, CAST(bin AS INT) AS bin, CAST(COUNT(*) AS BIGINT) AS n
          |FROM bytes GROUP BY doc_id, bin ORDER BY doc_id, bin""".stripMargin,
 

@@ -45,13 +45,18 @@ object ScaleJoins {
       .saveAsTable(table)
 
   /** Null-safe skew diagnosis: rows per key, top-n heaviest keys with
-    * their share of the total — the decision input for salt sizing. */
+    * their share of the total — the decision input for salt sizing. The
+    * grand total is a scalar aggregate cross-joined back in (an
+    * unpartitioned window would funnel every per-key count through one
+    * task — the exact pathology this profiler exists to diagnose). */
   def skewProfile(df: DataFrame, key: Column, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("n"))
-    val total = sum(col("n")).over()
+    val total = counts.agg(sum(col("n")).as("_total"))
     counts
-      .select(col("key"), col("n"), round(col("n") / total, 6).as("share"))
       .orderBy(col("n").desc, col("key"))
       .limit(topN)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("n"), round(col("n") / col("_total"), 6).as("share"))
+      .orderBy(col("n").desc, col("key"))
   }
 }

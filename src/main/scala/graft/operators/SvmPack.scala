@@ -36,6 +36,16 @@ object SvmPack extends QueryPack {
   def bucketOf(featureId: Column): Column =
     (featureId.cast("long") / Range).cast("long")
 
+  /** A2 payload: "idx:w;idx:w;…" sorted by feature id, %.6f weights —
+    * shared by the q05 layout and the q19 generated-model layout. */
+  def payloadExpr: Column =
+    concat_ws(";",
+      transform(
+        array_sort(collect_list(struct(col("feature_id"), col("w")))),
+        e => concat_ws(":",
+          e.getField("feature_id"),
+          format_string("%.6f", e.getField("w")))))
+
   /** Load the range-partitioned export ("bucket,idx:w;…" payload rows,
     * the q05 layout) into a bucket-keyed serving store: key "bucket-B",
     * value = range-sized array with weights at `idx % range` offsets —
@@ -64,14 +74,7 @@ object SvmPack extends QueryPack {
     "q05_range_partition" -> ((s, dir) => {
       weights(s, dir)
         .groupBy(bucketOf(col("feature_id")).as("bucket"))
-        .agg(
-          concat_ws(";",
-            transform(
-              array_sort(collect_list(struct(col("feature_id"), col("w")))),
-              e => concat_ws(":",
-                e.getField("feature_id"),
-                format_string("%.6f", e.getField("w"))))).as("payload"),
-          count(lit(1)).as("n_features"))
+        .agg(payloadExpr.as("payload"), count(lit(1)).as("n_features"))
         .orderBy("bucket")
     }),
 

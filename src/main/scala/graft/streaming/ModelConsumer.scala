@@ -32,7 +32,9 @@ object ModelConsumer {
   /** Parse a raw record stream into (key, seq, factors). For Kafka pass
     * seqCol="offset" so within-batch order per key is the log order — the
     * same guarantee Flink gets from per-partition FIFO. Sources without an
-    * offset get seq=0: arrival (batch) order wins, later batches overwrite. */
+    * offset get seq=0: later BATCHES overwrite earlier ones, but the winner
+    * among same-key records WITHIN one batch is undefined (no source order
+    * exists to honor) — same as the reference under cross-partition reads. */
   def parse(lines: DataFrame, seqCol: Option[String] = None): DataFrame = {
     val withSeq = seqCol match {
       case Some(c) => lines.withColumn("seq", col(c).cast("long"))
@@ -44,22 +46,24 @@ object ModelConsumer {
       ModelCodec.parseFactors(col("value")).as("factors"))
   }
 
-  /** Latest-record-wins per key across micro-batches; emits a key only in
-    * batches where it changed. State size = O(distinct keys), plan = one
-    * hash shuffle on key per batch. */
+  /** Latest-record-wins per key across micro-batches; emits a key ONLY in
+    * batches where its state actually changed (flatMap — stale replays
+    * emit nothing, so the foreachBatch upsert really is a delta). State
+    * size = O(distinct keys), plan = one hash shuffle on key per batch. */
   def latestPerKey(spark: SparkSession, parsed: DataFrame): Dataset[KeyedRecord] = {
     import spark.implicits._
     parsed.as[KeyedRecord]
       .groupByKey(_.key)
-      .mapGroupsWithState[KeyedState, KeyedRecord](GroupStateTimeout.NoTimeout) {
-        (key: String, records: Iterator[KeyedRecord], state: GroupState[KeyedState]) =>
+      .flatMapGroupsWithState[KeyedState, KeyedRecord](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: String, records: Iterator[KeyedRecord], state: GroupState[KeyedState]) =>
           val incoming = records.maxBy(_.seq)
           val cur = state.getOption
           if (cur.forall(_.seq <= incoming.seq)) {
             state.update(KeyedState(incoming.seq, incoming.factors))
-            incoming
+            Iterator.single(incoming)
           } else {
-            KeyedRecord(key, cur.get.seq, cur.get.factors)
+            Iterator.empty
           }
       }
   }

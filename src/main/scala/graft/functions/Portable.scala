@@ -21,15 +21,18 @@ object Portable {
   val M: Long = 2147483647L
 
   // ---- LCG pseudo-random in [0, M) / [0, 1) ------------------------------
+  // The id is reduced mod M BEFORE the multiply: (M-1) * 1103515245 ≈ 2.4e18
+  // stays inside signed 64-bit, so ids beyond ~8.4e9 (SF-100k key ranges)
+  // neither wrap silently in Spark nor overflow-abort in DuckDB.
 
   def lcg(id: Column, j: Int): Column =
-    (id.cast("long") * lit(1103515245L) + lit(12345L * j)) % lit(M)
+    ((id.cast("long") % lit(M)) * lit(1103515245L) + lit(12345L * j)) % lit(M)
 
   def lcgUnit(id: Column, j: Int): Column =
     lcg(id, j).cast("double") / lit(M.toDouble)
 
   def lcgSql(id: String, j: Int): String =
-    s"((CAST($id AS BIGINT) * 1103515245 + ${12345L * j}) % $M)"
+    s"(((CAST($id AS BIGINT) % $M) * 1103515245 + ${12345L * j}) % $M)"
 
   def lcgUnitSql(id: String, j: Int): String =
     s"(CAST(${lcgSql(id, j)} AS DOUBLE) / $M.0)"

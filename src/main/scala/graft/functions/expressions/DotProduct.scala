@@ -48,7 +48,13 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      // a null element nulls the whole product — matches the composed
+      // zip_with/aggregate form (null * x = null, acc + null = null)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -61,6 +67,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $acc;

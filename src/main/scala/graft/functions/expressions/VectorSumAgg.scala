@@ -48,6 +48,10 @@ case class VectorSumAgg(
     if (v == null) return buffer
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // SQL-sum convention: a row whose array contains any null element is
+    // skipped whole (never silently counted as zeros)
+    var j = 0
+    while (j < n) { if (arr.isNullAt(j)) return buffer; j += 1 }
     if (buffer == null) {
       val fresh = new Array[Double](n)
       var i = 0

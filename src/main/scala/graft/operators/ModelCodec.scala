@@ -25,17 +25,31 @@ object ModelCodec extends QueryPack {
     concat_ws(",", id, kind,
       concat_ws(";", transform(factors, f => format_string("%.6f", f))))
 
-  /** P2/P3: record string -> (id, kind, factors). */
-  def parseId(rec: Column): Column = split(rec, ",").getItem(0).cast("long")
-  def parseKind(rec: Column): Column = split(rec, ",").getItem(1)
+  /** P2/P3: record string -> (id, kind, factors). try_element_at/try_cast
+    * throughout: a truncated or non-numeric wire record parses to nulls
+    * (dropped downstream) instead of throwing under ANSI mode — one poison
+    * record must not kill a streaming consumer. */
+  def parseId(rec: Column): Column =
+    try_element_at(split(rec, ","), lit(1)).try_cast("long")
+  def parseKind(rec: Column): Column =
+    try_element_at(split(rec, ","), lit(2))
   def parseFactors(rec: Column): Column =
-    transform(split(split(rec, ",").getItem(2), ";"), s => s.cast("double"))
+    transform(split(try_element_at(split(rec, ","), lit(3)), ";"),
+      s => s.try_cast("double"))
 
   /** P4: state key "id-KIND" (ALSKafkaConsumer.java:78-80). Uses the RAW
     * id field, not the numeric parse — the mean rows are keyed "MEAN-U" /
     * "MEAN-I" (ALSMeanVector.scala:35, SGD.java:142-147) and must survive. */
   def stateKey(rec: Column): Column =
-    concat_ws("-", split(rec, ",").getItem(0), parseKind(rec))
+    concat_ws("-", try_element_at(split(rec, ","), lit(1)), parseKind(rec))
+
+  /** Null-safe parse of "user,item,rating" lines (the SGD/MSE wire input,
+    * SGD.java:96-110): malformed fields become nulls and the row is
+    * dropped — a poison record must not kill a streaming query. */
+  def parseRatingLines(lines: Column): Seq[Column] = Seq(
+    try_element_at(split(lines, ","), lit(1)).try_cast("long").as("user_id"),
+    try_element_at(split(lines, ","), lit(2)).try_cast("long").as("item_id"),
+    try_element_at(split(lines, ","), lit(3)).try_cast("double").as("rating"))
 
   // ---- driver-contract queries -------------------------------------------
 

@@ -20,9 +20,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object KafkaIO {
 
-  /** S8: subscribe to a topic as (value STRING, offset LONG) — the offset
-    * feeds ModelConsumer.parse(seqCol) so within-batch per-key order is the
-    * log order. */
+  /** S8: subscribe to a topic as (value STRING, offset LONG, partition
+    * INT).
+    *
+    * ORDERING CONTRACT: the offset is monotonic only WITHIN a partition, so
+    * using it as the per-key seq (ModelConsumer.parse(seqCol)) is correct
+    * only when the producer keys records by state key — every record of a
+    * key then lands in one partition (the standard layout for a compacted
+    * model topic, and the same per-partition-FIFO guarantee the reference
+    * consumer relies on). With an unkeyed producer a key's records span
+    * partitions with incomparable offsets — pass seqCol=None and accept
+    * batch-order semantics instead. */
   def readRecords(spark: SparkSession, bootstrap: String, topic: String,
                   startingOffsets: String = "earliest"): DataFrame =
     spark.readStream
@@ -32,7 +40,8 @@ object KafkaIO {
       .option("startingOffsets", startingOffsets)
       .load()
       .select(col("value").cast("string").as("value"),
-        col("offset").cast("long").as("offset"))
+        col("offset").cast("long").as("offset"),
+        col("partition").cast("int").as("partition"))
 
   /** S9: publish encoded records to a topic, at-least-once, checkpointed —
     * the Spark face of writeToKafkaWithTimestamps + flush-on-checkpoint. */

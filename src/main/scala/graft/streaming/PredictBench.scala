@@ -87,20 +87,28 @@ object PredictBench {
     }
   }
 
-  /** S12: the reference clients' per-query latency CSV. */
+  /** S12: the reference clients' per-query latency CSV. Locale.ROOT keeps
+    * the decimal separator a dot regardless of the JVM default (a
+    * comma-decimal locale would corrupt the CSV). */
   def writeCsv(path: String, stats: Seq[QueryStat]): Unit = {
     val w = new BufferedWriter(new FileWriter(path))
     try {
       w.write("query_id,lookups,found,prediction,latency_micros\n")
       stats.foreach { s =>
-        w.write(f"${s.queryId},${s.lookups},${s.found},${s.prediction}%.6f,${s.latencyMicros}%.1f\n")
+        w.write(String.format(java.util.Locale.ROOT, "%d,%d,%b,%.6f,%.1f%n",
+          Int.box(s.queryId), Int.box(s.lookups), Boolean.box(s.found),
+          Double.box(s.prediction), Double.box(s.latencyMicros)))
       }
     } finally w.close()
   }
 
   def summary(stats: Seq[QueryStat]): String = {
+    if (stats.isEmpty) return """{"queries":0,"found":0,"p50_us":0.0,"p99_us":0.0}"""
     val l = stats.map(_.latencyMicros).sorted
     val p = (q: Double) => l(math.min(l.size - 1, (q * l.size).toInt))
-    f"""{"queries":${l.size},"found":${stats.count(_.found)},"p50_us":${p(0.5)}%.1f,"p99_us":${p(0.99)}%.1f}"""
+    String.format(java.util.Locale.ROOT,
+      """{"queries":%d,"found":%d,"p50_us":%.1f,"p99_us":%.1f}""",
+      Int.box(l.size), Int.box(stats.count(_.found)),
+      Double.box(p(0.5)), Double.box(p(0.99)))
   }
 }

@@ -54,11 +54,31 @@ object ServingStore {
   /** Upsert a micro-batch of (key STRING, factors ARRAY<DOUBLE>) rows.
     * The batch is already compacted to one row per key by the consumer, so
     * the collect here moves only |updated keys| rows to the store — never
-    * the stream itself. */
+    * the stream itself. Rows with a null key or null factors (malformed
+    * wire records) are skipped: one poison record must not kill the
+    * streaming query, and at-least-once replay would re-deliver it. */
   def upsertBatch(store: FactorStore, batch: DataFrame): Unit =
     batch.select("key", "factors").collect().foreach { r: Row =>
-      store.put(r.getString(0), r.getSeq[Double](1).toArray)
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        store.put(r.getString(0), r.getSeq[Double](1).toArray)
+      }
     }
+
+  /** The store's state split into the two relational factor tables —
+    * (user_id, uf) and (item_id, itf); non-numeric keys (the MEAN rows)
+    * are excluded. The single place that knows the "id-KIND" key format
+    * on the read side. */
+  def factorFrames(spark: org.apache.spark.sql.SparkSession,
+                   store: FactorStore): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions._
+    val snap = snapshotDF(spark, store)
+    def side(kind: String, idCol: String, vecCol: String) =
+      snap.filter(col("key").endsWith(s"-$kind"))
+        .select(split(col("key"), "-").getItem(0).try_cast("long").as(idCol),
+          col("factors").as(vecCol))
+        .filter(col(idCol).isNotNull)
+    (side("U", "user_id", "uf"), side("I", "item_id", "itf"))
+  }
 
   /** The store's state as a DataFrame — the relational face of the served
     * model, so predict paths can run as joins (SURVEY.md §2.3 J1). */

@@ -50,14 +50,13 @@ object SgdUpdater {
   private def meanCol(m: Option[Array[Double]]) =
     m.map(v => array(v.toSeq.map(lit): _*))
 
-  private def gradStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
-                       lr: Double, lambda: Double,
-                       keyCol: String, vecCol: String, otherVecCol: String,
-                       meanU: Option[Array[Double]],
-                       meanI: Option[Array[Double]]): DataFrame = {
-    // With mean vectors present, missing keys fall back to the served MEAN
-    // rows instead of dropping the rating — the reference's orElse(MEAN)
-    // (SGD.java:142-147,227); without them the joins stay inner.
+  /** The scored batch: ratings joined with both factor sides + err. With
+    * mean vectors present, missing keys fall back to the served MEAN rows
+    * instead of dropping the rating — the reference's orElse(MEAN)
+    * (SGD.java:142-147,227); without them the joins stay inner. */
+  def scoredBatch(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
+                  meanU: Option[Array[Double]],
+                  meanI: Option[Array[Double]]): DataFrame = {
     def side(df: DataFrame, key: String, vec: String,
              mean: Option[Array[Double]])(base: DataFrame): DataFrame =
       mean match {
@@ -65,9 +64,26 @@ object SgdUpdater {
           .withColumn(vec, coalesce(col(vec), array(m.toSeq.map(lit): _*)))
         case None => base.join(broadcast(df), key)
       }
-    val scored = side(itemF, "item_id", "itf", meanI)(
+    side(itemF, "item_id", "itf", meanI)(
       side(userF, "user_id", "uf", meanU)(ratings))
       .withColumn("err", col("rating") - dot(col("uf"), col("itf")))
+  }
+
+  private def gradStep(ratings: DataFrame, userF: DataFrame, itemF: DataFrame,
+                       lr: Double, lambda: Double,
+                       keyCol: String, vecCol: String, otherVecCol: String,
+                       meanU: Option[Array[Double]],
+                       meanI: Option[Array[Double]]): DataFrame =
+    gradFromScored(scoredBatch(ratings, userF, itemF, meanU, meanI),
+      userF, itemF, lr, lambda, keyCol, vecCol, otherVecCol,
+      if (keyCol == "user_id") meanU else meanI)
+
+  /** Gradient + update from an already-scored batch (so the two sides can
+    * share one scored join — see [[updateLoop]]). */
+  private def gradFromScored(scored: DataFrame, userF: DataFrame,
+                             itemF: DataFrame, lr: Double, lambda: Double,
+                             keyCol: String, vecCol: String, otherVecCol: String,
+                             thisMean: Option[Array[Double]]): DataFrame = {
     // Σ err·other per key in ONE aggregation: the graft_vecsum
     // TypedImperativeAggregate keeps a mutable k-dim buffer per key with
     // map-side combine — no posexplode row blow-up, no second shuffle.
@@ -78,8 +94,7 @@ object SgdUpdater {
     // u' = u + lr*(grad − λ·u); a key absent from the model starts from the
     // MEAN vector (cold-start onboarding, SGD.java:219-234)
     val cur = if (keyCol == "user_id") userF else itemF
-    val thisMean = meanCol(if (keyCol == "user_id") meanU else meanI)
-    val joined = thisMean match {
+    val joined = meanCol(thisMean) match {
       case Some(m) => grads.join(broadcast(cur), Seq(keyCol), "left_outer")
         .withColumn(vecCol, coalesce(col(vecCol), m))
       case None => cur.join(grads, keyCol)
@@ -99,28 +114,29 @@ object SgdUpdater {
     val w = ratingLines.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val s = batch.sparkSession
-        val ratings = batch.select(
-          split(col("value"), ",").getItem(0).cast("long").as("user_id"),
-          split(col("value"), ",").getItem(1).cast("long").as("item_id"),
-          split(col("value"), ",").getItem(2).cast("double").as("rating"))
+        // null-safe parse + drop malformed rows: a poison record must not
+        // produce a null state key (TrieMap.put(null) would kill the query)
+        val ratings = batch
+          .select(graft.operators.ModelCodec.parseRatingLines(col("value")): _*)
+          .filter(col("user_id").isNotNull && col("item_id").isNotNull
+            && col("rating").isNotNull)
         // served MEAN rows (ALSMeanVector output) drive the missing-key
         // fallback; they are excluded from the factor tables themselves
         val meanU = store.get("MEAN-U")
         val meanI = store.get("MEAN-I")
-        val snap = ServingStore.snapshotDF(s, store)
-        val userF = snap.filter(col("key").endsWith("-U"))
-          .select(split(col("key"), "-").getItem(0).try_cast("long").as("user_id"),
-            col("factors").as("uf"))
-          .filter(col("user_id").isNotNull)
-        val itemF = snap.filter(col("key").endsWith("-I"))
-          .select(split(col("key"), "-").getItem(0).try_cast("long").as("item_id"),
-            col("factors").as("itf"))
-          .filter(col("item_id").isNotNull)
-        val newU = userStep(ratings, userF, itemF, lr, lambda, meanU, meanI)
-          .select(concat(col("user_id"), lit("-U")).as("key"), col("uf").as("factors"))
-        val newI = itemStep(ratings, userF, itemF, lr, lambda, meanU, meanI)
-          .select(concat(col("item_id"), lit("-I")).as("key"), col("itf").as("factors"))
-        ServingStore.upsertBatch(store, newU.unionAll(newI))
+        val (userF, itemF) = ServingStore.factorFrames(s, store)
+        // one scored join per batch, shared by both gradient sides
+        val scored = scoredBatch(ratings, userF, itemF, meanU, meanI)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val newU = gradFromScored(scored, userF, itemF, lr, lambda,
+            "user_id", "uf", "itf", meanU)
+            .select(concat(col("user_id"), lit("-U")).as("key"), col("uf").as("factors"))
+          val newI = gradFromScored(scored, userF, itemF, lr, lambda,
+            "item_id", "itf", "uf", meanI)
+            .select(concat(col("item_id"), lit("-I")).as("key"), col("itf").as("factors"))
+          ServingStore.upsertBatch(store, newU.unionAll(newI))
+        } finally scored.unpersist()
       }
     checkpointDir.fold(w)(d => w.option("checkpointLocation", d)).start()
   }

@@ -23,18 +23,13 @@ object StreamingEvaluator {
     ratingLines.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
-        val ratings = batch.select(
-          split(col("value"), ",").getItem(0).cast("long").as("user_id"),
-          split(col("value"), ",").getItem(1).cast("long").as("item_id"),
-          split(col("value"), ",").getItem(2).cast("double").as("rating"))
-        val snap = ServingStore.snapshotDF(s, store)
-        def side(kind: String, idCol: String, vecCol: String) =
-          snap.filter(col("key").endsWith(s"-$kind"))
-            .select(split(col("key"), "-").getItem(0).try_cast("long").as(idCol),
-              col("factors").as(vecCol))
-            .filter(col(idCol).isNotNull)
-        val userF = side("U", "user_id", "uf")
-        val itemF = side("I", "item_id", "itf")
+        // malformed rows are dropped BEFORE scoring so the reported (mse, n)
+        // are computed over the same row set
+        val ratings = batch
+          .select(graft.operators.ModelCodec.parseRatingLines(col("value")): _*)
+          .filter(col("user_id").isNotNull && col("item_id").isNotNull
+            && col("rating").isNotNull)
+        val (userF, itemF) = ServingStore.factorFrames(s, store)
         val preds = (store.get("MEAN-U"), store.get("MEAN-I")) match {
           case (Some(mu), Some(mi)) =>
             AlsScoring.predictionsWithFallback(ratings, userF, itemF,

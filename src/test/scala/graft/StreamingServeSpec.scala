@@ -123,6 +123,37 @@ class StreamingServeSpec extends SparkSpec {
     assert(math.abs(mse - 1.0) < 1e-9)
   }
 
+  test("poison records do not kill the serve or SGD queries") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = ServingStore.factorStore()
+    store.put("MEAN-U", Array(0.5, 0.5))
+    store.put("MEAN-I", Array(0.5, 0.5))
+    val in = MemoryStream[String]
+    val q = ModelConsumer.serveTo(spark, in.toDF(), store)
+    try {
+      in.addData("5,U", "garbage", rec(1, "U", 0.1, 0.2))
+      q.processAllAvailable() // truncated + garbage records skipped
+      assert(store.get("1-U").get.toSeq === Seq(0.1, 0.2))
+    } finally q.stop()
+
+    val rIn = MemoryStream[String]
+    val sgd = SgdUpdater.updateLoop(spark, rIn.toDF(), store, lr = 0.1)
+    try {
+      rIn.addData("abc,2,3.0", "1,2,notanumber", "3,4,2.0")
+      sgd.processAllAvailable() // malformed rating lines dropped
+      assert(store.get("3-U").isDefined, "valid row must still update")
+      assert(store.get("abc-U").isEmpty)
+    } finally sgd.stop()
+  }
+
+  test("LCG stays in range for ids beyond 2^33 (SF-100k key space)") {
+    import graft.functions.Portable
+    val big = Seq(15000000000L, 8400000001L, Long.MaxValue / 2).toDF("id")
+    val vals = big.select(Portable.lcgUnit(col("id"), 1).as("u"))
+      .as[Double].collect()
+    vals.foreach(u => assert(u >= 0.0 && u < 1.0, s"lcgUnit out of range: $u"))
+  }
+
   test("SGD feedback loop through the store decreases MSE") {
     implicit val sqlCtx = spark.sqlContext
     val store = ServingStore.factorStore()

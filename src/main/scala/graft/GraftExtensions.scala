@@ -56,5 +56,8 @@ object GraftExtensions {
         registry.registerFunction(ident, info, builder)
       }
     }
+    // session conf the engine's sources rely on (documented at the reader):
+    // the driver events table carries TIMESTAMP(NANOS)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

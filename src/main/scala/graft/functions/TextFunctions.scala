@@ -47,4 +47,40 @@ object TextFunctions {
     * prefix; see Portable.hash32). */
   def fingerprint(text: Column): Column =
     Portable.hash32(normalize(text))
+
+  /** Average token length; null for token-less docs (the zero-token guard
+    * matters: ANSI mode turns the division into a runtime error). */
+  def avgTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(null).cast("double"))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / size(toks))
+  }
+
+  /** Stopword ratio; null for token-less docs. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(null).cast("double"))
+      .otherwise(vocabHits(toks, stopwords).cast("double") / size(toks))
+  }
+
+  /** The quality score (length/stopword/token-shape linear blend) shared by
+    * the quality query and the curation pipeline — ONE definition so the
+    * two can't silently drift. Token-less docs score 0.0. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      least(size(toks) / 100.0, lit(1.0)) * 0.5
+        + stopwordRatio(text, stopwords) * 0.3
+        + least(avgTokenLength(text) / 10.0, lit(1.0)) * 0.2)
+  }
+
+  /** DuckDB twin of [[qualityScore]] over a `toks` list column + `text`. */
+  def qualityScoreSql(stopwords: Seq[String]): String = {
+    val hits = s"len(list_filter(toks, t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")})))"
+    s"""CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |least(len(toks) / 100.0, 1.0) * 0.5
+       |  + (CAST($hits AS DOUBLE) / len(toks)) * 0.3
+       |  + least((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)) / 10.0, 1.0) * 0.2
+       |END""".stripMargin
+  }
 }

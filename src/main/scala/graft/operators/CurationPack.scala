@@ -42,21 +42,15 @@ object CurationPack extends QueryPack {
        |SELECT doc_id + $MutOffset AS doc_id, text || ' zzz' AS text, source
        |FROM documents WHERE doc_id % 4 = 0""".stripMargin
 
-  /** The quality score of q21 as a column over (text). */
-  private def quality(text: org.apache.spark.sql.Column) = {
-    val toks = T.tokens(text)
-    val stopRatio = T.vocabHits(toks, TextPack.stopwords).cast("double") / size(toks)
-    val avgTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / size(toks)
-    least(size(toks) / 100.0, lit(1.0)) * 0.5 +
-      stopRatio * 0.3 + least(avgTokLen / 10.0, lit(1.0)) * 0.2
-  }
-
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_curation" -> ((s, dir) => {
       val docs = withMutatedCopies(s, dir)
-      // stage 1+2: language + quality floor (scan-stage predicates)
+      // stage 1+2: language + quality floor (scan-stage predicates; the
+      // score is the SAME TextFunctions.qualityScore q21 reports — and it
+      // guards zero-token docs, which a curation pipeline must filter,
+      // not crash on)
       val en = docs.filter(col("source").isNotNull)
-        .withColumn("q", quality(col("text")))
+        .withColumn("q", T.qualityScore(col("text"), TextPack.stopwords))
         .filter(col("q") >= QualityFloor)
       // stage 3: exact dedup — keep the min doc_id per normalized content
       // persisted: the LSH pipeline + anti-join + stats all re-read this
@@ -86,14 +80,11 @@ object CurationPack extends QueryPack {
 
   def oracles: Map[String, String] = {
     val toks = TextPack.toksSql("text")
-    val stopHits = s"len(list_filter(toks, t -> t IN (${TextPack.stopwords.map(w => s"'$w'").mkString(", ")})))"
     Map("q40_curation" ->
       s"""WITH docs AS ($withMutatedCopiesSql),
          |scored AS (
          |  SELECT doc_id, text, source,
-         |         least(len(toks) / 100.0, 1.0) * 0.5
-         |           + (CAST($stopHits AS DOUBLE) / len(toks)) * 0.3
-         |           + least((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)) / 10.0, 1.0) * 0.2 AS q
+         |         ${graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords)} AS q
          |  FROM (SELECT doc_id, text, source, $toks AS toks FROM docs)),
          |en AS (SELECT * FROM scored WHERE source IS NOT NULL AND q >= $QualityFloor),
          |exact_keep AS (

@@ -85,16 +85,22 @@ object DedupPack extends QueryPack {
        |         WHERE x.doc_id < y.doc_id)""".stripMargin
   }
 
-  /** CTE chain `counts, shared, neardup` (expects `sh` and `cand`):
-    * Jaccard-verified removal list — the DISTINCT doc_b of every pair at or
-    * above the threshold. */
-  def neardupRemovalCtes(threshold: Double): String =
+  /** CTE pair `counts, shared` (expects `sh` and `cand`) — the single
+    * definition of per-doc shingle counts and shared-shingle counts that
+    * every Jaccard tail builds on (q31, q33, the curation oracle). */
+  def countsSharedCtes: String =
     s"""counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
        |           FROM cand c
        |           JOIN sh sa ON sa.doc_id = c.doc_a
        |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-       |           GROUP BY 1, 2),
+       |           GROUP BY 1, 2)""".stripMargin
+
+  /** CTE chain `counts, shared, neardup` (expects `sh` and `cand`):
+    * Jaccard-verified removal list — the DISTINCT doc_b of every pair at or
+    * above the threshold. */
+  def neardupRemovalCtes(threshold: Double): String =
+    s"""$countsSharedCtes,
        |neardup AS (SELECT DISTINCT doc_b FROM shared
        |            JOIN counts ca ON ca.doc_id = doc_a
        |            JOIN counts cb ON cb.doc_id = doc_b
@@ -112,12 +118,7 @@ object DedupPack extends QueryPack {
   }
 
   private def jaccardTailSql(threshold: Double, extraCols: String = ""): String =
-    s"""counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-       |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
-       |           FROM cand c
-       |           JOIN sh sa ON sa.doc_id = c.doc_a
-       |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-       |           GROUP BY 1, 2),
+    s"""$countsSharedCtes,
        |j AS (SELECT doc_a, doc_b, n_shared,
        |             CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) AS jaccard
        |      FROM shared JOIN counts ca ON ca.doc_id = doc_a

@@ -26,12 +26,20 @@ object ScaleJoins {
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // deterministic salt from the row content keeps retries idempotent
-    val salted = fact.withColumn("_salt",
-      pmod(hash(struct(fact.columns.map(col).toSeq: _*)), lit(salt)))
-    val replicated = dim.withColumn("_salt",
+    val saltCol = "__graft_salt"
+    require(!fact.columns.contains(saltCol) && !dim.columns.contains(saltCol),
+      s"inputs must not already have a $saltCol column")
+    // deterministic salt from the row content keeps retries idempotent;
+    // map columns are unhashable in Spark, so salt from the rest (the key
+    // itself is always hashable and always included)
+    val hashCols = fact.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val salted = fact.withColumn(saltCol,
+      pmod(hash(struct(hashCols: _*)), lit(salt)))
+    val replicated = dim.withColumn(saltCol,
       explode(sequence(lit(0), lit(salt - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 
   /** Write `df` bucketed+sorted by `key` into the session catalog as

@@ -41,10 +41,14 @@ object Similarity {
       toDoubleArray(col(vecCol)).as(s"vec$suffix"),
       sqNorm(toDoubleArray(col(vecCol))).as(s"n2$suffix"))
 
-  /** Cosine from precomputed sides — one dot per pair. */
-  private def pairSim(sa: String, sb: String) =
-    round(dot(col(s"vec$sa"), col(s"vec$sb")) /
-      (sqrt(col(s"n2$sa")) * sqrt(col(s"n2$sb"))), 4)
+  /** Cosine from precomputed sides — one dot per pair. A zero-norm vector
+    * has no defined cosine: null (ranked last, never "similar") instead of
+    * an ANSI division error killing the scan. */
+  private def pairSim(sa: String, sb: String) = {
+    val denom = sqrt(col(s"n2$sa")) * sqrt(col(s"n2$sb"))
+    round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(col(s"vec$sa"), col(s"vec$sb")) / denom), 4)
+  }
 
   /** Exact top-k neighbors per query by cosine similarity. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

@@ -60,11 +60,13 @@ object SimilarityPack extends QueryPack {
 
   // ---- DuckDB twins --------------------------------------------------------
 
-  /** Rounded cosine between two embedding list columns (FLOAT[] → DOUBLE). */
+  /** Rounded cosine between two embedding list columns (FLOAT[] → DOUBLE);
+    * zero-norm vectors yield NULL like the engine's pairSim guard. */
   private def cosSql(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"ROUND(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})), 4)"
+    val denom = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"ROUND(CASE WHEN $denom = 0.0 THEN NULL ELSE ${dot(a, b)} / $denom END, 4)"
   }
 
   def oracles: Map[String, String] = Map(

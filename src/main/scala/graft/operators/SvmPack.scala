@@ -32,9 +32,12 @@ object SvmPack extends QueryPack {
   def weightsSql: String =
     s"SELECT p_partkey AS feature_id, (${Portable.lcgUnitSql("p_partkey", 1)} * 20.0 - 10.0) AS w FROM part"
 
-  /** P7 bucket assignment: featureId / range, integer division. */
+  /** P7 bucket assignment: featureId / range, true integer division (the
+    * `div` operator — a double-division round trip would lose exactness
+    * past 2^53, mis-bucketing hashed feature ids at the 100 TB scale).
+    * Feature ids are 1-based positive per the reference's layout. */
   def bucketOf(featureId: Column): Column =
-    (featureId.cast("long") / Range).cast("long")
+    call_function("div", featureId.cast("long"), lit(Range.toLong))
 
   /** A2 payload: "idx:w;idx:w;…" sorted by feature id, %.6f weights —
     * shared by the q05 layout and the q19 generated-model layout. */
@@ -55,12 +58,23 @@ object SvmPack extends QueryPack {
                     range: Int = Range): graft.streaming.ServingStore.FactorStore = {
     val store = graft.streaming.ServingStore.factorStore()
     layout.select(col("bucket").cast("long"), col("payload")).collect().foreach { r =>
-      val packed = new Array[Double](range)
-      r.getString(1).split(";").filter(_.nonEmpty).foreach { kv =>
-        val Array(idx, w) = kv.split(":")
-        packed((idx.toLong % range).toInt) = w.toDouble
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val packed = new Array[Double](range)
+        r.getString(1).split(";").filter(_.nonEmpty).foreach { kv =>
+          // tolerate malformed entries — the model bootstrap gets the same
+          // poison-record policy as the wire codecs (skip, don't die)
+          kv.split(":") match {
+            case Array(idx, w) =>
+              try packed((idx.toLong % range).toInt) = w.toDouble
+              catch { case _: NumberFormatException =>
+                System.err.println(s"[bucketedStore] skipping bad entry '$kv'")
+              }
+            case _ =>
+              System.err.println(s"[bucketedStore] skipping bad entry '$kv'")
+          }
+        }
+        store.put(s"${r.getLong(0)}-B", packed)
       }
-      store.put(s"${r.getLong(0)}-B", packed)
     }
     store
   }

@@ -43,22 +43,18 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Quality scoring: length/stopword/token-shape features + linear score.
+    // Quality scoring: length/stopword/token-shape features + linear score
+    // (the score itself is the shared TextFunctions.qualityScore — one
+    // definition for this query and the curation pipeline; zero-token docs
+    // get null features and quality 0 instead of an ANSI division error).
     "q21_quality_score" -> ((s, dir) => {
-      val toks = T.tokens(col("text"))
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          size(toks).as("n_tokens"),
+          size(T.tokens(col("text"))).as("n_tokens"),
           length(col("text")).as("n_chars"),
-          (length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(toks)).as("avg_tok_len"),
-          (T.vocabHits(toks, stopwords).cast("double") / size(toks)).as("stop_ratio"))
-        .select(col("doc_id"), col("n_tokens"), col("n_chars"),
-          round(col("avg_tok_len"), 6).as("avg_tok_len"),
-          round(col("stop_ratio"), 6).as("stop_ratio"),
-          round(
-            least(col("n_tokens") / 100.0, lit(1.0)) * 0.5
-              + col("stop_ratio") * 0.3
-              + least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.2, 6).as("quality"))
+          round(T.avgTokenLength(col("text")), 6).as("avg_tok_len"),
+          round(T.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
+          round(T.qualityScore(col("text"), stopwords), 6).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -125,21 +121,16 @@ object TextPack extends QueryPack {
     },
 
     "q21_quality_score" ->
-      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
-         |f AS (SELECT doc_id,
-         |             len(toks) AS n_tokens,
-         |             length(text) AS n_chars,
-         |             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) AS avg_tok_len,
-         |             CAST(${hitsSql("toks", stopwords)} AS DOUBLE) / len(toks) AS stop_ratio
-         |      FROM t)
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents)
          |SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         |       CAST(n_tokens AS INTEGER) AS n_tokens,
-         |       CAST(n_chars AS INTEGER) AS n_chars,
-         |       ROUND(avg_tok_len, 6) AS avg_tok_len,
-         |       ROUND(stop_ratio, 6) AS stop_ratio,
-         |       ROUND(least(n_tokens / 100.0, 1.0) * 0.5 + stop_ratio * 0.3
-         |             + least(avg_tok_len / 10.0, 1.0) * 0.2, 6) AS quality
-         |FROM f ORDER BY doc_id""".stripMargin,
+         |       CAST(len(toks) AS INTEGER) AS n_tokens,
+         |       CAST(length(text) AS INTEGER) AS n_chars,
+         |       ROUND(CASE WHEN len(toks) = 0 THEN NULL
+         |             ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) END, 6) AS avg_tok_len,
+         |       ROUND(CASE WHEN len(toks) = 0 THEN NULL
+         |             ELSE CAST(${hitsSql("toks", stopwords)} AS DOUBLE) / len(toks) END, 6) AS stop_ratio,
+         |       ROUND(${graft.functions.TextFunctions.qualityScoreSql(stopwords)}, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
 
     "q22_token_stats" ->
       s"""SELECT doc_id,

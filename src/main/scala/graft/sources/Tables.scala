@@ -35,13 +35,17 @@ object Tables {
     StructField("rating", DoubleType, nullable = false)))
 
   /** The events table, with its TIMESTAMP(NANOS) parquet column converted
-    * to a Spark microsecond timestamp (Spark rejects nanos by default;
-    * integer `div` keeps full precision — ns values exceed double's 2^53). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * to a Spark microsecond timestamp (integer `div` keeps full precision —
+    * ns values exceed double's 2^53).
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (Spark rejects nanos columns otherwise). Set where the session is
+    * built — SparkEntry.queries does this for every driver-contract entry —
+    * rather than here: a table loader silently flipping session-wide conf
+    * would change how every later parquet read in the session behaves. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
 
   /** S1/S2: typed CSV scan; delimiter comma or tab, optional header skip. */
   def ratingsCsv(spark: SparkSession, path: String,

@@ -44,6 +44,11 @@ object ModelConsumer {
       ModelCodec.stateKey(col("value")).as("key"),
       col("seq"),
       ModelCodec.parseFactors(col("value")).as("factors"))
+      // poison tolerance: a record with a missing payload OR a corrupt
+      // factor component ("1,U,1.0;x;2.0" → [1.0, null, 2.0]) is dropped —
+      // a null element would NPE the primitive-array encoder downstream
+      .filter(col("factors").isNotNull &&
+        !exists(col("factors"), f => f.isNull))
   }
 
   /** Latest-record-wins per key across micro-batches; emits a key ONLY in

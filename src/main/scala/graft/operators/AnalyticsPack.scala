@@ -100,6 +100,50 @@ object AnalyticsPack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Multi-level aggregation: rollup over (returnflag, linestatus) with
+    // grouping-level indicator — partial aggregation covers all levels in
+    // one pass (absent from the reference; part of the relational surface).
+    "q41_rollup" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Set operations: INTERSECT / EXCEPT between customer key slices
+    // (reference only ever unions — §2.7).
+    "q42_setops" -> ((s, dir) => {
+      val byNation = Tables.table(s, dir, "customer")
+        .filter(col("c_nationkey") < 10).select(col("c_custkey"))
+      val byBalance = Tables.table(s, dir, "customer")
+        .filter(col("c_acctbal") > 0).select(col("c_custkey"))
+      val both = byNation.intersect(byBalance)
+        .withColumn("op", lit("intersect"))
+      val only = byNation.except(byBalance)
+        .withColumn("op", lit("except"))
+      both.unionAll(only)
+        .groupBy(col("op")).agg(count(lit(1)).as("n"),
+          min(col("c_custkey")).as("min_key"), max(col("c_custkey")).as("max_key"))
+        .orderBy("op")
+    }),
+
+    // Exact interpolated percentiles of order totals per order-priority —
+    // percentile() in Spark and quantile_cont() in DuckDB share the
+    // linear-interpolation definition, so the results hash-match.
+    "q43_percentiles" -> ((s, dir) => {
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Analytic window frame: running revenue per customer over order date.
     "q15_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -148,6 +192,34 @@ object AnalyticsPack extends QueryPack {
         |                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         |      FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q41_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q42_setops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_nationkey < 10),
+        |b AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0),
+        |ops AS (
+        |  SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'except' AS op, c_custkey FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
+        |FROM ops GROUP BY op ORDER BY op""".stripMargin,
+
+    "q43_percentiles" ->
+      """SELECT o_orderpriority,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q37_sessions" ->
       """WITH marked AS (

@@ -55,6 +55,27 @@ object SimilarityPack extends QueryPack {
       Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), k = 3)
         .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("sim"))
         .orderBy("qid", "rank")
+    }),
+
+    // Symmetric int8 quantization of the embedding column — the 4x
+    // compression step a 100 TB vector corpus applies before ANN.
+    // floor(x + 0.5) on BOTH engines (plain round() differs in half-way
+    // tie behavior across engines); clamp to [-127, 127]; report
+    // reconstruction error stats per vector.
+    "q44_quantize" -> ((s, dir) => {
+      val v = graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+      val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
+      val q = transform(v, x =>
+        greatest(lit(-127.0), least(lit(127.0), floor(x / scale + 0.5))))
+      val err = zip_with(v, q, (x, qi) => abs(x - qi * scale))
+      Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"),
+          round(col("embedding").getItem(0).cast("double"), 6).as("v0"),
+          element_at(q, 1).cast("long").as("q0"),
+          round(aggregate(err, lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"),
+          round(aggregate(err, lit(0.0), (a, x) => a + x) / 64.0, 6).as("mean_err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -111,6 +132,28 @@ object SimilarityPack extends QueryPack {
          |                        ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
          |           FROM scored)
          |SELECT qid, rank, neighbor_id, sim FROM ranked
-         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q44_quantize" -> {
+      val v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+      s"""WITH e AS (
+         |  SELECT vec_id, $v AS v,
+         |         list_max(list_transform($v, x -> abs(x))) / 127.0 AS s
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |q AS (
+         |  SELECT vec_id, v, s,
+         |         list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))) AS qv
+         |  FROM e),
+         |err AS (
+         |  SELECT vec_id, v, qv,
+         |         list_transform(generate_series(1, 64), i -> abs(v[i] - qv[i] * s)) AS e
+         |  FROM q)
+         |SELECT vec_id,
+         |       ROUND(v[1], 6) AS v0,
+         |       CAST(qv[1] AS BIGINT) AS q0,
+         |       ROUND(list_max(e), 6) AS max_err,
+         |       ROUND(list_sum(e) / 64.0, 6) AS mean_err
+         |FROM err ORDER BY vec_id""".stripMargin
+    }
   )
 }

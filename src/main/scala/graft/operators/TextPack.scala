@@ -75,6 +75,43 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF: term frequency × inverse document frequency over the corpus
+    // (inverted-index shuffle shape: one explode + two aggregations), top
+    // term per document with deterministic tiebreak.
+    "q45_tfidf" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val nDocs = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), "term")
+        .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id")
+    }),
+
+    // Intra-document repetition: 1 - distinct/total word-3-grams — the
+    // boilerplate/repetition quality signal used in corpus curation.
+    "q46_repetition" -> ((s, dir) => {
+      val grams = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(T.wordNgrams(T.tokens(col("text")), 3)).as("g"))
+      grams.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct(col("g")).as("n_distinct"))
+        .withColumn("repetition",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (emails, long digit runs) — the corpus has none, so a
     // deterministic contact line is appended first; the patterns are
     // RE2-conservative so both engines' regex dialects agree.
@@ -143,6 +180,36 @@ object TextPack extends QueryPack {
       s"""SELECT doc_id,
          |       ${Portable.hash32Sql("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q45_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest(${toksSql("text")}) AS term FROM documents),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df
+         |       FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+         |scored AS (SELECT doc_id, term, tf, df,
+         |                  tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df) AS tfidf
+         |           FROM tf JOIN df USING (term)),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                     ORDER BY tfidf DESC, term) AS rn FROM scored)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |       ROUND(tfidf, 6) AS tfidf
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q46_repetition" -> {
+      val grams =
+        """SELECT doc_id, unnest(
+          |  CASE WHEN len(toks) >= 3
+          |       THEN list_transform(generate_series(1, len(toks) - 2),
+          |                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+          |       ELSE CAST([] AS VARCHAR[]) END) AS g
+          |FROM (SELECT doc_id, """.stripMargin + toksSql("text") + " AS toks FROM documents)"
+      s"""WITH grams AS ($grams)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         |       ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) AS repetition
+         |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q39_redact" -> {
       val withPii = "text || ' contact user' || doc_id || '@example.com ref ' || (doc_id * 1234567 + 100000000)"

@@ -97,6 +97,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Train IVF centroids with k-means (seeded) — real centroids instead of
+    * arbitrary sample vectors; returns (cid, cvec) in the [[assign]]
+    * contract. At 100 TB the fit runs on a sample; assignment of the full
+    * corpus stays a broadcast crossJoin + argmax. */
+  def trainCentroids(corpus: DataFrame, k: Int, seed: Long = 42L,
+                     maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feats = corpus.select(
+      array_to_vector(toDoubleArray(col("vec"))).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+      .fit(feats)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray) }
+      .toDF("cid", "cvec")
+  }
+
   /** Materialize the IVF index: corpus assigned to centroids, written
     * partitioned by centroid id. At 100 TB this is the layout that turns
     * ANN search into a file-pruned scan — a query touches only its

@@ -74,6 +74,29 @@ class SimilaritySpec extends SparkSpec {
       s"index scan should be dynamically pruned:\n${plan.take(2000)}")
   }
 
+  test("k-means centroids: IVF recall at least matches arbitrary centroids") {
+    val c0 = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q0 = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val naive = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val trained = Similarity.trainCentroids(c0, k = 8)
+    assert(trained.count() === 8)
+    val exact = Similarity.bruteForceTopK(c0, q0, 1)
+      .select("qid", "id").as[(Long, Long)].collect().toMap
+    def recall(cents: org.apache.spark.sql.DataFrame): Int = {
+      val got = Similarity.ivfTopK(c0, q0, cents, 1)
+        .select("qid", "id").as[(Long, Long)].collect().toMap
+      exact.count { case (q, n) => got.get(q).contains(n) }
+    }
+    val (rTrained, rNaive) = (recall(trained), recall(naive))
+    assert(rTrained >= rNaive,
+      s"k-means IVF recall $rTrained should be >= arbitrary-centroid recall $rNaive")
+  }
+
   test("cosineNearDup returns only pairs above threshold, a<b") {
     val pairs = Similarity.cosineNearDup(corpus, 0.35).collect()
     assert(pairs.nonEmpty)

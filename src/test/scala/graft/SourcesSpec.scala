@@ -57,6 +57,27 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.textLines(spark, dir).count() === 10)
   }
 
+  test("streaming exact dedup keeps the first arrival of each content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamingDedup.exactDedupStream(
+      in.toDF().toDF("doc_id", "text", "ts"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      def ts(m: Int) = new java.sql.Timestamp(86400000L + m * 60000L)
+      in.addData((1L, "hello world", ts(0)), (2L, "other text", ts(1)))
+      q.processAllAvailable()
+      // later copies (same content, different whitespace/case) are dropped
+      in.addData((3L, "Hello   WORLD", ts(2)), (4L, "fresh content", ts(3)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 4L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("S6: streaming file source feeds the serve loop (SGD.java dir poll)") {
     val dir = tmpDir("stream")
     val store = ServingStore.factorStore()

@@ -104,9 +104,12 @@ object TextPack extends QueryPack {
       val grams = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           explode(T.wordNgrams(T.tokens(col("text")), 3)).as("g"))
-      grams.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          countDistinct(col("g")).as("n_distinct"))
+      // two-level aggregation instead of countDistinct: (doc, gram) counts
+      // then per-doc sums — no distinct-expand, map-side partials all the way
+      grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt")).as("n_grams"), count(lit(1)).as("n_distinct"))
         .withColumn("repetition",
           round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
         .orderBy("doc_id")

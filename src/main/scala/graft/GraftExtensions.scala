@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, VectorSumAgg}
+import graft.functions.expressions.{DotProduct, VectorSumAgg, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -43,6 +43,12 @@ object GraftExtensions {
         VectorSumAgg(org.apache.spark.sql.catalyst.expressions.Cast(
           args.head, org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))
+      }),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "graft_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_ngrams takes exactly 2 arguments")
+        WordNgrams(args.head, args(1))
       }))
 
   /** Register on an existing session (for sessions built without the

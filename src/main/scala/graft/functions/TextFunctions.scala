@@ -16,15 +16,15 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Word n-grams: sliding windows of `n` tokens joined by a space.
-    * (Guarded: Spark's sequence(1, 0) counts DOWN, so short inputs must
-    * short-circuit to an empty array.) */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+  /** Word n-grams: sliding windows of `n` tokens joined by a space — the
+    * native graft_ngrams expression (one compiled loop; the composed
+    * transform/slice/concat_ws form evaluates interpreted HOFs per window
+    * and dominated the shingle pipelines). */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .foreach(graft.GraftExtensions.register)
+    call_function("graft_ngrams", toks, lit(n))
+  }
 
   /** Character n-gram shingles of the raw string. */
   def charShingles(text: Column, n: Int): Column =

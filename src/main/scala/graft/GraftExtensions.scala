@@ -51,10 +51,10 @@ object GraftExtensions {
         WordNgrams(args.head, args(1))
       }))
 
-  /** Register on an existing session (for sessions built without the
-    * spark.sql.extensions config — tests, Verify, Bench). Idempotent:
-    * already-registered functions are left alone, so the hot-path guard in
-    * VectorFunctions costs one registry lookup. */
+  /** Register the native functions on an existing session (for sessions
+    * built without the spark.sql.extensions config — tests, Verify, Bench).
+    * Idempotent and conf-free: column builders auto-call this, so it must
+    * not have session-wide side effects beyond the registry. */
   def register(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     functions.foreach { case (ident, info, builder) =>
@@ -62,8 +62,15 @@ object GraftExtensions {
         registry.registerFunction(ident, info, builder)
       }
     }
-    // session conf the engine's sources rely on (documented at the reader):
-    // the driver events table carries TIMESTAMP(NANOS)
+  }
+
+  /** Full session preparation: functions + the session conf the engine's
+    * sources rely on (the driver events table carries TIMESTAMP(NANOS)).
+    * Called once per session at a deliberate setup point — the
+    * SparkEntry.queries wrapper and the test/CLI session builders — NOT
+    * from column builders. */
+  def prepareSession(spark: SparkSession): Unit = {
+    register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 }

@@ -31,7 +31,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     packs.flatMap(_.queries).toMap.map { case (name, fn) =>
       name -> { (s: SparkSession, dir: String) =>
-        GraftExtensions.register(s)
+        GraftExtensions.prepareSession(s)
         fn(s, dir)
       }
     }

@@ -23,7 +23,9 @@ object TextFunctions {
   def wordNgrams(toks: Column, n: Int): Column = {
     org.apache.spark.sql.SparkSession.getActiveSession
       .foreach(graft.GraftExtensions.register)
-    call_function("graft_ngrams", toks, lit(n))
+    // null input -> [] preserves this API's original composed-form behavior
+    coalesce(call_function("graft_ngrams", toks, lit(n)),
+      array().cast("array<string>"))
   }
 
   /** Character n-gram shingles of the raw string. */

@@ -40,6 +40,13 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Always nullable: a null ARRAY ELEMENT nulls the result even when both
+    * array columns are non-nullable. Without this override, nullSafeCodeGen
+    * would fold ev.isNull to a constant for non-nullable children and the
+    * generated assignment below would not compile — silently dropping the
+    * whole plan out of codegen. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {

@@ -17,9 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * way the composed dot product dominated similarity (SURVEY.md §8). This
   * is one compiled loop with a single output allocation per window.
   *
-  * Semantics match the composed form exactly: fewer than n tokens → empty
-  * array; null tokens are skipped within a window (concat_ws semantics;
-  * the engine's tokenizers never produce nulls).
+  * Semantics: fewer than n tokens → empty array; null tokens are skipped
+  * within a window (concat_ws semantics; the engine's tokenizers never
+  * produce nulls); a NULL token-array input null-propagates like any
+  * binary expression (TextFunctions.wordNgrams coalesces that back to the
+  * empty array its previous composed form returned).
   *
   * Registered as SQL function `graft_ngrams(tokens, n)`.
   */
@@ -28,7 +30,9 @@ case class WordNgrams(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      val nv = right.eval(null)
+      if (nv != null && nv.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure("graft_ngrams requires n >= 1")
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_ngrams requires (ARRAY<STRING>, INT literal)")
   }
@@ -45,18 +49,24 @@ case class WordNgrams(left: Expression, right: Expression)
     val len = a.numElements()
     if (len < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](len)
+    var hasNull = false
     var t = 0
     while (t < len) {
-      toks(t) = if (a.isNullAt(t)) null else a.getUTF8String(t)
+      if (a.isNullAt(t)) hasNull = true else toks(t) = a.getUTF8String(t)
       t += 1
     }
     val out = new Array[Any](len - n + 1)
+    // fast path reuses ONE window buffer across all windows (concatWs
+    // copies the bytes, it does not retain the array); the null-skipping
+    // slow path only runs for inputs the engine's tokenizers never produce
+    val window = new Array[UTF8String](n)
     var i = 0
     while (i < out.length) {
-      val window = new Array[UTF8String](n)
       var j = 0
       while (j < n) { window(j) = toks(i + j); j += 1 }
-      out(i) = UTF8String.concatWs(space, window.filter(_ != null): _*)
+      out(i) =
+        if (!hasNull) UTF8String.concatWs(space, window: _*)
+        else UTF8String.concatWs(space, window.filter(_ != null): _*)
       i += 1
     }
     new GenericArrayData(out)

@@ -82,8 +82,11 @@ object AnalyticsPack extends QueryPack {
     "q37_sessions" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
-      // fractional epoch seconds on BOTH engines (DuckDB epoch() keeps
-      // microseconds) so a gap of exactly 1800.x s can't disagree
+      // fractional epoch seconds on BOTH engines. Parity note: the parquet
+      // column is TIMESTAMP(NANOS); Spark reads it as long and truncates to
+      // micros (Tables.events, ts div 1000) and DuckDB's plain TIMESTAMP
+      // read truncates to micros the same way (verified: epoch_ns % 1000 =
+      // 0 after read), so both compare identical microsecond values
       val epochS = col("ts").cast("double")
       val newSession = when(
         epochS - lag(epochS, 1).over(byUser) > 1800.0, 1).otherwise(0)

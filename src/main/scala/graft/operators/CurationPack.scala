@@ -55,9 +55,11 @@ object CurationPack extends QueryPack {
       // stage 3: exact dedup — keep the min doc_id per normalized content
       // persisted: the LSH pipeline + anti-join + stats all re-read this
       // stage; in production this is the materialization point between
-      // curation passes (Spark evicts it LRU when memory is needed)
+      // curation passes. The cache outlives the returned DataFrame (the
+      // driver contract gives no post-action hook) — it is a few MB of
+      // curated text and Spark evicts LRU under pressure
       val exactKeep = en
-        .withColumn("h", md5(T.normalize(col("text"))))
+        .withColumn("h", Dedup.contentHash(col("text")))
         .withColumn("keeper", min(col("doc_id"))
           .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
         .filter(col("doc_id") === col("keeper"))
@@ -89,7 +91,7 @@ object CurationPack extends QueryPack {
          |en AS (SELECT * FROM scored WHERE source IS NOT NULL AND q >= $QualityFloor),
          |exact_keep AS (
          |  SELECT doc_id, text, source, q FROM (
-         |    SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS keeper
+         |    SELECT *, MIN(doc_id) OVER (PARTITION BY ${DedupPack.contentHashSql("text")}) AS keeper
          |    FROM en) t
          |  WHERE doc_id = keeper),
          |sh AS (${DedupPack.shinglesSql("exact_keep")}),

@@ -22,11 +22,16 @@ import graft.functions.{Portable, TextFunctions => T}
   */
 object Dedup {
 
+  /** THE canonical content hash for exact dedup — every exact-dup stage
+    * (batch, streaming, curation pipeline, oracles via
+    * DedupPack.contentHashSql) must use this one definition. */
+  def contentHash(text: Column): Column = md5(T.normalize(text))
+
   /** Exact dedup: group by content hash of the normalized text; keep the
     * smallest id as the cluster representative. */
   def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
     docs
-      .select(col(id), md5(T.normalize(col(text))).as("content_hash"))
+      .select(col(id), contentHash(col(text)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_copies"))
 

@@ -85,6 +85,12 @@ object DedupPack extends QueryPack {
        |         WHERE x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** DuckDB twins of TextFunctions.normalize / Dedup.contentHash — the one
+    * SQL definition of the canonical content hash. */
+  def normalizeSql(text: String): String =
+    s"lower(trim(regexp_replace($text, '\\s+', ' ', 'g')))"
+  def contentHashSql(text: String): String = s"md5(${normalizeSql(text)})"
+
   /** CTE pair `counts, shared` (expects `sh` and `cand`) — the single
     * definition of per-doc shingle counts and shared-shingle counts that
     * every Jaccard tail builds on (q31, q33, the curation oracle). */
@@ -129,7 +135,7 @@ object DedupPack extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
       s"""WITH docs AS (${withCopiesSql(1)})
-         |SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_hash,
+         |SELECT ${contentHashSql("text")} AS content_hash,
          |       MIN(doc_id) AS keeper,
          |       CAST(COUNT(*) AS BIGINT) AS n_copies
          |FROM docs GROUP BY 1 ORDER BY keeper""".stripMargin,

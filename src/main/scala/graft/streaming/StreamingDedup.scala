@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => T}
+
 
 /** Streaming exact deduplication — the online face of Dedup.exact for a
   * continuously-arriving corpus (crawl ingestion at 100 TB runs as a
@@ -21,7 +21,7 @@ object StreamingDedup {
     * deduped on content within the watermark horizon. */
   def exactDedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn("content_hash", md5(T.normalize(col("text"))))
+      .withColumn("content_hash", graft.operators.Dedup.contentHash(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("content_hash")
 }

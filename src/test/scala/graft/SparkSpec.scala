@@ -20,7 +20,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    GraftExtensions.register(s)
+    GraftExtensions.prepareSession(s)
     s
   }
 }

@@ -5,6 +5,22 @@ import graft.functions.VectorFunctions._
 
 class VectorFunctionsSpec extends SparkSpec {
 
+  test("graft_dot with non-nullable literal arrays: correct result, null on null element") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dot
+    // non-nullable children (CreateArray of literals) — the case where a
+    // wrong nullability declaration broke whole-stage codegen compilation
+    val df = spark.range(1, 1000)
+      .select(dot(array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0), lit(4.0))).as("d"))
+    assert(df.as[Double].collect().take(3).toSeq === Seq(11.0, 14.0, 17.0))
+    // null element -> null result (composed-form semantics)
+    val withNull = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))")
+    assert(withNull.collect()(0).isNullAt(0))
+  }
+
   test("vecSum aggregates element-wise across partitions (partial merge)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

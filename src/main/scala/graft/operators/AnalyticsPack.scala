@@ -147,6 +147,24 @@ object AnalyticsPack extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // As-of join: deterministic probe times derived from order keys, each
+    // matched to the user's most recent event at-or-before the probe — the
+    // union-timeline operator (AsOfJoin), not a join explosion.
+    "q47_asof_join" -> ((s, dir) => {
+      val probes = Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey").as("probe_id"),
+          (col("o_custkey") % 150).as("user_id"),
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 2592000)").as("pts"))
+      val events = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(probes, events, key = "user_id", pts = "pts",
+        ts = "ts", ordCol = "event_id", payload = Seq("event_id", "value"))
+        .select(col("probe_id"), col("user_id"),
+          col("asof_event_id"), round(col("asof_value"), 4).as("asof_value"))
+        .orderBy("probe_id")
+    }),
+
     // Analytic window frame: running revenue per customer over order date.
     "q15_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -195,6 +213,22 @@ object AnalyticsPack extends QueryPack {
         |                   ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
         |      FROM orders) t
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH probes AS (
+        |  SELECT o_orderkey AS probe_id, o_custkey % 150 AS user_id,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS pts
+        |  FROM orders WHERE o_orderkey % 40 = 0),
+        |ranked AS (
+        |  SELECT p.probe_id, p.user_id, e.event_id, e.value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.user_id AND e.ts <= p.pts)
+        |SELECT probe_id, user_id,
+        |       event_id AS asof_event_id, ROUND(value, 4) AS asof_value
+        |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
 
     "q41_rollup" ->
       """SELECT l_returnflag, l_linestatus,

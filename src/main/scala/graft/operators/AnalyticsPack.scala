@@ -165,6 +165,22 @@ object AnalyticsPack extends QueryPack {
         .orderBy("probe_id")
     }),
 
+    // Range join: events against deterministic 4-hour maintenance windows
+    // (one per January day) via the binned equi-join — no nested-loop.
+    "q48_range_join" -> ((s, dir) => {
+      val windows = graft.sources.Tables.idRange(s, 30)
+        .select(col("id").as("window_id"),
+          expr("timestamp'2024-01-01 08:00:00' + make_interval(0,0,0, CAST(id - 1 AS INT))").as("w_start"),
+          expr("timestamp'2024-01-01 12:00:00' + make_interval(0,0,0, CAST(id - 1 AS INT))").as("w_end"))
+      val events = Tables.events(s, dir)
+        .select(col("ts"), col("event_type"), col("value"))
+      RangeJoin.binnedRangeJoin(events, windows, "ts", "w_start", "w_end")
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("window_id")
+    }),
+
     // Analytic window frame: running revenue per customer over order date.
     "q15_running_total" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -229,6 +245,17 @@ object AnalyticsPack extends QueryPack {
         |SELECT probe_id, user_id,
         |       event_id AS asof_event_id, ROUND(value, 4) AS asof_value
         |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q48_range_join" ->
+      """WITH w AS (
+        |  SELECT range AS window_id,
+        |         TIMESTAMP '2024-01-01 08:00:00' + (range - 1) * INTERVAL 1 DAY AS w_start,
+        |         TIMESTAMP '2024-01-01 12:00:00' + (range - 1) * INTERVAL 1 DAY AS w_end
+        |  FROM range(1, 31))
+        |SELECT window_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS total_value
+        |FROM events JOIN w ON ts >= w_start AND ts < w_end
+        |GROUP BY window_id ORDER BY window_id""".stripMargin,
 
     "q41_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -24,6 +24,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // dev.ludovic.netlib (ships with Spark) picks its VectorBLAS SIMD
+  // implementation only when the Vector API incubator module is present;
+  // without it spark.ml fits (ALS/LinearSVC/KMeans) fall back to pure-JVM
+  // F2J BLAS (the driver's round-1 bench log showed exactly that warning)
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, VectorSumAgg, WordNgrams}
+import graft.functions.expressions.{DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -49,6 +49,26 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_ngrams takes exactly 2 arguments")
         WordNgrams(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "graft_token_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_stats takes exactly 1 argument")
+        TokenStats(args.head)
+      }),
+    (FunctionIdentifier("graft_vocab_hits"),
+      new ExpressionInfo(classOf[VocabHits].getName, "graft_vocab_hits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_vocab_hits takes exactly 2 arguments")
+        require(args(1).foldable,
+          "graft_vocab_hits requires a literal vocabulary array")
+        val arr = args(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val words =
+          if (arr == null) Seq.empty[String]
+          else (0 until arr.numElements()).flatMap(i =>
+            if (arr.isNullAt(i)) None else Some(arr.getUTF8String(i).toString))
+        VocabHits(args.head, words)
       }))
 
   /** Register the native functions on an existing session (for sessions

@@ -12,19 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+
   /** Whitespace tokenization (non-empty tokens). */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Single-pass token statistics STRUCT (ws_tokens, alpha_tokens,
+    * bpe_tokens, nonspace_chars) — the native
+    * [[graft.functions.expressions.TokenStats]] kernel. Identical
+    * subtrees across derived features are merged by codegen subexpression
+    * elimination, so the scan runs once per row however many features a
+    * query reads. */
+  def tokenStats(text: Column): Column =
+    column(expressions.TokenStats(expression(text)))
 
   /** Word n-grams: sliding windows of `n` tokens joined by a space — the
     * native graft_ngrams expression (one compiled loop; the composed
     * transform/slice/concat_ws form evaluates interpreted HOFs per window
     * and dominated the shingle pipelines). */
   def wordNgrams(toks: Column, n: Int): Column = {
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.GraftExtensions.register)
+    import org.apache.spark.sql.catalyst.expressions.Literal
     // null input -> [] preserves this API's original composed-form behavior
-    coalesce(call_function("graft_ngrams", toks, lit(n)),
+    coalesce(column(expressions.WordNgrams(expression(toks), Literal(n))),
       array().cast("array<string>"))
   }
 
@@ -41,9 +51,18 @@ object TextFunctions {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  /** Number of tokens that appear in `words` (stopword-count style). */
+  /** Number of tokens that appear in `words` (stopword-count style) — the
+    * native [[graft.functions.expressions.VocabHits]] hash-set probe (the
+    * composed `size(filter(toks, isin))` ran an interpreted lambda with a
+    * linear In-probe per token). */
   def vocabHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    column(expressions.VocabHits(expression(toks), words))
+
+  /** [[vocabHits]] straight off the text: counts over the raw whitespace
+    * split — empty-string tokens can't be vocabulary words, so skipping
+    * the non-empty filter is free and keeps the split codegen'd. */
+  def vocabHitsText(text: Column, words: Seq[String]): Column =
+    vocabHits(split(text, "\\s+"), words)
 
   /** 32-bit content fingerprint of the normalized text (portable md5
     * prefix; see Portable.hash32). */
@@ -51,27 +70,31 @@ object TextFunctions {
     Portable.hash32(normalize(text))
 
   /** Average token length; null for token-less docs (the zero-token guard
-    * matters: ANSI mode turns the division into a runtime error). */
+    * matters: ANSI mode turns the division into a runtime error).
+    * `nonspace_chars / ws_tokens` from the single-pass [[tokenStats]] —
+    * same arithmetic as the regex form (`length(regexp_replace(text,
+    * "\\s+", "")) / size(tokens)`), one scan instead of two regex passes. */
   def avgTokenLength(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(null).cast("double"))
-      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / size(toks))
+    val ts = tokenStats(text)
+    val n = ts.getField("ws_tokens")
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(ts.getField("nonspace_chars").cast("double") / n)
   }
 
   /** Stopword ratio; null for token-less docs. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(null).cast("double"))
-      .otherwise(vocabHits(toks, stopwords).cast("double") / size(toks))
+    val n = tokenStats(text).getField("ws_tokens")
+    when(n === 0, lit(null).cast("double"))
+      .otherwise(vocabHitsText(text, stopwords).cast("double") / n)
   }
 
   /** The quality score (length/stopword/token-shape linear blend) shared by
     * the quality query and the curation pipeline — ONE definition so the
     * two can't silently drift. Token-less docs score 0.0. */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      least(size(toks) / 100.0, lit(1.0)) * 0.5
+    val n = tokenStats(text).getField("ws_tokens")
+    when(n === 0, lit(0.0)).otherwise(
+      least(n / 100.0, lit(1.0)) * 0.5
         + stopwordRatio(text, stopwords) * 0.3
         + least(avgTokenLength(text) / 10.0, lit(1.0)) * 0.2)
   }

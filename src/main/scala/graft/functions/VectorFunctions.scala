@@ -24,16 +24,16 @@ object VectorFunctions {
     * interpreted-lambda and allocation cost that dominated all-pairs
     * similarity scans. */
   def dot(a: Column, b: Column): Column = {
-    ensureRegistered()
-    call_function("graft_dot", a, b)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    // direct expression construction: no function-registry lookup, so the
+    // column can be built on any thread regardless of active session
+    // (SQL users still get graft_dot via GraftExtensions)
+    column(graft.functions.expressions.DotProduct(
+      Cast(expression(a), ArrayType(DoubleType)),
+      Cast(expression(b), ArrayType(DoubleType))))
   }
-
-  /** Register the native functions on the calling thread's active session
-    * (idempotent) so library users don't need session config; sessions
-    * built on other threads still need GraftExtensions.register. */
-  private def ensureRegistered(): Unit =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .foreach(graft.GraftExtensions.register)
 
   /** Σ a_i² (no sqrt — exact-compare friendly); same fused loop as [[dot]]. */
   def sqNorm(a: Column): Column = dot(a, a)
@@ -43,8 +43,12 @@ object VectorFunctions {
     * [[graft.functions.expressions.VectorSumAgg]]); replaces
     * posexplode→per-pos-sum→re-assemble and its extra shuffle. */
   def vecSum(a: Column): Column = {
-    ensureRegistered()
-    call_function("graft_vecsum", a)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    column(graft.functions.expressions.VectorSumAgg(
+      Cast(expression(a), ArrayType(DoubleType)))
+      .toAggregateExpression())
   }
 
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))

@@ -29,16 +29,21 @@ object AsOfJoin {
     val probeExtra = probes.columns.filterNot(c => c == key || c == pts).toSeq
     def nullOf(df: DataFrame, c: String) = lit(null).cast(df.schema(c).dataType)
 
+    // the payload travels as ONE struct through a SINGLE last(ignoreNulls):
+    // per-column last() calls would each skip nulls independently, so a
+    // legitimately-NULL payload field on the newest event could get
+    // back-filled from an OLDER event, mixing fields across events
+    val payloadStructType = org.apache.spark.sql.types.StructType(
+      payload.map(c => events.schema(c).copy(name = c)))
     val evSide = events.select(
-      col(key) +: col(ts).as("_t") +: lit(0).as("_kind") +:
-        col(ordCol).as("_ord") +:
-        (payload.map(c => col(c).as(s"_p_$c")) ++
-          probeExtra.map(c => nullOf(probes, c).as(s"_q_$c"))): _*)
+      (Seq(col(key), col(ts).as("_t"), lit(0).as("_kind"),
+        col(ordCol).as("_ord"), struct(payload.map(col): _*).as("_p")) ++
+        probeExtra.map(c => nullOf(probes, c).as(s"_q_$c"))): _*)
     val prSide = probes.select(
-      col(key) +: col(pts).as("_t") +: lit(1).as("_kind") +:
-        nullOf(events, ordCol).as("_ord") +:
-        (payload.map(c => nullOf(events, c).as(s"_p_$c")) ++
-          probeExtra.map(c => col(c).as(s"_q_$c"))): _*)
+      (Seq(col(key), col(pts).as("_t"), lit(1).as("_kind"),
+        nullOf(events, ordCol).as("_ord"),
+        lit(null).cast(payloadStructType).as("_p")) ++
+        probeExtra.map(c => col(c).as(s"_q_$c"))): _*)
 
     // events sort before probes at equal t (_kind 0 < 1); among events at
     // equal t the highest _ord is last, so the running last() picks it
@@ -48,11 +53,13 @@ object AsOfJoin {
     evSide.unionByName(prSide)
       .select(
         col(key) +: col("_t") +: col("_kind") +:
-          (payload.map(c =>
-            last(col(s"_p_$c"), ignoreNulls = true).over(w).as(s"asof_$c")) ++
-            probeExtra.map(c => col(s"_q_$c").as(c))): _*)
+          last(col("_p"), ignoreNulls = true).over(w).as("_pl") +:
+          probeExtra.map(c => col(s"_q_$c").as(c)): _*)
       .filter(col("_kind") === 1)
-      .drop("_kind")
+      .select(
+        col(key) +: col("_t") +:
+          (payload.map(c => col("_pl").getField(c).as(s"asof_$c")) ++
+            probeExtra.map(col)): _*)
       .withColumnRenamed("_t", pts)
   }
 }

@@ -43,40 +43,16 @@ object CurationPack extends QueryPack {
        |FROM documents WHERE doc_id % 4 = 0""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The contract query is a thin wrapper over the LAZY pipeline face
+    // (Curation.pipeline) — no persist, nothing to clean up after the
+    // driver's action; library callers that iterate use
+    // Curation.curateWith, which persists for the callback scope and
+    // always unpersists (asserted in CurationSpec).
     "q40_curation" -> ((s, dir) => {
-      val docs = withMutatedCopies(s, dir)
-      // stage 1+2: language + quality floor (scan-stage predicates; the
-      // score is the SAME TextFunctions.qualityScore q21 reports — and it
-      // guards zero-token docs, which a curation pipeline must filter,
-      // not crash on)
-      val en = docs.filter(col("source").isNotNull)
-        .withColumn("q", T.qualityScore(col("text"), TextPack.stopwords))
-        .filter(col("q") >= QualityFloor)
-      // stage 3: exact dedup — keep the min doc_id per normalized content
-      // persisted: the LSH pipeline + anti-join + stats all re-read this
-      // stage; in production this is the materialization point between
-      // curation passes. The cache outlives the returned DataFrame (the
-      // driver contract gives no post-action hook) — it is a few MB of
-      // curated text and Spark evicts LRU under pressure
-      val exactKeep = en
-        .withColumn("h", Dedup.contentHash(col("text")))
-        .withColumn("keeper", min(col("doc_id"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
-        .filter(col("doc_id") === col("keeper"))
-        .drop("h", "keeper")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // stage 4: near-dup removal — drop the higher id of each verified pair
-      val pairs = Dedup.minhashLsh(exactKeep, shingleN = 3, numHashes = 16,
-        bands = 4, threshold = JaccardThreshold)
-      val dropIds = pairs.select(col("doc_b").as("doc_id")).distinct()
-      val curated = exactKeep.join(broadcast(dropIds), Seq("doc_id"), "left_anti")
-      // stage 5: per-source stats of the surviving corpus
-      curated
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(size(T.tokens(col("text")))).cast("long").as("total_tokens"),
-          round(avg(col("q")), 6).as("avg_quality"))
-        .orderBy("source")
+      Curation.sourceStats(
+        Curation.pipeline(withMutatedCopies(s, dir), TextPack.stopwords,
+          QualityFloor, shingleN = 3, numHashes = 16, bands = 4,
+          jaccardThreshold = JaccardThreshold))
     })
   )
 

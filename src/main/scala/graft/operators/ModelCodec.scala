@@ -43,6 +43,17 @@ object ModelCodec extends QueryPack {
   def stateKey(rec: Column): Column =
     concat_ws("-", try_element_at(split(rec, ","), lit(1)), parseKind(rec))
 
+  /** P5: the SVM kv wire codec (svm-ms/SVMKafkaConsumer.java:74-82).
+    * Weights travel as `"featureId,weight"`; the consumer derives state
+    * key `"fid-W"` and the double payload. Same poison-record policy as
+    * the ALS codec: malformed fields parse to null, never throw. */
+  def encodeSvmRecord(featureId: Column, w: Column): Column =
+    concat_ws(",", featureId, format_string("%.6f", w))
+  def parseSvmWeight(rec: Column): Column =
+    try_element_at(split(rec, ","), lit(2)).try_cast("double")
+  def svmStateKey(rec: Column): Column =
+    concat_ws("-", try_element_at(split(rec, ","), lit(1)), lit("W"))
+
   /** Null-safe parse of "user,item,rating" lines (the SGD/MSE wire input,
     * SGD.java:96-110): malformed fields become nulls and the row is
     * dropped — a poison record must not kill a streaming query. */
@@ -75,6 +86,20 @@ object ModelCodec extends QueryPack {
         .select(stateKey(col("record")).as("key"),
           element_at(parseFactors(col("record")), 2).as("f2"))
         .orderBy("key")
+    }),
+    // P5 round-trip: SVM weights over the wire and back to "fid-W" store
+    // keys (SVMKafkaConsumer.java:74-82) — plus a poison record unioned in
+    // to pin the parse-to-null policy (it must survive as a null weight,
+    // not kill the query).
+    "q49_svm_wire_codec" -> ((s, dir) => {
+      val recs = SvmPack.weights(s, dir)
+        .select(encodeSvmRecord(col("feature_id"), col("w")).as("record"))
+        .union(s.range(1).select(lit("not-a-feature").as("record")))
+      recs.select(
+          svmStateKey(col("record")).as("key"),
+          parseSvmWeight(col("record")).as("weight"),
+          parseSvmWeight(col("record")).isNull.as("poison"))
+        .orderBy("key")
     })
   )
 
@@ -100,6 +125,16 @@ object ModelCodec extends QueryPack {
            |  SELECT ${recordSql("p_partkey", "I", k)} AS record FROM part)
            |SELECT concat_ws('-', string_split(record, ',')[1], string_split(record, ',')[2]) AS key,
            |       CAST(string_split(string_split(record, ',')[3], ';')[2] AS DOUBLE) AS f2
+           |FROM recs ORDER BY key""".stripMargin,
+      "q49_svm_wire_codec" ->
+        s"""WITH w AS (${SvmPack.weightsSql}),
+           |recs AS (
+           |  SELECT concat_ws(',', feature_id, printf('%.6f', w)) AS record FROM w
+           |  UNION ALL
+           |  SELECT 'not-a-feature' AS record)
+           |SELECT concat_ws('-', string_split(record, ',')[1], 'W') AS key,
+           |       TRY_CAST(string_split(record, ',')[2] AS DOUBLE) AS weight,
+           |       TRY_CAST(string_split(record, ',')[2] AS DOUBLE) IS NULL AS poison
            |FROM recs ORDER BY key""".stripMargin
     )
   }

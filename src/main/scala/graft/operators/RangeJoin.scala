@@ -30,8 +30,13 @@ object RangeJoin {
     val binned = intervals.withColumn("_bin",
       explode(sequence(binOf(col(sCol)),
         // e is exclusive: a zero-width or bin-aligned end still covers the
-        // bin containing s; subtract an epsilon via (e - 1 microsecond)
-        binOf(col(eCol) - expr("INTERVAL 1 MICROSECOND")))))
+        // bin containing s; subtract an epsilon via (e - 1 microsecond).
+        // The greatest() clamp keeps malformed intervals (e <= s) from
+        // producing a DESCENDING sequence, which would explode arbitrarily
+        // many spurious bin rows — the exact predicate below filters their
+        // matches, but their blow-up cost must stay bounded (1 row here)
+        greatest(binOf(col(sCol)),
+          binOf(col(eCol) - expr("INTERVAL 1 MICROSECOND"))))))
     points.withColumn("_bin", binOf(col(tCol)))
       .join(binned, "_bin")
       .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))

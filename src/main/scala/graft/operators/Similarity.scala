@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -172,12 +172,67 @@ object Similarity {
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup. */
-  def cosineNearDup(corpus: DataFrame, threshold: Double): DataFrame = {
+  /** All pairs (a < b) with cosine ≥ threshold by brute force — the O(n²)
+    * exact baseline, kept ONLY as the recall reference for
+    * [[cosineNearDup]] (SimilaritySpec asserts the blocked operator
+    * returns identical pairs). Not wired to any driver query: a cartesian
+    * product is exactly what a 100 TB dedup must never run. */
+  def cosineNearDupExact(corpus: DataFrame, threshold: Double): DataFrame = {
     val l = prepped(corpus, "id", "vec", "_a")
     val r = prepped(corpus, "id", "vec", "_b")
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), pairSim("_a", "_b").as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Per-row random-hyperplane band keys: `bands` keys, each packing
+    * `bitsPerBand` sign bits of seeded Gaussian projections. Two vectors at
+    * angle θ agree on one bit with probability 1−θ/π, so near-dup pairs
+    * collide in at least one band w.h.p. — at cosine ≥ 0.98 (θ ≤ 0.2 rad,
+    * 16 bands × 8 bits) the miss probability per true pair is < 1e-6, and
+    * for the ~1.0-cosine pairs an embedding dedup actually targets it is
+    * < 1e-20. Deterministic: hyperplanes derive from `seed` only. */
+  def signBitBands(vec: Column, dim: Int, bands: Int = 16,
+                   bitsPerBand: Int = 8, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * bitsPerBand)(
+      Seq.fill(dim)(rnd.nextGaussian()))
+    val keys = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { j =>
+        val bit = when(dot(vec, typedLit(planes(b * bitsPerBand + j))) >= 0,
+          lit(1)).otherwise(lit(0))
+        bit * lit(1 << j)
+      }.reduce(_ + _)
+    }
+    array(keys: _*)
+  }
+
+  /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup, the
+    * 100 TB shape: LSH band-bucket candidate generation (an EQUI-join on
+    * (band, key), never a cartesian product) + exact cosine verification
+    * of candidates only. Same output as [[cosineNearDupExact]] (w.h.p. per
+    * [[signBitBands]]; SimilaritySpec compares them exactly), cost bounded
+    * by band-bucket collisions instead of n². At real scale the signature
+    * projection would be materialized once; here the corpus re-scan is
+    * three cheap columnar reads. */
+  def cosineNearDup(corpus: DataFrame, threshold: Double, dim: Int,
+                    bands: Int = 16, bitsPerBand: Int = 8,
+                    seed: Long = 42L): DataFrame = {
+    val p = prepped(corpus, "id", "vec", "")
+    val bandRows = p
+      .select(col("id"), posexplode(
+        signBitBands(col("vec"), dim, bands, bitsPerBand, seed))
+        .as(Seq("band", "bkey")))
+    val l = bandRows.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val r = bandRows.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val a = p.select(col("id").as("id_a"), col("vec").as("vec_a"), col("n2").as("n2_a"))
+    val b = p.select(col("id").as("id_b"), col("vec").as("vec_b"), col("n2").as("n2_b"))
+    cand.join(a, "id_a").join(b, "id_b")
       .select(col("id_a"), col("id_b"), pairSim("_a", "_b").as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }

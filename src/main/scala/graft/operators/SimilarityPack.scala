@@ -10,12 +10,31 @@ import graft.sources.Tables
   * vectors): near-dup pairs, brute-force ANN baseline, IVF-bucketed ANN. */
 object SimilarityPack extends QueryPack {
 
-  val NearDupThreshold = 0.35
+  val NearDupThreshold = 0.98
   val NumCentroids = 8
+  val Dim = 64
+  val PerturbOffset = 100000L
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Near-dup test corpus: embeddings ∪ a slightly perturbed copy of every
+    * 5th vector (ids offset by [[PerturbOffset]], first component +0.1) —
+    * the same planted-near-duplicate design the text-curation pipeline
+    * uses. Organic random pairs sit far below cosine 0.98, the planted
+    * pairs just under 1.0, so the near-dup operator has real work whose
+    * output the all-pairs oracle checks exactly. Perturbation happens
+    * AFTER the FLOAT→DOUBLE cast so both engines add 0.1 in doubles. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("vec"))
+    base.unionAll(base.filter(col("id") % 5 === 0)
+      .select((col("id") + PerturbOffset).as("id"),
+        transform(col("vec"), (x, i) =>
+          when(i === 0, x + 0.1).otherwise(x)).as("vec")))
+  }
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
@@ -29,9 +48,11 @@ object SimilarityPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Embedding-cosine near-duplicate pairs.
+    // Embedding-cosine near-duplicate pairs over the planted-dup corpus:
+    // LSH band candidates (equi-join) + exact verify — no cartesian
+    // product anywhere in the plan (plan-shape asserted in SimilaritySpec).
     "q34_embedding_neardup" -> ((s, dir) => {
-      Similarity.cosineNearDup(corpus(s, dir), NearDupThreshold)
+      Similarity.cosineNearDup(nearDupCorpus(s, dir), NearDupThreshold, Dim)
         .orderBy("id_a", "id_b")
     }),
 
@@ -65,8 +86,10 @@ object SimilarityPack extends QueryPack {
     "q44_quantize" -> ((s, dir) => {
       val v = graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
       val scale = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x))) / 127.0
-      val q = transform(v, x =>
-        greatest(lit(-127.0), least(lit(127.0), floor(x / scale + 0.5))))
+      // zero guard: an all-zero embedding has scale 0 — x/scale would be
+      // NaN here but NULL in DuckDB; both engines quantize it to zeros
+      val q = transform(v, x => when(scale === 0.0, lit(0.0)).otherwise(
+        greatest(lit(-127.0), least(lit(127.0), floor(x / scale + 0.5)))))
       val err = zip_with(v, q, (x, qi) => abs(x - qi * scale))
       Tables.table(s, dir, "embeddings")
         .filter(col("vec_id") % 10 === 0)
@@ -90,13 +113,32 @@ object SimilarityPack extends QueryPack {
     s"ROUND(CASE WHEN $denom = 0.0 THEN NULL ELSE ${dot(a, b)} / $denom END, 4)"
   }
 
+  /** [[cosSql]] over already-DOUBLE list columns (the near-dup corpus casts
+    * before perturbing). */
+  private def cosDblSql(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $x[i] * $y[i]))"
+    val denom = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"ROUND(CASE WHEN $denom = 0.0 THEN NULL ELSE ${dot(a, b)} / $denom END, 4)"
+  }
+
   def oracles: Map[String, String] = Map(
     "q34_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
-         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |       ${cosSql("a.embedding", "b.embedding")} AS cos_sim
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= $NearDupThreshold
+      s"""WITH base AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT id, v FROM base
+         |  UNION ALL
+         |  SELECT id + $PerturbOffset AS id,
+         |         list_transform(generate_series(1, $Dim),
+         |                        i -> CASE WHEN i = 1 THEN v[i] + 0.1 ELSE v[i] END) AS v
+         |  FROM base WHERE id % 5 = 0)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       ${cosDblSql("a.v", "b.v")} AS cos_sim
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE ${cosDblSql("a.v", "b.v")} >= $NearDupThreshold
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q35_ann_bruteforce" ->
@@ -142,7 +184,8 @@ object SimilarityPack extends QueryPack {
          |  FROM embeddings WHERE vec_id % 10 = 0),
          |q AS (
          |  SELECT vec_id, v, s,
-         |         list_transform(v, x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))) AS qv
+         |         list_transform(v, x -> CASE WHEN s = 0 THEN 0.0
+         |                                ELSE greatest(-127.0, least(127.0, floor(x / s + 0.5))) END) AS qv
          |  FROM e),
          |err AS (
          |  SELECT vec_id, v, qv,

@@ -31,10 +31,12 @@ object TextPack extends QueryPack {
     // Language ID: stopword-profile scores + argmax with deterministic
     // tiebreak (profile order).
     "q20_lang_id" -> ((s, dir) => {
-      val toks = T.tokens(col("text"))
+      // native vocab-hit probes over ONE shared whitespace split (codegen
+      // subexpression elimination merges the identical split subtrees)
       val scored = Tables.table(s, dir, "documents")
         .select(col("doc_id") +: col("lang") +:
-          langProfiles.map { case (l, ws) => T.vocabHits(toks, ws).as(s"s_$l") }: _*)
+          langProfiles.map { case (l, ws) =>
+            T.vocabHitsText(col("text"), ws).as(s"s_$l") }: _*)
       val best = langProfiles.map(_._1).foldRight(lit("und")) { (l, rest) =>
         when(col(s"s_$l") === greatest(langProfiles.map(p => col(s"s_${p._1}")): _*)
           && col(s"s_$l") > 0, l).otherwise(rest)
@@ -50,7 +52,7 @@ object TextPack extends QueryPack {
     "q21_quality_score" -> ((s, dir) => {
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          size(T.tokens(col("text"))).as("n_tokens"),
+          T.tokenStats(col("text")).getField("ws_tokens").as("n_tokens"),
           length(col("text")).as("n_chars"),
           round(T.avgTokenLength(col("text")), 6).as("avg_tok_len"),
           round(T.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
@@ -58,13 +60,17 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Token counting: whitespace + BPE-ish regex segmentation.
+    // Token counting: whitespace + BPE-ish segmentation — ONE native
+    // single-pass scan (graft_token_stats) instead of three
+    // regexp_extract_all passes each materializing a match array (9.8 s
+    // of the round-1 driver bench).
     "q22_token_stats" -> ((s, dir) => {
+      val ts = T.tokenStats(col("text"))
       Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          size(T.tokens(col("text"))).as("ws_tokens"),
-          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))).as("alpha_tokens"),
-          size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("bpe_tokens"))
+          ts.getField("ws_tokens").as("ws_tokens"),
+          ts.getField("alpha_tokens").as("alpha_tokens"),
+          ts.getField("bpe_tokens").as("bpe_tokens"))
         .orderBy("doc_id")
     }),
 
@@ -80,15 +86,22 @@ object TextPack extends QueryPack {
     // term per document with deterministic tiebreak.
     "q45_tfidf" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val nDocs = docs.count()
+      // corpus size as an IN-PLAN 1-row aggregate cross-joined onto the
+      // scores (the ScaleJoins.skewProfile pattern) — a driver-side
+      // docs.count() here would run a job during query CONSTRUCTION and
+      // scan the corpus twice. No broadcast hint on the document-frequency
+      // side either: the vocabulary of a 100 TB corpus outgrows any
+      // broadcast, so the join strategy is left to AQE.
+      val nDocs = docs.select(
+        count(lit(1)).cast("double").as("n_docs"))
       val terms = docs
         .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = terms.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(df), "term")
-        .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      val scored = tf.join(df, "term").crossJoin(nDocs)
+        .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("tfidf").desc, col("term"))

@@ -18,10 +18,18 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** docs stream (doc_id, text, ts TIMESTAMP) → first-arrival survivors,
-    * deduped on content within the watermark horizon. */
+    * deduped on content within the watermark horizon.
+    *
+    * `dropDuplicatesWithinWatermark`, not `dropDuplicates`: the plain
+    * variant only evicts state when the event-time column is PART of the
+    * dedup key, so keying on content_hash alone would grow state without
+    * bound and the documented eviction semantics would be a lie. The
+    * WithinWatermark variant evicts each seen hash once it is older than
+    * the watermark horizon — state is bounded by the horizon's arrival
+    * volume, and content re-arriving after eviction is treated as new. */
   def exactDedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     docs
       .withColumn("content_hash", graft.operators.Dedup.contentHash(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

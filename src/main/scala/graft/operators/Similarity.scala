@@ -192,20 +192,20 @@ object Similarity {
     * collide in at least one band w.h.p. — at cosine ≥ 0.98 (θ ≤ 0.2 rad,
     * 16 bands × 8 bits) the miss probability per true pair is < 1e-6, and
     * for the ~1.0-cosine pairs an embedding dedup actually targets it is
-    * < 1e-20. Deterministic: hyperplanes derive from `seed` only. */
+    * < 1e-20. Deterministic: hyperplanes derive from `seed` only.
+    *
+    * One fused native expression (see
+    * [[graft.functions.expressions.SignBands]]): the previous composed form
+    * built 128 separate dot-product expressions in a single Project, which
+    * fell out of whole-stage codegen on size and re-read the vector once
+    * per plane — it alone made q34 the slowest bench query. */
   def signBitBands(vec: Column, dim: Int, bands: Int = 16,
                    bitsPerBand: Int = 8, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * bitsPerBand)(
-      Seq.fill(dim)(rnd.nextGaussian()))
-    val keys = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { j =>
-        val bit = when(dot(vec, typedLit(planes(b * bitsPerBand + j))) >= 0,
-          lit(1)).otherwise(lit(0))
-        bit * lit(1 << j)
-      }.reduce(_ + _)
-    }
-    array(keys: _*)
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    column(graft.functions.expressions.SignBands(
+      Cast(expression(vec), ArrayType(DoubleType)), dim, bands, bitsPerBand, seed))
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — embedding near-dup, the

@@ -33,12 +33,25 @@ object Training {
     * matrix partitioning exactly like the reference's setBlocks. */
   def alsTrain(ratings: DataFrame, rank: Int = 8, maxIter: Int = 10,
                regParam: Double = 0.1, blocks: Int = 10,
-               seed: Long = 42L): (DataFrame, DataFrame) = {
+               seed: Long = 42L, checkpointInterval: Int = 5): (DataFrame, DataFrame) = {
+    // The reference spills intermediate state to a temporary path
+    // (flink-als/ALSImpl.scala:42-44 setTemporaryPath). Spark's analog is
+    // lineage checkpointing: every ALS iteration extends the factor RDD
+    // lineage, and at 100×-scale iteration counts an unbroken chain means
+    // quadratic recovery cost and stack-depth risk — so cut it every
+    // `checkpointInterval` iterations. Only effective with a checkpoint
+    // dir; respect one the caller already set, else provide a local temp.
+    val sc = ratings.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-als-ckpt").toString)
+    }
     val model: ALSModel = new ALS()
       .setUserCol("user_id").setItemCol("item_id").setRatingCol("rating")
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
       .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
       .setSeed(seed)
+      .setCheckpointInterval(checkpointInterval)
       .setColdStartStrategy("drop")
       .fit(ratings)
     def shape(df: DataFrame, idCol: String, vecCol: String): DataFrame =

@@ -97,12 +97,61 @@ class SimilaritySpec extends SparkSpec {
       s"k-means IVF recall $rTrained should be >= arbitrary-centroid recall $rNaive")
   }
 
-  test("cosineNearDup returns only pairs above threshold, a<b") {
-    val pairs = Similarity.cosineNearDup(corpus, 0.35).collect()
-    assert(pairs.nonEmpty)
-    pairs.foreach { r =>
-      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
-      assert(r.getAs[Double]("cos_sim") >= 0.35)
+  // The q34 corpus shape: embeddings ∪ a perturbed copy of every 5th vector,
+  // so there are planted near-dup pairs just under cosine 1.0.
+  private lazy val plantedCorpus = {
+    val base = Tables.table(spark, sf1, "embeddings")
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("vec"))
+    base.unionAll(base.filter(col("id") % 5 === 0)
+      .select((col("id") + 100000L).as("id"),
+        transform(col("vec"), (x, i) =>
+          when(i === 0, x + 0.1).otherwise(x)).as("vec")))
+  }
+
+  test("cosineNearDup (LSH-blocked) returns exactly the all-pairs baseline's pairs") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cos_sim"))).toSet
+    val blocked = asSet(Similarity.cosineNearDup(plantedCorpus, 0.98, dim = 64))
+    val exact = asSet(Similarity.cosineNearDupExact(plantedCorpus, 0.98))
+    assert(blocked.nonEmpty)
+    assert(blocked === exact)
+    blocked.foreach { case (a, b, s) => assert(a < b && s >= 0.98) }
+  }
+
+  test("cosineNearDup plan is blocked: no cartesian product, no nested-loop join") {
+    val plan = Similarity.cosineNearDup(plantedCorpus, 0.98, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("native SignBands equals the composed per-plane form") {
+    import graft.functions.VectorFunctions.dot
+    // the composed reference the fused expression replaced: one dot-product
+    // expression per (band, bit), same seeded plane-draw order
+    def composed(vec: org.apache.spark.sql.Column, dim: Int, bands: Int,
+                 bits: Int, seed: Long): org.apache.spark.sql.Column = {
+      val rnd = new scala.util.Random(seed)
+      val planes = Array.fill(bands * bits)(Seq.fill(dim)(rnd.nextGaussian()))
+      array((0 until bands).map { b =>
+        (0 until bits).map { j =>
+          val bit = when(dot(vec, typedLit(planes(b * bits + j))) >= 0,
+            lit(1)).otherwise(lit(0))
+          bit * lit(1 << j)
+        }.reduce(_ + _)
+      }: _*)
+    }
+    val rows = plantedCorpus.limit(50)
+      .select(col("id"),
+        Similarity.signBitBands(col("vec"), 64, 4, 6, seed = 7L).as("native"),
+        composed(col("vec"), 64, 4, 6, seed = 7L).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1).toList === r.getSeq[Int](2).toList,
+        s"band keys diverge for id ${r.get(0)}")
     }
   }
 }

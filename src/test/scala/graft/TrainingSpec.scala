@@ -20,6 +20,10 @@ class TrainingSpec extends SparkSpec {
     }
     assert(rmse < meanBaseline,
       s"ALS rmse $rmse should beat constant-mean rmse $meanBaseline")
+    // the ALSImpl.setTemporaryPath analog: long training lineages must be
+    // cut — alsTrain provides a checkpoint dir when the caller set none
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+      "alsTrain must ensure a checkpoint dir for iteration lineage cuts")
   }
 
   test("ALS export round-trips through the wire codec") {

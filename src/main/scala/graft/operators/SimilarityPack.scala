@@ -70,12 +70,26 @@ object SimilarityPack extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
-    // spark.ml random-hyperplane LSH ANN (seeded; not SQL-expressible →
-    // rows-only check; recall asserted in SimilaritySpec).
+    // spark.ml random-hyperplane LSH ANN. The LSH itself is not
+    // SQL-expressible, so the query emits deterministic QUALITY GATES the
+    // oracle CAN pin: every query answered with a full top-3 (structural
+    // completeness of the bucketed join) and rank-1 recall vs the exact
+    // brute-force baseline ≥ 0.5 (the approximation bar; seeded hashes make
+    // it deterministic). A hash mismatch means the LSH degenerated —
+    // empty buckets or lost recall. Detailed neighbor lists remain
+    // asserted in SimilaritySpec.
     "q38_ann_lsh" -> ((s, dir) => {
-      Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), k = 3)
-        .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("sim"))
-        .orderBy("qid", "rank")
+      val q = queriesDf(s, dir).select(col("qid"))
+      val lshSets = Similarity.lshTopK(corpus(s, dir), queriesDf(s, dir), k = 3)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("cnt"), collect_set(col("id")).as("ids"))
+      val bf1 = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k = 1)
+        .select(col("qid"), col("id").as("top1"))
+      q.join(lshSets, Seq("qid"), "left").join(bf1, Seq("qid"), "left")
+        .agg(count(lit(1)).as("n_queries"),
+          bool_and(coalesce(col("cnt"), lit(0L)) === 3).as("full_topk"),
+          (avg(when(array_contains(col("ids"), col("top1")), 1.0)
+            .otherwise(0.0)) >= 0.5).as("recall_ok"))
     }),
 
     // Symmetric int8 quantization of the embedding column — the 4x
@@ -123,6 +137,11 @@ object SimilarityPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+    "q38_ann_lsh" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       TRUE AS full_topk, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin,
+
     "q34_embedding_neardup" ->
       s"""WITH base AS (
          |  SELECT vec_id AS id,

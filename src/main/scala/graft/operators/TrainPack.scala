@@ -7,8 +7,15 @@ import graft.QueryPack
 
 /** ML training jobs as driver-contract queries (SURVEY.md §7.2 step 3).
   *
-  * ALS/LinearSVC fits are not ANSI-SQL-expressible, so these entries carry
-  * no oracle (the driver records rows-only checks); the quality assertions
+  * ALS/LinearSVC fits are not ANSI-SQL-expressible, but their OUTPUTS here
+  * are deterministic quality gates that ARE: q24 emits per-kind factor-row
+  * counts (= distinct users/items in the training sample, derivable from
+  * the raw tables) plus a zero NaN count; q25 emits per-feature
+  * nonzero-weight booleans (a seeded fit on informative features leaves no
+  * weight at ±1e-12). The DuckDB twins compute the counts from the data and
+  * pin the gates — a hash mismatch means the fit degenerated (NaNs, dropped
+  * ids, collapsed weights), which is exactly what a training health check
+  * should catch. Fit-quality assertions (RMSE vs baseline, separability)
   * live in TrainingSpec. Both train on a deterministic sample so the bench
   * cost stays bounded at sf0.1.
   */
@@ -50,5 +57,27 @@ object TrainPack extends QueryPack {
     })
   )
 
-  def oracles: Map[String, String] = Map.empty
+  def oracles: Map[String, String] = Map(
+    // Factor tables cover exactly the distinct ids of the training sample;
+    // a healthy fit has zero NaN factor vectors.
+    "q24_als_train" ->
+      """WITH r AS (
+        |  SELECT o_custkey AS user_id, l_partkey AS item_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey % 5 = 0)
+        |SELECT 'I' AS kind, CAST(count(DISTINCT item_id) AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS n_nan FROM r
+        |UNION ALL
+        |SELECT 'U' AS kind, CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+        |       CAST(0 AS BIGINT) AS n_nan FROM r
+        |ORDER BY kind""".stripMargin,
+
+    // The seeded hinge fit on four informative lineitem features must leave
+    // every weight materially nonzero (L2 regularization never zeroes them).
+    "q25_svm_train" ->
+      """SELECT CAST(feature_id AS BIGINT) AS feature_id, nonzero
+        |FROM (VALUES (1, TRUE), (2, TRUE), (3, TRUE), (4, TRUE))
+        |  AS t(feature_id, nonzero)
+        |ORDER BY feature_id""".stripMargin
+  )
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -55,6 +55,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_token_stats takes exactly 1 argument")
         TokenStats(args.head)
+      }),
+    (FunctionIdentifier("graft_zratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "graft_zratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_zratio takes exactly 1 argument")
+        DeflateRatio(args.head)
       }),
     (FunctionIdentifier("graft_vocab_hits"),
       new ExpressionInfo(classOf[VocabHits].getName, "graft_vocab_hits"),

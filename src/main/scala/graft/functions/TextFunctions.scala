@@ -46,6 +46,12 @@ object TextFunctions {
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
+  /** Deflate compression ratio (compressed/raw bytes) — the corpus quality
+    * signal behind "too repetitive / binary junk" filters; see
+    * [[graft.functions.expressions.DeflateRatio]]. */
+  def zratio(text: Column): Column =
+    column(expressions.DeflateRatio(expression(text)))
+
   /** Collapse runs of whitespace + trim + lowercase — the canonical form
     * used for exact-dup hashing. */
   def normalize(text: Column): Column =

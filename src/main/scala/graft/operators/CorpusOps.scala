@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between ingestion and training: deterministic splits/sampling, URL
+  * canonicalization, and token-window chunking (no reference analog — the
+  * builder-prompt LLM-pipeline scope).
+  *
+  * Everything here is a pure function of the row (seeded by a salt string),
+  * so the operators are embarrassingly parallel — no shuffle, no state, no
+  * RNG whose draw order depends on partitioning — and every one is
+  * reproducible across engines: the DuckDB oracles replicate them exactly
+  * (md5 hex and basic regexes behave identically on both).
+  *
+  * Why md5-bucket sampling instead of `df.sample`/`rand`: `rand(seed)` is
+  * partition-order dependent — a repartition or AQE re-plan silently changes
+  * WHICH rows are kept. A content hash of (salt, key) is stable under any
+  * physical layout, re-run, and engine — the property a train/val/test
+  * split must have at 100 TB where the layout is never twice the same.
+  */
+object CorpusOps {
+
+  /** First 4 hex chars of md5("salt:key") — a uniform bucket in [0, 16^4)
+    * represented AS THE HEX STRING, compared lexicographically. Staying in
+    * string space keeps the operator portable: every engine renders md5 as
+    * lowercase hex, while hex→int conversion is engine-specific. */
+  def hashHex4(salt: String, key: Column): Column =
+    substring(md5(concat(lit(salt), lit(":"), key.cast("string"))), 1, 4)
+
+  /** Threshold hex string for a keep-fraction: bucket < threshold ⇔ keep.
+    * frac ≥ 1.0 maps to "zzzz" (sorts above every hex digit → keep all). */
+  def hexThreshold(frac: Double): String =
+    if (frac >= 1.0) "zzzz"
+    else f"${math.max(0, (frac * 65536).toInt)}%04x"
+
+  /** Deterministic train/val/test label for a row key. Buckets partition
+    * the space, so the split is exhaustive and disjoint by construction. */
+  def hashSplit(key: Column, trainFrac: Double = 0.8, valFrac: Double = 0.1,
+                salt: String = "split"): Column = {
+    val b = hashHex4(salt, key)
+    when(b < hexThreshold(trainFrac), "train")
+      .when(b < hexThreshold(trainFrac + valFrac), "val")
+      .otherwise("test")
+  }
+
+  /** Per-stratum deterministic sampling — the domain-rebalancing step of a
+    * training-data mix (downsample the dominant web crawl, keep all of the
+    * rare domain). Keeps a row iff its (stratum, key) hash bucket falls
+    * below the stratum's fraction threshold. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       fracs: Map[String, Double], defaultFrac: Double,
+                       salt: String = "strat"): DataFrame = {
+    val thr = fracs.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, f)) =>
+        acc.when(col(stratumCol) === stratum, lit(hexThreshold(f)))
+    }.otherwise(lit(hexThreshold(defaultFrac)))
+    df.filter(
+      hashHex4(salt, concat(col(stratumCol), lit(":"),
+        col(keyCol).cast("string"))) < thr)
+  }
+
+  /** Canonicalize an absolute URL for dedup:
+    *  - scheme + host lowercased (path/query case preserved)
+    *  - default ports :80/:443 stripped
+    *  - leading `www.` stripped
+    *  - fragment stripped
+    *  - `utm_*` tracking parameters stripped (with separator repair)
+    *  - trailing `?`/`&`/`/` stripped
+    *
+    * Built from simple regexp_replace steps with no backreferences — the
+    * subset of regex behavior that is identical between Java regex (Spark)
+    * and RE2 (DuckDB oracle), so the canonical form is engine-independent. */
+  def normalizeUrl(url: Column): Column = {
+    val prefix = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, "^([^/]*//[^/]*)", 1)),
+        ":(443|80)$", ""),
+      "//www\\.", "//")
+    val rest0 = regexp_replace(url, "^[^/]*//[^/]*", "")
+    val rest1 = regexp_replace(rest0, "#.*", "")
+    val rest2 = regexp_replace(rest1, "utm_[^&#]*&?", "")
+    val rest3 = regexp_replace(regexp_replace(rest2, "\\?&", "?"), "[?&]+$", "")
+    val rest = regexp_replace(rest3, "/$", "")
+    concat(prefix, rest)
+  }
+
+  /** Split documents into overlapping token windows — the sequence-packing
+    * step before tokenization: (id, chunk_idx, n_toks, chunk). `window`
+    * tokens per chunk, a new chunk every `stride` tokens (overlap =
+    * window - stride). Linear, shuffle-free: chunks explode in place from
+    * each row, so a 100 TB corpus chunks at scan speed. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .select(col(idCol), col("_toks"),
+        posexplode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_idx", "_start")))
+      .select(col(idCol), col("chunk_idx"),
+        least(lit(window), size(col("_toks")) - col("_start")).as("n_toks"),
+        array_join(slice(col("_toks"), col("_start") + 1, lit(window)), " ")
+          .as("chunk"))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Corpus-preparation queries over the documents/events tables: the
+  * deterministic split/sample/canonicalize/chunk stages of a training-data
+  * pipeline (CorpusOps) plus sketch-based counting and the compression
+  * quality signal.
+  *
+  * Every query here is oracle-checked. The hash/sampling/URL/chunk ops are
+  * replicated exactly in DuckDB (md5 hex + basic regex are portable); the
+  * two engine-specific kernels (HyperLogLog, deflate) emit deterministic
+  * quality GATES the oracle pins (exact counts + booleans) — a hash
+  * mismatch means the sketch or signal left its accuracy envelope.
+  */
+object PipelinePack extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Synthetic absolute URL per document, messy on purpose (mixed-case
+    * scheme/host, default port, www, tracking params, fragment). Built
+    * identically in the DuckDB twin so normalization is exercised on real
+    * variety: doc_ids collide on (mod 40) after canonicalization. */
+  private def syntheticUrl = concat(
+    lit("HTTPS://WWW."), col("source"), lit(".Example.COM:443/docs/"),
+    (col("doc_id") % 40).cast("string"),
+    lit("/page?utm_source=feed&utm_campaign=c"), (col("doc_id") % 3).cast("string"),
+    lit("&id="), (col("doc_id") % 20).cast("string"),
+    lit("#sec"), (col("doc_id") % 5).cast("string"))
+
+  private val urlSql =
+    """'HTTPS://WWW.' || source || '.Example.COM:443/docs/' ||
+      |CAST(doc_id % 40 AS VARCHAR) ||
+      |'/page?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR) ||
+      |'&id=' || CAST(doc_id % 20 AS VARCHAR) ||
+      |'#sec' || CAST(doc_id % 5 AS VARCHAR)""".stripMargin
+
+  /** Per-language keep fractions for the stratified sample: downsample the
+    * dominant language, keep all of the rarest (the domain-rebalancing
+    * shape of a training mix). */
+  private val StratFracs = Map("en" -> 0.25, "zh" -> 1.0)
+  private val StratDefault = 0.5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic md5-bucket train/val/test split: layout-independent
+    // (unlike rand(seed)), exhaustive and disjoint by construction.
+    "q50_hash_split" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), CorpusOps.hashSplit(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    }),
+
+    // Stratified deterministic sampling: per-language keep fractions; the
+    // oracle re-derives the exact surviving row set.
+    "q51_stratified_sample" -> ((s, dir) => {
+      CorpusOps.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        StratFracs, StratDefault)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + dedup: normalize the messy synthetic URL,
+    // group on the canonical form, keep the smallest doc_id.
+    "q52_url_dedup" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), CorpusOps.normalizeUrl(syntheticUrl).as("url"))
+        .groupBy("url")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+        .orderBy("url")
+    }),
+
+    // Token-window chunking (window 32, stride 24): the sequence-packing
+    // step before tokenization. Chunk text is hash-fingerprinted so the
+    // oracle verifies exact chunk CONTENT without bulky output.
+    "q53_chunk_tokens" -> ((s, dir) => {
+      CorpusOps.chunkTokens(docs(s, dir), "doc_id", "text",
+        window = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+          substring(md5(col("chunk")), 1, 8).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // HyperLogLog distinct-count sketch (rsd 1%) vs the exact count — the
+    // cardinality-estimation pass a 100 TB pipeline runs where exact
+    // distinct would shuffle everything. The oracle pins the exact count
+    // and the sketch's 5% accuracy gate.
+    "q54_approx_distinct" -> ((s, dir) => {
+      val exact = countDistinct(col("user_id"))
+      Tables.table(s, dir, "events")
+        .agg(exact.as("exact_users"),
+          (abs(approx_count_distinct(col("user_id"), 0.01) - exact)
+            .cast("double") / exact.cast("double") <= 0.05)
+            .as("hll_within_5pct"))
+    }),
+
+    // Deflate compression-ratio quality signal (graft_zratio): per-doc
+    // ratios are not SQL-expressible, so the query emits corpus-level
+    // gates: ratios inside the sane band, and doubling a text never
+    // compresses worse (the invariant that makes the signal a repetition
+    // detector).
+    "q55_compress_ratio" -> ((s, dir) => {
+      val zr = TextFunctions.zratio(col("text"))
+      val zr2 = TextFunctions.zratio(concat(col("text"), lit(" "), col("text")))
+      docs(s, dir)
+        .select(zr.as("r1"), zr2.as("r2"))
+        .agg(count(lit(1)).as("n_docs"),
+          bool_and(col("r1") > 0.02 && col("r1") < 1.3).as("ratio_bounded"),
+          bool_and(col("r2") <= col("r1")).as("doubling_compresses"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q50_hash_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |              WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |              ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |       min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |      < CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'zzzz' ELSE '8000' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q52_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $urlSql AS url FROM documents),
+         |n AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(
+         |      lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)),
+         |      ':(443|80)$$', '', 'g'), '//www\\.', '//', 'g')
+         |    ||
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(url, '^[^/]*//[^/]*', '', 'g'),
+         |      '#.*', '', 'g'),
+         |      'utm_[^&#]*&?', '', 'g'),
+         |      '\\?&', '?', 'g'),
+         |      '[?&]+$$', '', 'g'),
+         |      '/$$', '', 'g') AS url
+         |  FROM u)
+         |SELECT url, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
+         |FROM n GROUP BY url ORDER BY url""".stripMargin,
+
+    "q53_chunk_tokens" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, len(toks) - 1, 24)) AS start
+        |  FROM d)
+        |SELECT doc_id,
+        |       CAST(start // 24 AS INTEGER) AS chunk_idx,
+        |       CAST(least(32, len(toks) - start) AS INTEGER) AS n_toks,
+        |       substring(md5(array_to_string(toks[start + 1 : start + 32], ' ')), 1, 8) AS chunk_hash
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q54_approx_distinct" ->
+      """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |       TRUE AS hll_within_5pct
+        |FROM events""".stripMargin,
+
+    "q55_compress_ratio" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       TRUE AS ratio_bounded, TRUE AS doubling_compresses
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.CorpusOps
+
+/** Unit behavior of the corpus-preparation operators (CorpusOps +
+  * DeflateRatio); the cross-engine exactness of the same ops is covered by
+  * the PipelinePack oracles. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: exhaustive, disjoint, near-target fractions, layout-stable") {
+    val n = 20000
+    val ids = spark.range(n).toDF("id")
+    val split = ids.select(col("id"), CorpusOps.hashSplit(col("id")).as("s"))
+    val counts = split.groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === n)
+    assert(math.abs(counts("train") / n.toDouble - 0.8) < 0.02)
+    assert(math.abs(counts("val") / n.toDouble - 0.1) < 0.01)
+    assert(math.abs(counts("test") / n.toDouble - 0.1) < 0.01)
+    // layout independence: repartitioning must not change any assignment
+    val a = split.orderBy("id").as[(Long, String)].collect().toSeq
+    val b = ids.repartition(13).select(col("id"), CorpusOps.hashSplit(col("id")).as("s"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("stratifiedSample keeps per-stratum fractions and is a deterministic subset") {
+    val df = spark.range(10000)
+      .select(col("id"), (when(col("id") % 10 < 6, "big").otherwise("small")).as("g"))
+    val kept = CorpusOps.stratifiedSample(df, "id", "g",
+      Map("big" -> 0.25), defaultFrac = 1.0)
+    val frac = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(frac("small") === 4000, "defaultFrac 1.0 keeps every row")
+    assert(math.abs(frac("big") / 6000.0 - 0.25) < 0.03)
+    assert(kept.count() === CorpusOps.stratifiedSample(df, "id", "g",
+      Map("big" -> 0.25), defaultFrac = 1.0).count())
+  }
+
+  test("normalizeUrl canonical forms and idempotence") {
+    val cases = Seq(
+      ("HTTPS://WWW.Site.COM:443/A/b?utm_source=x&id=1#frag",
+        "https://site.com/A/b?id=1"),
+      ("http://Example.org:80/path/", "http://example.org/path"),
+      ("https://example.org/p?utm_a=1&utm_b=2", "https://example.org/p"),
+      ("https://example.org/p?id=2&utm_last=9", "https://example.org/p?id=2"),
+      ("https://example.org/CaseKept/Path?Q=UPPER", "https://example.org/CaseKept/Path?Q=UPPER"))
+    val out = cases.toDF("url", "want")
+      .select(CorpusOps.normalizeUrl(col("url")).as("got"), col("want"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got === want) }
+    // idempotent: normalizing a canonical form is the identity
+    val twice = cases.toDF("url", "want")
+      .select(CorpusOps.normalizeUrl(CorpusOps.normalizeUrl(col("url"))).as("got2"),
+        CorpusOps.normalizeUrl(col("url")).as("got1"))
+      .as[(String, String)].collect()
+    twice.foreach { case (g2, g1) => assert(g2 === g1) }
+  }
+
+  test("chunkTokens windows, overlap, and tail") {
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+    val chunks = CorpusOps.chunkTokens(df, "id", "text", window = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_toks", "chunk")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(chunks === Seq((0, 3, "a b c"), (1, 3, "c d e"), (2, 1, "e")))
+  }
+
+  test("DeflateRatio: repetitive text compresses below varied text; deterministic; empty = 1.0") {
+    val varied = (1 to 200).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")
+    val repetitive = Seq.fill(200)("spam ham").mkString(" ")
+    val rows = Seq(("v", varied), ("r", repetitive), ("e", ""))
+      .toDF("k", "t")
+      .select(col("k"), TextFunctions.zratio(col("t")).as("z"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("r") < rows("v"),
+      s"repetitive ${rows("r")} should compress below varied ${rows("v")}")
+    assert(rows("v") > 0.0 && rows("v") < 1.3)
+    assert(rows("e") === 1.0)
+    // determinism across evaluations
+    val again = Seq(("v", varied)).toDF("k", "t")
+      .select(TextFunctions.zratio(col("t"))).as[Double].head()
+    assert(again === rows("v"))
+    // SQL registration surface
+    GraftExtensions.register(spark)
+    val viaSql = Seq(varied).toDF("t").createOrReplaceTempView("zr_t")
+    assert(spark.sql("SELECT graft_zratio(t) FROM zr_t").as[Double].head() === rows("v"))
+  }
+}

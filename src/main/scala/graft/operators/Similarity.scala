@@ -62,18 +62,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Assign each row to its highest-cosine centroid: (id, vec, cid). */
+  /** Assign each row to its highest-cosine centroid: (id, vec, cid).
+    *
+    * Argmax as `max_by` aggregation, not a row_number window: the window
+    * form shuffles ALL |rows| × |centroids| scored pairs to sort each
+    * partition; `max_by` partial-aggregates map-side, so only one
+    * candidate per (row, task) crosses the wire — the difference between
+    * shuffling k× the corpus and shuffling the corpus once at 100 TB.
+    * Ties break exactly like the previous ORDER BY (sim DESC, cid ASC):
+    * the ordering struct is (sim, -cid), nulls pinned below every real
+    * cosine (a zero-norm vector has sim null → assigned the last-ranked
+    * centroid, never "closest"). */
   def assign(data: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
     val d = prepped(data, idCol, vecCol, "_d")
     val c = prepped(centroids, "cid", "cvec", "_k")
-    val w = Window.partitionBy(col("id_d"))
-      .orderBy(pairSim("_d", "_k").desc, col("id_k"))
     d.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id_d").as(idCol), col("vec_d").as(vecCol),
-        col("n2_d").as("n2"), col("id_k").as("cid"))
+      .groupBy(col("id_d"))
+      .agg(max_by(
+        struct(col("vec_d"), col("n2_d"), col("id_k")),
+        struct(coalesce(pairSim("_d", "_k"), lit(-2.0)).as("s"),
+          (-col("id_k")).as("nid"))).as("best"))
+      .select(col("id_d").as(idCol), col("best.vec_d").as(vecCol),
+        col("best.n2_d").as("n2"), col("best.id_k").as("cid"))
   }
 
   /** IVF top-k: search only the query's centroid bucket. Trades recall for

@@ -61,8 +61,33 @@ object DedupPack extends QueryPack {
         .select(col("doc_a"), col("doc_b"), col("n_shared"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Decontamination: word-5-gram overlap of an eval split against the
+    // train split; planted verbatim copies of train docs must come out
+    // contaminated, the organic eval split must not.
+    "q56_contamination" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") % 10 =!= 9)
+      val evalSet = d.filter(col("doc_id") % 10 === 9)
+        .unionAll(d.filter(col("doc_id") % 20 === 6)
+          .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+      Decontaminate.overlap(train, evalSet, n = 5, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Dup-group clustering: connected components over the q31 near-dup
+    // pairs — transitive closure turns the pair list into keep/drop groups.
+    "q57_dup_groups" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(withCopies(s, dir, mod = 2), shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.5)
+      DupGroups.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("component"))
+        .orderBy("doc_id")
     })
   )
+
+  val PlantOffset = 200000L
 
   // ---- DuckDB twins --------------------------------------------------------
 
@@ -112,13 +137,13 @@ object DedupPack extends QueryPack {
        |            JOIN counts cb ON cb.doc_id = doc_b
        |            WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= $threshold)""".stripMargin
 
-  /** Distinct word-3-gram shingles CTE body over docs(doc_id, text). */
-  def shinglesSql(docsCte: String): String = {
+  /** Distinct word-`n`-gram shingles CTE body over docs(doc_id, text). */
+  def shinglesSql(docsCte: String, n: Int = 3): String = {
     val toks = TextPack.toksSql("text")
     s"""SELECT DISTINCT doc_id, unnest(
-       |  CASE WHEN len(toks) >= 3
-       |       THEN list_transform(generate_series(1, len(toks) - 2),
-       |                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       |  CASE WHEN len(toks) >= $n
+       |       THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |                           i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
        |       ELSE CAST([] AS VARCHAR[]) END) AS sh
        |FROM (SELECT doc_id, $toks AS toks FROM $docsCte)""".stripMargin
   }
@@ -163,6 +188,50 @@ object DedupPack extends QueryPack {
          |ids AS (SELECT DISTINCT doc_id FROM sh),
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
-         |${jaccardTailSql(0.3, " CAST(n_shared AS BIGINT) AS n_shared,")}""".stripMargin
+         |${jaccardTailSql(0.3, " CAST(n_shared AS BIGINT) AS n_shared,")}""".stripMargin,
+
+    "q56_contamination" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),
+         |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9
+         |       UNION ALL
+         |       SELECT doc_id + $PlantOffset AS doc_id, text FROM documents WHERE doc_id % 20 = 6),
+         |tsh AS (SELECT DISTINCT sh FROM (${shinglesSql("tr", 5)})),
+         |esh AS (${shinglesSql("ev", 5)}),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM esh GROUP BY doc_id),
+         |hits AS (SELECT e.doc_id, COUNT(*) AS n_hit FROM esh e JOIN tsh t ON e.sh = t.sh
+         |         GROUP BY e.doc_id),
+         |v AS (SELECT DISTINCT doc_id FROM ev),
+         |f AS (SELECT v.doc_id,
+         |             CAST(coalesce(c.n_sh, 0) AS BIGINT) AS n_sh,
+         |             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |             ROUND(CASE WHEN coalesce(c.n_sh, 0) = 0 THEN 0.0
+         |                        ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / c.n_sh END,
+         |                   6) AS overlap_frac
+         |      FROM v LEFT JOIN counts c ON c.doc_id = v.doc_id
+         |             LEFT JOIN hits h ON h.doc_id = v.doc_id)
+         |SELECT doc_id, n_sh, n_hit, overlap_frac,
+         |       overlap_frac >= 0.5 AS contaminated
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Transitive closure of the q31 pair list as a recursive min-label
+    // walk — the SQL fixpoint twin of DupGroups.connectedComponents.
+    "q57_dup_groups" ->
+      s"""WITH RECURSIVE docs AS (${withCopiesSql(2)}),
+         |sh AS (${shinglesSql("docs")}),
+         |${minhashCandCtes()},
+         |$countsSharedCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM shared
+         |          JOIN counts ca ON ca.doc_id = doc_a
+         |          JOIN counts cb ON cb.doc_id = doc_b
+         |          WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= 0.5),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM und),
+         |walk(id, comp) AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT u.src AS id, w.comp FROM und u JOIN walk w ON u.dst = w.id)
+         |SELECT id AS doc_id, min(comp) AS component
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

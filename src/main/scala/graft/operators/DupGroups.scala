@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-group clustering: connected components over near-dup PAIRS —
+  * the step that turns a pair list (q31/q34's output) into keep/drop
+  * decisions. Transitivity matters: if A~B and B~C, all three are one
+  * group even when A~C missed the similarity bar, and exactly one
+  * representative should survive.
+  *
+  * Min-label propagation to a fixpoint: every vertex starts labeled with
+  * itself; each round a vertex takes the min label among itself and its
+  * neighbors; convergence in O(diameter) rounds. Dup clusters are
+  * near-cliques (LSH buckets pair their members densely), so the diameter
+  * is tiny and the loop exits after 2-3 rounds. Each round is one
+  * edge ⋈ label join + a min aggregation — all relational, partial-agg
+  * friendly, no driver-side graph. The per-round `localCheckpoint` cuts
+  * the otherwise exponentially-growing lineage (the standard iterative-
+  * algorithm pattern; at production scale point it at a reliable
+  * checkpoint dir). For adversarial graphs with long chains — not dup
+  * clusters — the alternating-star variants bound rounds at O(log n); the
+  * maxIter cap documents that boundary instead of hiding it.
+  */
+object DupGroups {
+
+  /** (src, dst) undirected edge list → (id, comp): every vertex that
+    * appears in an edge, labeled with the smallest reachable vertex id. */
+  def connectedComponents(edges: DataFrame,
+                          srcCol: String = "doc_a", dstCol: String = "doc_b",
+                          maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val fromNeighbors = und
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+      val next = labels.unionAll(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // labels only ever decrease, so "no label dropped" == fixpoint
+      converged = next
+        .join(labels.select(col("id"), col("comp").as("prev")), "id")
+        .filter(col("comp") < col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Per-group summary: (comp, size) for groups of 2+ — the dedup ledger
+    * (one keeper per comp, size-1 removals). */
+  def groupSizes(components: DataFrame): DataFrame =
+    components.groupBy(col("comp")).agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+}

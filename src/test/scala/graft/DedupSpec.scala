@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, DedupPack}
+import graft.operators.{Decontaminate, Dedup, DedupPack, DupGroups}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -36,6 +36,42 @@ class DedupSpec extends SparkSpec {
     val d = Seq((sh(1L), sh(3L))).toDF("a", "b")
       .select(Dedup.hamming(col("a"), col("b"))).head().getInt(0)
     assert(d >= 0)
+  }
+
+  test("connected components: transitive chains merge, islands stay apart") {
+    // chain 1-2-3-4-5 (diameter > 2 exercises multiple propagation rounds),
+    // island {10, 11}, and a triangle reached only through one bridge
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L), (22L, 23L))
+      .toDF("doc_a", "doc_b")
+    val comps = DupGroups.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).map(comps) === Seq.fill(5)(1L))
+    assert(Seq(10L, 11L).map(comps) === Seq(10L, 10L))
+    assert(Seq(20L, 21L, 22L, 23L).map(comps) === Seq.fill(4)(20L))
+    val sizes = DupGroups.groupSizes(
+      DupGroups.connectedComponents(edges))
+      .as[(Long, Long)].collect().toMap
+    assert(sizes === Map(1L -> 5L, 10L -> 2L, 20L -> 4L))
+  }
+
+  test("decontamination flags n-gram overlap with train, not disjoint eval docs") {
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "watch the quick brown fox jumps today"), // shares one 5-gram
+      (101L, "completely disjoint words only here now"),
+      (102L, "the quick brown fox jumps over the lazy dog"), // verbatim
+      (103L, "too short")) // shorter than one 5-gram
+      .toDF("doc_id", "text")
+    val out = Decontaminate.overlap(train, eval, n = 5, threshold = 0.5)
+      .select("doc_id", "n_hit", "contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(100L)._1 === 1 && !out(100L)._2, "one shared 5-gram of three is below 0.5")
+    assert(out(101L) === ((0L, false)))
+    assert(out(102L)._1 === 5 && out(102L)._2, "verbatim copy is contaminated")
+    assert(out(103L) === ((0L, false)))
   }
 
   test("jaccard is exact on a hand-checked pair") {

@@ -86,6 +86,48 @@ object CorpusOps {
     concat(prefix, rest)
   }
 
+  /** Deterministic shard index in [0, 16) from the first hex char of the
+    * row hash — the final-write layout step of a training pipeline: shards
+    * are stable under any partitioning/re-run, so an export can be
+    * resumed, diffed, or re-written shard-by-shard. 16 shards because one
+    * hex char is the largest shard count whose derivation stays portable
+    * (`ascii` of the char — no engine-specific hex→int cast). Write with
+    * `df.write.partitionBy(col)` for one directory per shard. */
+  def shardIndex(key: Column, salt: String = "shard"): Column = {
+    val c = ascii(substring(md5(concat(lit(salt), lit(":"),
+      key.cast("string"))), 1, 1))
+    when(c <= 57, c - 48).otherwise(c - 87).cast("int") // '0'-'9' | 'a'-'f'
+  }
+
+  /** Fractional per-domain replication — the data-mixing step that
+    * realizes "epochs per source" weights (upweight the curated domain,
+    * downsample the crawl). A weight w yields floor(w) full copies of
+    * every row plus one extra copy kept with probability w - floor(w),
+    * decided by the same layout-independent md5-bucket rule the samplers
+    * use. Output carries a `rep` column (0-based copy index) so downstream
+    * shuffling/sharding can separate the copies. */
+  def mixtureWeights(df: DataFrame, keyCol: String, domainCol: String,
+                     weights: Map[String, Double], defaultWeight: Double,
+                     salt: String = "mix"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 8),
+      "weights must be in [0, 8] (full copies explode rows)")
+    def chain(f: Double => Column) =
+      weights.foldLeft(when(lit(false), lit(null))) { case (acc, (d, w)) =>
+        acc.when(col(domainCol) === d, f(w))
+      }.otherwise(f(defaultWeight))
+    val wholeCopies = chain(w => lit(math.floor(w).toInt))
+    val fracThr = chain(w => lit(hexThreshold(w - math.floor(w))))
+    df
+      .withColumn("_whole", wholeCopies)
+      .withColumn("rep",
+        explode(sequence(lit(0), col("_whole")))) // 0..floor(w) inclusive
+      .filter(col("rep") < col("_whole") ||
+        hashHex4(salt, concat(col(domainCol), lit(":"),
+          col(keyCol).cast("string"), lit(":"), col("rep").cast("string")))
+          < fracThr)
+      .drop("_whole")
+  }
+
   /** Split documents into overlapping token windows — the sequence-packing
     * step before tokenization: (id, chunk_idx, n_toks, chunk). `window`
     * tokens per chunk, a new chunk every `stride` tokens (overlap =

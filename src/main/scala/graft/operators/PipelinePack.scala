@@ -103,6 +103,29 @@ object PipelinePack extends QueryPack {
             .as("hll_within_5pct"))
     }),
 
+    // Deterministic 16-way shard assignment — the final-write layout step:
+    // shard indices are stable under any partitioning/re-run, so exports
+    // are resumable and diffable shard-by-shard.
+    "q58_sharded_export" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), CorpusOps.shardIndex(col("doc_id")).as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")
+    }),
+
+    // Fractional domain-mixing weights: src0 ×2.5, src1 ×2.0, src2 ×0.25,
+    // everything else ×1.0. The oracle replays the exact replicate-and-
+    // keep rule, so output counts AND copy indices must match.
+    "q59_domain_mix" -> ((s, dir) => {
+      CorpusOps.mixtureWeights(docs(s, dir), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.25), defaultWeight = 1.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_out"), max("rep").as("max_rep"))
+        .orderBy("source")
+    }),
+
     // Deflate compression-ratio quality signal (graft_zratio): per-doc
     // ratios are not SQL-expressible, so the query emits corpus-level
     // gates: ratios inside the sane band, and doubling a text never
@@ -169,6 +192,38 @@ object PipelinePack extends QueryPack {
         |       CAST(least(32, len(toks) - start) AS INTEGER) AS n_toks,
         |       substring(md5(array_to_string(toks[start + 1 : start + 32], ' ')), 1, 8) AS chunk_hash
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q58_sharded_export" -> {
+      val c = "ascii(substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1))"
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $c <= 57 THEN $c - 48 ELSE $c - 87 END AS shard
+         |  FROM documents)
+         |SELECT CAST(shard AS INTEGER) AS shard, CAST(count(*) AS BIGINT) AS n,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+    },
+
+    "q59_domain_mix" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 2.0
+        |                     WHEN 'src2' THEN 0.25 ELSE 1.0 END AS wt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, wt,
+        |         unnest(generate_series(0, CAST(floor(wt) AS INTEGER))) AS rep
+        |  FROM w),
+        |k AS (
+        |  SELECT * FROM r
+        |  WHERE rep < floor(wt)
+        |     OR substring(md5('mix:' || source || ':' || CAST(doc_id AS VARCHAR)
+        |                      || ':' || CAST(rep AS VARCHAR)), 1, 4)
+        |        < CASE source WHEN 'src0' THEN '8000' WHEN 'src2' THEN '4000'
+        |                      ELSE '0000' END)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_out,
+        |       CAST(max(rep) AS INTEGER) AS max_rep
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "q54_approx_distinct" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -68,6 +68,36 @@ class PipelineSpec extends SparkSpec {
     assert(chunks === Seq((0, 3, "a b c"), (1, 3, "c d e"), (2, 1, "e")))
   }
 
+  test("shardIndex: 16 balanced shards, stable under repartitioning") {
+    val ids = spark.range(16000).toDF("id")
+    val shards = ids.select(col("id"), CorpusOps.shardIndex(col("id")).as("s"))
+    val counts = shards.groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(counts.keySet === (0 until 16).toSet)
+    counts.values.foreach(n => assert(math.abs(n - 1000) < 150, s"skewed shard: $n"))
+    val a = shards.orderBy("id").as[(Long, Int)].collect().toSeq
+    val b = ids.repartition(7).select(col("id"), CorpusOps.shardIndex(col("id")).as("s"))
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(a === b)
+  }
+
+  test("mixtureWeights: integer weights replicate exactly, fractional parts sample") {
+    val df = spark.range(4000)
+      .select(col("id"), (when(col("id") % 4 === 0, "dbl")
+        .when(col("id") % 4 === 1, "half")
+        .otherwise("one")).as("d"))
+    val out = CorpusOps.mixtureWeights(df, "id", "d",
+      Map("dbl" -> 2.0, "half" -> 0.5), defaultWeight = 1.0)
+    val n = out.groupBy("d").count().as[(String, Long)].collect().toMap
+    assert(n("dbl") === 2000, "weight 2.0 = exactly two copies of 1000 rows")
+    assert(n("one") === 2000, "weight 1.0 = identity")
+    assert(math.abs(n("half") - 500) < 60, s"weight 0.5 ~ half of 1000: ${n("half")}")
+    // copy indices are distinct per row (a shuffle can separate them)
+    val reps = out.filter(col("d") === "dbl").groupBy("id")
+      .agg(countDistinct(col("rep")).as("k")).agg(min("k"), max("k"))
+      .as[(Long, Long)].head()
+    assert(reps === ((2L, 2L)))
+  }
+
   test("DeflateRatio: repetitive text compresses below varied text; deterministic; empty = 1.0") {
     val varied = (1 to 200).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")
     val repetitive = Seq.fill(200)("spam ham").mkString(" ")

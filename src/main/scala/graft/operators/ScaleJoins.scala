@@ -52,6 +52,29 @@ object ScaleJoins {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Make the optimizer's runtime bloom-filter injection observable: for a
+    * shuffle equi-join whose build side carries a selective filter, Spark
+    * can build a bloom filter from the build-side keys at runtime and push
+    * `might_contain(key)` into the probe side's SCAN — non-joining fact
+    * rows die before the shuffle, the 100 TB benefit DPP gives partition
+    * keys extended to arbitrary join keys. Injection is gated on size
+    * estimates tuned for clusters (probe scan ≥ 10 GB by default); this
+    * pins the gates so the behavior exists at any scale. Session-wide by
+    * necessity: the decision happens at optimization time, long after the
+    * DataFrame is built. ScaleJoinsSpec asserts both the injected
+    * bloom-filter plan shape and result parity with the plain join. */
+  def enableRuntimeBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                               probeScanThresholdBytes: Long = 0L,
+                               buildThresholdBytes: Long = 100L << 20): Unit = {
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      probeScanThresholdBytes.toString)
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      buildThresholdBytes.toString)
+  }
+
   /** Null-safe skew diagnosis: rows per key, top-n heaviest keys with
     * their share of the total — the decision input for salt sizing. The
     * grand total is a scalar aggregate cross-joined back in (an

@@ -55,6 +55,36 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter is injected into the probe side of a selective join") {
+    import graft.sources.Tables
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      ScaleJoins.enableRuntimeBloomFilter(spark)
+      // force a shuffle join: broadcast would hide the probe-side benefit
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.table(spark, sf1, "lineitem").select("l_partkey", "l_quantity")
+      val dim = Tables.table(spark, sf1, "part")
+        .filter(col("p_partkey") % 97 === 0)
+        .select("p_partkey", "p_name")
+      val joined = fact.join(dim, fact("l_partkey") === dim("p_partkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter") || plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // value parity: the filter is a pure pruning optimization
+      val expected = Tables.table(spark, sf1, "lineitem")
+        .join(Tables.table(spark, sf1, "part").filter(col("p_partkey") % 97 === 0),
+          col("l_partkey") === col("p_partkey")).count()
+      assert(joined.count() === expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("skew profile surfaces the heaviest keys with shares") {
     val df = (Seq.fill(70)(1L) ++ Seq.fill(20)(2L) ++ Seq.fill(10)(3L))
       .toDF("k")

@@ -10,7 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // profiling knobs (the driver sets neither): SPARK_GRAFT_ONLY=q36_ann_ivf
+    // restricts the query set; SPARK_GRAFT_REPEAT=3 re-runs each query after
+    // its timed cold run and prints warm seconds to stderr — cold minus warm
+    // isolates plan-setup cost (codegen compile + file listing) from
+    // steady-state execution. The reported JSON is always the COLD run.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (count() would let
       // Catalyst prune the projections this bench is supposed to measure)
@@ -20,8 +29,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
+      val cold = (System.nanoTime() - t0) / 1e9
+      if (ok) (2 to repeat).foreach { r =>
+        val t = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        System.err.println(
+          f"[bench] $name warm run $r: ${(System.nanoTime() - t) / 1e9}%.2f s (cold $cold%.2f)")
+      }
       // a failed query must not masquerade as a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) cold else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

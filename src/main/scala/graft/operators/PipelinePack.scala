@@ -92,11 +92,15 @@ object PipelinePack extends QueryPack {
 
     // HyperLogLog distinct-count sketch (rsd 1%) vs the exact count — the
     // cardinality-estimation pass a 100 TB pipeline runs where exact
-    // distinct would shuffle everything. The oracle pins the exact count
-    // and the sketch's 5% accuracy gate.
+    // distinct would shuffle everything (in production you run ONLY the
+    // sketch; this gate query exists to pin its accuracy). Both aggregates
+    // run over pre-deduped keys: HLL is duplicate-insensitive, so the
+    // estimate is identical and the plan avoids the expand-based mixed
+    // distinct/non-distinct aggregation.
     "q54_approx_distinct" -> ((s, dir) => {
-      val exact = countDistinct(col("user_id"))
+      val exact = count(lit(1))
       Tables.table(s, dir, "events")
+        .select(col("user_id")).distinct()
         .agg(exact.as("exact_users"),
           (abs(approx_count_distinct(col("user_id"), 0.01) - exact)
             .cast("double") / exact.cast("double") <= 0.05)

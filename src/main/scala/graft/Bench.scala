@@ -16,7 +16,8 @@ object Bench {
     // isolates plan-setup cost (codegen compile + file listing) from
     // steady-state execution. The reported JSON is always the COLD run.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption)
+      .getOrElse(1)
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
@@ -32,9 +33,14 @@ object Bench {
       val cold = (System.nanoTime() - t0) / 1e9
       if (ok) (2 to repeat).foreach { r =>
         val t = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        System.err.println(
+        val warmOk =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name warm run $r FAILED: ${e.getMessage}")
+            false
+          }
+        // a failed warm run must not print a plausible-looking timing
+        if (warmOk) System.err.println(
           f"[bench] $name warm run $r: ${(System.nanoTime() - t) / 1e9}%.2f s (cold $cold%.2f)")
       }
       // a failed query must not masquerade as a fast success

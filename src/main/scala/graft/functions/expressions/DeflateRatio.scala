@@ -21,9 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * PipelineSpec.
   *
   * CodegenFallback is deliberate: the per-row cost is the deflate call
-  * itself; codegen would only inline the dispatch around it. The Deflater
-  * is allocated per call and `end()`ed — zlib native memory must not wait
-  * for the GC.
+  * itself; codegen would only inline the dispatch around it. One Deflater
+  * per thread, `reset()` between rows: per-row allocate/end would pay
+  * native init/teardown twice per document on the corpus-scan hot path,
+  * and the thread-local keeps zlib native memory bounded by the executor
+  * thread pool instead of the GC's mood.
   */
 case class DeflateRatio(child: Expression)
   extends UnaryExpression with CodegenFallback {
@@ -41,17 +43,23 @@ case class DeflateRatio(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     if (bytes.isEmpty) return 1.0
-    val d = new Deflater(6, true)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      total.toDouble / bytes.length
-    } finally d.end()
+    val d = DeflateRatio.deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
   }
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
+}
+
+object DeflateRatio {
+  /** Fixed parameters (level 6, raw deflate) are part of the signal's
+    * definition — changing them changes every stored ratio. */
+  private[expressions] val deflaters: ThreadLocal[Deflater] =
+    ThreadLocal.withInitial(() => new Deflater(6, true))
 }

@@ -56,8 +56,11 @@ object CorpusOps {
       case (acc, (stratum, f)) =>
         acc.when(col(stratumCol) === stratum, lit(hexThreshold(f)))
     }.otherwise(lit(hexThreshold(defaultFrac)))
+    // a NULL stratum must not null the hash key (filter(NULL) would drop
+    // the row no matter what defaultFrac promises) — it hashes as the
+    // empty stratum and samples at defaultFrac
     df.filter(
-      hashHex4(salt, concat(col(stratumCol), lit(":"),
+      hashHex4(salt, concat(coalesce(col(stratumCol), lit("")), lit(":"),
         col(keyCol).cast("string"))) < thr)
   }
 
@@ -80,9 +83,19 @@ object CorpusOps {
       "//www\\.", "//")
     val rest0 = regexp_replace(url, "^[^/]*//[^/]*", "")
     val rest1 = regexp_replace(rest0, "#.*", "")
-    val rest2 = regexp_replace(rest1, "utm_[^&#]*&?", "")
-    val rest3 = regexp_replace(regexp_replace(rest2, "\\?&", "?"), "[?&]+$", "")
-    val rest = regexp_replace(rest3, "/$", "")
+    // utm params are stripped ANCHORED at a separator. The query string is
+    // split off, its leading '?' canonicalized to '&' so EVERY param is
+    // '&'-prefixed, '&utm_*' params removed, then the '?' restored — no
+    // backreferences (Java regex `$1` vs RE2 `\1` disagree), and a 'utm_'
+    // inside a path segment or inside another param's VALUE is untouched.
+    val path = regexp_extract(rest1, "^[^?]*", 0)
+    val query = regexp_replace(
+      regexp_replace(
+        regexp_replace(regexp_replace(rest1, "^[^?]*", ""), "^\\?", "&"),
+        "&utm_[^&#]*", ""),
+      "^&", "?")
+    val rest = regexp_replace(
+      regexp_replace(concat(path, query), "[?&]+$", ""), "/$", "")
     concat(prefix, rest)
   }
 

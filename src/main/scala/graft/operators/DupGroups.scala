@@ -29,8 +29,12 @@ object DupGroups {
   def connectedComponents(edges: DataFrame,
                           srcCol: String = "doc_a", dstCol: String = "doc_b",
                           maxIter: Int = 20): DataFrame = {
+    // checkpoint the edge input BEFORE it is referenced twice below —
+    // otherwise the (possibly expensive) upstream pair-producing pipeline
+    // executes once per union branch inside the first materialization
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
@@ -54,6 +58,12 @@ object DupGroups {
       labels = next
       iter += 1
     }
+    // a silent early exit would report one real dup group as several,
+    // keeping extra "representatives" — fail loud instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds; " +
+        "the graph has a longer chain than dup clusters should — raise " +
+        "maxIter or use an alternating-star variant")
     labels
   }
 

@@ -100,10 +100,15 @@ object PipelinePack extends QueryPack {
     "q54_approx_distinct" -> ((s, dir) => {
       val exact = count(lit(1))
       Tables.table(s, dir, "events")
+        // NULL keys out: COUNT(DISTINCT x) in SQL ignores NULLs while
+        // DataFrame distinct() would keep a null row — the one semantic
+        // crack between the engines for this query
+        .filter(col("user_id").isNotNull)
         .select(col("user_id")).distinct()
         .agg(exact.as("exact_users"),
-          (abs(approx_count_distinct(col("user_id"), 0.01) - exact)
-            .cast("double") / exact.cast("double") <= 0.05)
+          // empty input: 0/0 is NULL; the gate holds vacuously
+          coalesce(abs(approx_count_distinct(col("user_id"), 0.01) - exact)
+            .cast("double") / exact.cast("double") <= 0.05, lit(true))
             .as("hll_within_5pct"))
     }),
 
@@ -139,10 +144,14 @@ object PipelinePack extends QueryPack {
       val zr = TextFunctions.zratio(col("text"))
       val zr2 = TextFunctions.zratio(concat(col("text"), lit(" "), col("text")))
       docs(s, dir)
-        .select(zr.as("r1"), zr2.as("r2"))
+        .select(length(col("text")).as("len"), zr.as("r1"), zr2.as("r2"))
         .agg(count(lit(1)).as("n_docs"),
           bool_and(col("r1") > 0.02 && col("r1") < 1.3).as("ratio_bounded"),
-          bool_and(col("r2") <= col("r1")).as("doubling_compresses"))
+          // the doubling invariant holds for real text only: an empty doc
+          // has the defined ratio 1.0 but its "doubled" form is the 1-byte
+          // string " ", which deflate expands — exempt zero-length docs
+          bool_and(col("r2") <= col("r1") || col("len") === 0)
+            .as("doubling_compresses"))
     })
   )
 
@@ -167,20 +176,28 @@ object PipelinePack extends QueryPack {
     "q52_url_dedup" ->
       s"""WITH u AS (
          |  SELECT doc_id, $urlSql AS url FROM documents),
-         |n AS (
+         |p1 AS (
          |  SELECT doc_id,
          |    regexp_replace(regexp_replace(
          |      lower(regexp_extract(url, '^([^/]*//[^/]*)', 1)),
-         |      ':(443|80)$$', '', 'g'), '//www\\.', '//', 'g')
-         |    ||
-         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-         |      regexp_replace(url, '^[^/]*//[^/]*', '', 'g'),
-         |      '#.*', '', 'g'),
-         |      'utm_[^&#]*&?', '', 'g'),
-         |      '\\?&', '?', 'g'),
-         |      '[?&]+$$', '', 'g'),
-         |      '/$$', '', 'g') AS url
-         |  FROM u)
+         |      ':(443|80)$$', ''), '//www\\.', '//') AS prefix,
+         |    regexp_replace(regexp_replace(url, '^[^/]*//[^/]*', ''),
+         |                   '#.*', '') AS rest1
+         |  FROM u),
+         |p2 AS (
+         |  SELECT doc_id, prefix,
+         |    regexp_extract(rest1, '^[^?]*') AS path,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(rest1, '^[^?]*', ''),
+         |      '^\\?', '&'),
+         |      '&utm_[^&#]*', '', 'g'),
+         |      '^&', '?') AS q
+         |  FROM p1),
+         |n AS (
+         |  SELECT doc_id,
+         |    prefix || regexp_replace(regexp_replace(path || q, '[?&]+$$', ''),
+         |                             '/$$', '') AS url
+         |  FROM p2)
          |SELECT url, CAST(count(*) AS BIGINT) AS n, min(doc_id) AS keep_id
          |FROM n GROUP BY url ORDER BY url""".stripMargin,
 

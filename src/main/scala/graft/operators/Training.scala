@@ -39,10 +39,13 @@ object Training {
     // lineage checkpointing: every ALS iteration extends the factor RDD
     // lineage, and at 100×-scale iteration counts an unbroken chain means
     // quadratic recovery cost and stack-depth risk — so cut it every
-    // `checkpointInterval` iterations. Only effective with a checkpoint
-    // dir; respect one the caller already set, else provide a local temp.
+    // `checkpointInterval` iterations. Checkpointing needs a dir: respect
+    // one the caller already set; provide a temp dir ONLY in local mode
+    // (a driver-local path is invisible to remote executors — on a
+    // cluster the caller must point setCheckpointDir at shared storage,
+    // and without one ALS skips checkpointing rather than corrupting).
     val sc = ratings.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty) {
+    if (sc.getCheckpointDir.isEmpty && sc.isLocal) {
       sc.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft-als-ckpt").toString)
     }

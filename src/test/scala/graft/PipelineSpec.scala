@@ -46,7 +46,11 @@ class PipelineSpec extends SparkSpec {
       ("http://Example.org:80/path/", "http://example.org/path"),
       ("https://example.org/p?utm_a=1&utm_b=2", "https://example.org/p"),
       ("https://example.org/p?id=2&utm_last=9", "https://example.org/p?id=2"),
-      ("https://example.org/CaseKept/Path?Q=UPPER", "https://example.org/CaseKept/Path?Q=UPPER"))
+      ("https://example.org/CaseKept/Path?Q=UPPER", "https://example.org/CaseKept/Path?Q=UPPER"),
+      // 'utm_' in a path segment or inside another param's VALUE survives
+      ("https://example.org/utm_guide/page?id=1", "https://example.org/utm_guide/page?id=1"),
+      ("https://example.org/p?ref=utm_x&utm_y=2", "https://example.org/p?ref=utm_x"),
+      ("https://example.org/p?utm_a=1&id=2&utm_b=3", "https://example.org/p?id=2"))
     val out = cases.toDF("url", "want")
       .select(CorpusOps.normalizeUrl(col("url")).as("got"), col("want"))
       .as[(String, String)].collect()

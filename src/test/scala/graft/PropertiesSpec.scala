@@ -66,6 +66,53 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("chunkTokens covers every token, windows overlap by window-stride") {
+    import graft.operators.CorpusOps
+    val textGen = Gen.zip(Gen.choose(1, 40), Gen.choose(2, 6), Gen.choose(1, 5))
+    samples(textGen, 15).foreach { case (nToks, window, stride) =>
+      val toks = (0 until nToks).map(i => s"t$i")
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val chunks = CorpusOps.chunkTokens(df, "doc_id", "text", window, stride)
+        .orderBy("chunk_idx").select("n_toks", "chunk")
+        .as[(Int, String)].collect()
+      // coverage: the multiset of tokens at stride boundaries reconstructs
+      // the input — chunk i starts at token i*stride
+      chunks.zipWithIndex.foreach { case ((n, chunk), i) =>
+        val want = toks.slice(i * stride, i * stride + window)
+        assert(chunk === want.mkString(" "),
+          s"chunk $i of ($nToks, w=$window, s=$stride)")
+        assert(n === want.length)
+      }
+      // full coverage holds exactly when windows at least touch
+      // (stride <= window); stride > window is deliberate subsampling
+      if (stride <= window) {
+        val covered = chunks.flatMap(_._2.split(" ")).toSet
+        assert(covered === toks.toSet)
+      }
+    }
+  }
+
+  test("hash split and mixture weights compose: every split keeps its mixture ratio") {
+    import graft.operators.CorpusOps
+    // split assignment and mixture sampling use independent salts, so the
+    // joint distribution factorizes: applying both never starves a cell
+    val df = spark.range(12000)
+      .select(col("id"), (when(col("id") % 2 === 0, "a").otherwise("b")).as("d"))
+    val out = CorpusOps.mixtureWeights(df, "id", "d", Map("a" -> 2.0), 1.0)
+      .select(col("id"), col("d"), CorpusOps.hashSplit(col("id")).as("split"))
+    val cells = out.groupBy("d", "split").count()
+      .as[(String, String, Long)].collect()
+      .map { case (d, s, n) => (d, s) -> n }.toMap
+    // domain a: 6000 rows ×2 → 12000; domain b: 6000 ×1
+    for (s <- Seq("train", "val", "test")) {
+      val frac = if (s == "train") 0.8 else 0.1
+      assert(math.abs(cells(("a", s)) - 12000 * frac) < 12000 * frac * 0.15 + 30,
+        s"cell (a, $s): ${cells(("a", s))}")
+      assert(math.abs(cells(("b", s)) - 6000 * frac) < 6000 * frac * 0.15 + 30,
+        s"cell (b, $s): ${cells(("b", s))}")
+    }
+  }
+
   test("SGD step with tiny lr reduces squared error on a single rating") {
     val cases = samples(Gen.zip(vecGen, vecGen, Gen.choose(0.5, 5.0)), 10)
     cases.foreach { case (u, v, r) =>

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, Dedup}
+
+/** The corpus-preparation operators on STREAMS. CorpusOps is pure row
+  * functions (hash buckets, regex, explode) — no state, no watermark, no
+  * rand() — so the exact same Column expressions run unchanged in a
+  * streaming plan, and assignments agree bit-for-bit with the batch run:
+  * the property that lets one codebase serve both the backfill and the
+  * live ingest path. Decontamination joins the live stream against a
+  * STATIC train-shingle set (stream-static join): the shape of continuous
+  * ingest screening. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit / shardIndex / chunkTokens run unchanged on a stream and match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        CorpusOps.hashSplit(col("doc_id")).as("split"),
+        CorpusOps.shardIndex(col("doc_id")).as("shard"))
+    val q = stream.writeStream.format("memory").queryName("splits").start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      val streamed = spark.table("splits")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      val batch = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          CorpusOps.hashSplit(col("doc_id")).as("split"),
+          CorpusOps.shardIndex(col("doc_id")).as("shard"))
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+
+    val inChunk = MemoryStream[(Long, String)]
+    val chunks = CorpusOps.chunkTokens(
+      inChunk.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      window = 3, stride = 2)
+    assert(chunks.isStreaming, "chunking stays a streaming plan")
+    val qc = chunks.writeStream.format("memory").queryName("chunks").start()
+    try {
+      inChunk.addData((7L, "a b c d e"))
+      qc.processAllAvailable()
+      val got = spark.table("chunks").orderBy("chunk_idx")
+        .select("chunk").as[String].collect().toSeq
+      assert(got === Seq("a b c", "c d e", "e"))
+    } finally qc.stop()
+  }
+
+  test("stream-static decontamination: live eval docs screen against a static train set") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val trainSh = Dedup.shingles(train, 5).select(col("sh")).distinct()
+
+    val in = MemoryStream[(Long, String)]
+    val evalSh = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.wordNgrams(
+          graft.functions.TextFunctions.tokens(col("text")), 5)).as("sh"))
+    // stream-static inner join: each micro-batch probes the static set
+    val hits = evalSh.join(trainSh, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val q = hits.writeStream.format("memory").queryName("contam")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (100L, "the quick brown fox jumps over it"),
+        (101L, "completely disjoint words only here now"))
+      q.processAllAvailable()
+      val got = spark.table("contam").as[(Long, Long)].collect().toMap
+      assert(got(100L) >= 1L, "overlapping doc is flagged")
+      assert(!got.contains(101L), "disjoint doc has no hits")
+    } finally q.stop()
+  }
+}

@@ -112,6 +112,18 @@ object CorpusOps {
     when(c <= 57, c - 48).otherwise(c - 87).cast("int") // '0'-'9' | 'a'-'f'
   }
 
+  /** Materialize a deterministic sharded export: one directory per
+    * [[shardIndex]] bucket, rows sorted by the key within each file so
+    * re-exports are byte-diffable. `repartition(shard)` aligns the
+    * physical partitioning with the output layout — without it every task
+    * would open a writer per shard (16× the open files, tiny row groups). */
+  def shardedWrite(df: DataFrame, keyCol: String, path: String,
+                   salt: String = "shard"): Unit =
+    df.withColumn("shard", shardIndex(col(keyCol), salt))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Fractional per-domain replication — the data-mixing step that
     * realizes "epochs per source" weights (upweight the curated domain,
     * downsample the crawl). A weight w yields floor(w) full copies of

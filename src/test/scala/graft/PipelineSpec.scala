@@ -84,6 +84,22 @@ class PipelineSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("shardedWrite: 16 shard directories, round-trip preserves rows, assignment stable") {
+    val path = java.nio.file.Files.createTempDirectory("shards").toFile.getAbsolutePath
+    val df = spark.range(2000).toDF("id").withColumn("v", col("id") * 2)
+    CorpusOps.shardedWrite(df, "id", path)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("shard=")).sorted
+    assert(dirs.length === 16, dirs.mkString(","))
+    val back = spark.read.parquet(path)
+    assert(back.count() === 2000)
+    // shard column survives as the partition column and matches recompute
+    val mismatched = back
+      .withColumn("expect", CorpusOps.shardIndex(col("id")))
+      .filter(col("shard") =!= col("expect")).count()
+    assert(mismatched === 0)
+  }
+
   test("mixtureWeights: integer weights replicate exactly, fractional parts sample") {
     val df = spark.range(4000)
       .select(col("id"), (when(col("id") % 4 === 0, "dbl")

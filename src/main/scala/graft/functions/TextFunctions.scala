@@ -52,6 +52,22 @@ object TextFunctions {
   def zratio(text: Column): Column =
     column(expressions.DeflateRatio(expression(text)))
 
+  /** Strip markup from crawled HTML-ish text: tags become spaces, the
+    * five standard entities unescape (&amp; LAST, so a double-escaped
+    * "&amp;lt;" correctly yields the literal text "&lt;" rather than
+    * unescaping twice), whitespace collapses. Case is preserved — this is
+    * content extraction, not normalization. Deliberately regex-simple
+    * (no nesting/CDATA/script awareness): the 100 TB cleaning pass runs
+    * in the scan stage; a full parser belongs in a mapPartitions codec
+    * like Multimodal's. */
+  def stripMarkup(html: Column): Column = {
+    val untagged = regexp_replace(html, "<[^>]*>", " ")
+    val unescaped = replace(replace(replace(replace(replace(
+      untagged, lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+      lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")), lit("&amp;"), lit("&"))
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   /** Collapse runs of whitespace + trim + lowercase — the canonical form
     * used for exact-dup hashing. */
   def normalize(text: Column): Column =

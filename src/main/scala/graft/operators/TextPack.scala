@@ -131,6 +131,23 @@ object TextPack extends QueryPack {
     // PII redaction (emails, long digit runs) — the corpus has none, so a
     // deterministic contact line is appended first; the patterns are
     // RE2-conservative so both engines' regex dialects agree.
+    // Markup stripping — the crawl-cleaning stage. The corpus is plain
+    // text, so the query wraps each doc in deterministic markup (tags,
+    // attributes, entities — built identically in the oracle) and the
+    // operator must recover exactly the text plus the entity-decoded
+    // literal content ("& <tail>"), fingerprint-verified per doc.
+    "q60_html_strip" -> ((s, dir) => {
+      val raw = concat(lit("<div id=\""), col("doc_id").cast("string"),
+        lit("\"><p>"), col("text"),
+        lit("</p><br/><span>&amp;&lt;tail&gt;</span></div>"))
+      val cleaned = T.stripMarkup(raw)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(T.tokens(cleaned)).as("n_toks"),
+          substring(md5(cleaned), 1, 8).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     "q39_redact" -> ((s, dir) => {
       val withPii = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
@@ -160,6 +177,25 @@ object TextPack extends QueryPack {
     s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
   def oracles: Map[String, String] = Map(
+    "q60_html_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         '<div id="' || CAST(doc_id AS VARCHAR) || '"><p>' || text ||
+        |         '</p><br/><span>&amp;&lt;tail&gt;</span></div>' AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(
+        |             regexp_replace(h, '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |             '&#39;', chr(39)), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS cleaned
+        |  FROM raw)
+        |SELECT doc_id,
+        |       CAST(len(string_split(cleaned, ' ')) AS INTEGER) AS n_toks,
+        |       substring(md5(cleaned), 1, 8) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q20_lang_id" -> {
       val scores = langProfiles.map { case (l, ws) => s"${hitsSql("toks", ws)} AS s_$l" }
       val greatest = s"greatest(${langProfiles.map(p => s"s_${p._1}").mkString(", ")})"

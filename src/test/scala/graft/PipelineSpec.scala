@@ -63,6 +63,21 @@ class PipelineSpec extends SparkSpec {
     twice.foreach { case (g2, g1) => assert(g2 === g1) }
   }
 
+  test("stripMarkup: tags out, entities decoded once, case preserved") {
+    val cases = Seq(
+      ("<p>Hello <b>World</b></p>", "Hello World"),
+      ("a &amp; b &lt;c&gt;", "a & b <c>"),
+      // double-escaped entity stays text: &amp;lt; is the literal "&lt;"
+      ("x &amp;lt; y", "x &lt; y"),
+      ("<div class=\"big\">it&#39;s &quot;fine&quot;</div>", "it's \"fine\""),
+      ("no markup at all", "no markup at all"))
+    val out = cases.toDF("html", "want")
+      .select(graft.functions.TextFunctions.stripMarkup(col("html")).as("got"),
+        col("want"))
+      .as[(String, String)].collect()
+    out.foreach { case (got, want) => assert(got === want) }
+  }
+
   test("chunkTokens windows, overlap, and tail") {
     val df = Seq((1L, "a b c d e")).toDF("id", "text")
     val chunks = CorpusOps.chunkTokens(df, "id", "text", window = 3, stride = 2)

@@ -116,12 +116,16 @@ object CorpusOps {
     * [[shardIndex]] bucket, rows sorted by the key within each file so
     * re-exports are byte-diffable. `repartition(shard)` aligns the
     * physical partitioning with the output layout — without it every task
-    * would open a writer per shard (16× the open files, tiny row groups). */
+    * would open a writer per shard (16× the open files, tiny row groups).
+    * The sort leads with the shard column: partitioned writes require
+    * ordering by the partition columns, and satisfying that here keeps
+    * Spark from inserting its own Sort(shard) above the key sort (whose
+    * stability the within-file key order would then silently depend on). */
   def shardedWrite(df: DataFrame, keyCol: String, path: String,
                    salt: String = "shard"): Unit =
     df.withColumn("shard", shardIndex(col(keyCol), salt))
       .repartition(col("shard"))
-      .sortWithinPartitions(col(keyCol))
+      .sortWithinPartitions(col("shard"), col(keyCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Fractional per-domain replication — the data-mixing step that

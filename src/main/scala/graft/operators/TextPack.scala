@@ -128,9 +128,6 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // PII redaction (emails, long digit runs) — the corpus has none, so a
-    // deterministic contact line is appended first; the patterns are
-    // RE2-conservative so both engines' regex dialects agree.
     // Markup stripping — the crawl-cleaning stage. The corpus is plain
     // text, so the query wraps each doc in deterministic markup (tags,
     // attributes, entities — built identically in the oracle) and the
@@ -148,6 +145,9 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // PII redaction (emails, long digit runs) — the corpus has none, so a
+    // deterministic contact line is appended first; the patterns are
+    // RE2-conservative so both engines' regex dialects agree.
     "q39_redact" -> ((s, dir) => {
       val withPii = concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),

@@ -50,9 +50,12 @@ object StreamingNearDup {
   }
 
   /** docs stream (doc_id LONG, text STRING) → candidate pairs
-    * (doc_a, doc_b, est_jaccard, bucket_capped), doc_a < doc_b by arrival
-    * (the earlier-admitted doc is doc_a). Documents too short for one
-    * shingle produce no bands and pass unscreened (nothing to collide on). */
+    * (doc_a, doc_b, est_jaccard, bucket_capped), ordered numerically:
+    * doc_a < doc_b by id, regardless of arrival order (matching the batch
+    * lshCandidates' pair convention — keep-first policies must use their
+    * own arrival ordering, not this pair order). Documents too short for
+    * one shingle produce no bands and pass unscreened (nothing to collide
+    * on). */
   def lshCandidates(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 16,
                     bands: Int = 4, maxBucketSize: Int = 64,
                     idleTimeout: Option[String] = Some("1 hour")): Dataset[Candidate] = {

@@ -113,6 +113,16 @@ class PipelineSpec extends SparkSpec {
       .withColumn("expect", CorpusOps.shardIndex(col("id")))
       .filter(col("shard") =!= col("expect")).count()
     assert(mismatched === 0)
+    // the byte-diffable-export invariant: rows inside every data file are
+    // ascending by the shard key
+    new java.io.File(path).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("shard=")).foreach { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val ids = spark.read.parquet(f.getAbsolutePath)
+            .select("id").as[Long].collect().toSeq
+          assert(ids === ids.sorted, s"unsorted rows in ${f.getName}")
+        }
+      }
   }
 
   test("mixtureWeights: integer weights replicate exactly, fractional parts sample") {

@@ -157,6 +157,41 @@ object CorpusOps {
       .drop("_whole")
   }
 
+  /** Corpus-level frequent-line removal — the boilerplate-dedup pass of a
+    * crawl pipeline (headers, footers, nav lines repeat across thousands
+    * of pages; real content lines are rare). Input is one row per
+    * (id, idx, line); a line is boilerplate iff it appears in at least
+    * `maxDocFreq` DISTINCT documents. Returns one row per document:
+    * (id, n_kept, n_dropped, clean_text), kept lines rejoined in idx
+    * order with newlines (empty string when everything was boilerplate).
+    *
+    * Scale shape: the frequency pass shuffles md5 line-hashes, not line
+    * text, and counts document frequency as distinct (hash, id) then a
+    * plain count — no count-distinct expand. The tiny doc-frequency table
+    * joins back on the hash with NO broadcast hint: a 100 TB corpus's
+    * line vocabulary outgrows any broadcast, so the strategy is left to
+    * AQE. Reconstruction is one shuffle on the document id. */
+  def dropFrequentLines(lines: DataFrame, idCol: String, idxCol: String,
+                        lineCol: String, maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 2, "maxDocFreq < 2 would drop every line")
+    val hashed = lines.select(col(idCol), col(idxCol), col(lineCol),
+      md5(col(lineCol)).as("_lh"))
+    val docFreq = hashed.select(col("_lh"), col(idCol)).distinct()
+      .groupBy(col("_lh")).agg(count(lit(1)).as("_df"))
+    hashed.join(docFreq, "_lh")
+      .withColumn("_keep", col("_df") < maxDocFreq)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("_keep"), 0L).otherwise(1L)).as("n_dropped"),
+        // collect_list skips the nulls the `when` leaves for dropped lines;
+        // array_sort on (i, l) structs orders by idx (unique per doc)
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col(idxCol).as("i"), col(lineCol).as("l"))))),
+          x => x.getField("l")), "\n").as("clean_text"))
+  }
+
   /** Split documents into overlapping token windows — the sequence-packing
     * step before tokenization: (id, chunk_idx, n_toks, chunk). `window`
     * tokens per chunk, a new chunk every `stride` tokens (overlap =

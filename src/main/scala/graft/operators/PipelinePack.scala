@@ -41,6 +41,13 @@ object PipelinePack extends QueryPack {
       |'&id=' || CAST(doc_id % 20 AS VARCHAR) ||
       |'#sec' || CAST(doc_id % 5 AS VARCHAR)""".stripMargin
 
+  /** Line rendering for q61: content-line width in tokens, and the
+    * distinct-document frequency at which a line counts as boilerplate
+    * (per-source headers/footers hit ~25 docs at sf0.01; unique content
+    * lines hit 1). */
+  private val LineWindow = 12
+  private val LineMaxDocFreq = 10
+
   /** Per-language keep fractions for the stratified sample: downsample the
     * dominant language, keep all of the rarest (the domain-rebalancing
     * shape of a training mix). */
@@ -133,6 +140,31 @@ object PipelinePack extends QueryPack {
         .groupBy("source")
         .agg(count(lit(1)).as("n_out"), max("rep").as("max_rep"))
         .orderBy("source")
+    }),
+
+    // Corpus-level frequent-line removal (CCNet/C4-style boilerplate
+    // dedup). The corpus has no line structure, so each doc is rendered as
+    // lines deterministically — a per-source subscribe header, 12-token
+    // content lines, a per-source copyright footer (the oracle builds the
+    // identical rendering). Headers/footers recur across every doc of a
+    // source (25 docs at sf0.01) and cross the doc-frequency bar; content
+    // lines are unique and survive. Output pins counts AND the exact
+    // reconstructed text per doc via an md5 fingerprint.
+    "q61_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val content = CorpusOps.chunkTokens(d, "doc_id", "text",
+          window = LineWindow, stride = LineWindow)
+        .select(col("doc_id"), (col("chunk_idx") + 1).cast("long").as("idx"),
+          col("chunk").as("line"))
+      val header = d.select(col("doc_id"), lit(0L).as("idx"),
+        concat(lit("subscribe to "), col("source"), lit(" newsletter today")).as("line"))
+      val footer = d.select(col("doc_id"), lit(1000000L).as("idx"),
+        concat(lit("copyright "), col("source"), lit(" all rights reserved")).as("line"))
+      CorpusOps.dropFrequentLines(header.unionAll(content).unionAll(footer),
+          "doc_id", "idx", "line", maxDocFreq = LineMaxDocFreq)
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_hash"))
+        .orderBy("doc_id")
     }),
 
     // Deflate compression-ratio quality signal (graft_zratio): per-doc
@@ -245,6 +277,32 @@ object PipelinePack extends QueryPack {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_out,
         |       CAST(max(rep) AS INTEGER) AS max_rep
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "q61_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+         |content AS (
+         |  SELECT doc_id, CAST(start // $LineWindow + 1 AS BIGINT) AS idx,
+         |         array_to_string(toks[start + 1 : start + $LineWindow], ' ') AS line
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(generate_series(0, len(toks) - 1, $LineWindow)) AS start
+         |        FROM d)),
+         |lines AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS idx,
+         |         'subscribe to ' || source || ' newsletter today' AS line FROM d
+         |  UNION ALL SELECT doc_id, idx, line FROM content
+         |  UNION ALL SELECT doc_id, CAST(1000000 AS BIGINT) AS idx,
+         |         'copyright ' || source || ' all rights reserved' AS line FROM d),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS dfreq
+         |         FROM lines GROUP BY line),
+         |k AS (SELECT l.doc_id, l.idx, l.line, f.dfreq < $LineMaxDocFreq AS keep
+         |      FROM lines l JOIN freq f USING (line))
+         |SELECT doc_id,
+         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped,
+         |       substring(md5(coalesce(
+         |         string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep),
+         |         '')), 1, 8) AS clean_hash
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q54_approx_distinct" ->
       """SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -111,6 +111,106 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM surprisal — the model-based quality signal (CCNet-style
+    // perplexity filtering, with the corpus's own unigram counts standing
+    // in for the external LM): rare-token-heavy docs score high. The
+    // corpus total is an in-plan 1-row aggregate (never a driver count);
+    // the token-frequency table joins back on the token with no broadcast
+    // hint (a real vocabulary outgrows any broadcast — AQE decides).
+    // Per-token surprisal is rounded then summed as DECIMAL so the
+    // per-doc sum is exact and independent of addition order — float
+    // summation order differs between engines and would flake the hash.
+    "q62_surprisal" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).cast("double").as("n_total"))
+      val surp = tf.crossJoin(total)
+        .select(col("tok"),
+          round(-log(col("cnt").cast("double") / col("n_total")), 6)
+            .cast("decimal(18,6)").as("s"))
+      toks.join(surp, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("s")).as("_sum"))
+        .select(col("doc_id"), col("n_toks"),
+          round(col("_sum").cast("double"), 6).as("sum_surprisal"),
+          round(col("_sum").cast("double") / col("n_toks"), 6).as("mean_surprisal"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus vocabulary heavy hitters: top-20 tokens by frequency with
+    // corpus share — the frequency-analysis pass behind stopword lists and
+    // tokenizer vocabularies. Exact two-level aggregation; the top-k is an
+    // orderBy+limit (TakeOrdered — no global sort materializes at scale).
+    "q63_token_topk" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).cast("double").as("n_total"))
+      val top = tf.crossJoin(total)
+        .orderBy(col("cnt").desc, col("tok")).limit(TopkTokens)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok"))
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("tok"), col("cnt"),
+          round(col("cnt") / col("n_total"), 6).as("share"))
+        .orderBy("rank")
+    }),
+
+    // Bigram PMI collocations: pointwise mutual information of adjacent
+    // token pairs vs their unigram frequencies — the phrase-mining pass.
+    // Ranking happens on the ROUNDED pmi (with the bigram as tiebreak) so
+    // the top-k cut is engine-independent — raw float ordering could
+    // disagree in the last ulp across engines and select different rows.
+    "q64_pmi_bigrams" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      val toks = d.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+      val bi = toks.select(explode(T.wordNgrams(col("toks"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= PmiMinCount)
+      val nUni = uni.agg(sum(col("c1")).cast("double").as("n_uni"))
+      val nBi = bi.agg(sum(col("cab")).cast("double").as("n_bi"))
+      // tokens contain no whitespace (they come from a whitespace split),
+      // so splitting the joined bigram on its single space is exact
+      val parts = bi
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      val scored = parts
+        .join(uni.select(col("tok").as("w1"), col("c1").as("ca")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c1").as("cb")), "w2")
+        .crossJoin(nUni).crossJoin(nBi)
+        .select(col("bigram"), col("cab"), col("ca"), col("cb"),
+          round(log((col("cab").cast("double") / col("n_bi"))
+            / ((col("ca").cast("double") / col("n_uni"))
+              * (col("cb").cast("double") / col("n_uni")))), 6).as("pmi"))
+      scored.orderBy(col("pmi").desc, col("bigram")).limit(PmiTopK)
+        .orderBy(col("pmi").desc, col("bigram"))
+    }),
+
+    // Gopher-style hard rule filter: token count, mean token length, alpha
+    // run share, stopword presence. Emits a failure BITMASK (which rules
+    // rejected the doc), not just the verdict — the reject-reason ledger a
+    // curation pipeline reports. Zero-token docs fail the null-propagating
+    // rules on both engines (CASE WHEN NULL -> ELSE branch).
+    "q65_rule_filter" -> ((s, dir) => {
+      val ts = T.tokenStats(col("text"))
+      val n = ts.getField("ws_tokens")
+      val avgLen = T.avgTokenLength(col("text"))
+      val alphaOk = ts.getField("alpha_tokens") >= n * 0.8
+      val stopHits = T.vocabHitsText(col("text"), stopwords)
+      val mask =
+        when(n >= MinTokens && n <= MaxTokens, 0).otherwise(1) +
+          when(avgLen >= 3.0 && avgLen <= 10.0, 0).otherwise(2) +
+          when(alphaOk, 0).otherwise(4) +
+          when(stopHits >= 2, 0).otherwise(8)
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_toks"), mask.as("fail_mask"),
+          (mask === 0).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Intra-document repetition: 1 - distinct/total word-3-grams — the
     // boilerplate/repetition quality signal used in corpus curation.
     "q46_repetition" -> ((s, dir) => {
@@ -166,6 +266,14 @@ object TextPack extends QueryPack {
   /** RE2-safe PII patterns (no lookarounds — portable to DuckDB). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val DigitsPattern = "[0-9]{6,}"
+
+  /** q63/q64/q65 knobs: heavy-hitter list size, PMI support floor and list
+    * size, rule-filter token-count band. */
+  val TopkTokens = 20
+  val PmiMinCount = 5
+  val PmiTopK = 50
+  val MinTokens = 40
+  val MaxTokens = 1000
 
   // ---- DuckDB twins --------------------------------------------------------
 
@@ -247,6 +355,79 @@ object TextPack extends QueryPack {
          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
          |       ROUND(tfidf, 6) AS tfidf
          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q62_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM tf),
+         |surp AS (SELECT tok,
+         |           CAST(ROUND(-ln(CAST(cnt AS DOUBLE) / (SELECT n_total FROM n)), 6)
+         |                AS DECIMAL(18,6)) AS s
+         |         FROM tf)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |       ROUND(CAST(sum(s) AS DOUBLE), 6) AS sum_surprisal,
+         |       ROUND(CAST(sum(s) AS DOUBLE) / count(*), 6) AS mean_surprisal
+         |FROM toks JOIN surp USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q63_token_topk" ->
+      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM tf),
+         |ranked AS (SELECT tok, cnt,
+         |             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank
+         |           FROM tf)
+         |SELECT CAST(rank AS INTEGER) AS rank, tok, CAST(cnt AS BIGINT) AS cnt,
+         |       ROUND(cnt / (SELECT n_total FROM n), 6) AS share
+         |FROM ranked WHERE rank <= $TopkTokens ORDER BY rank""".stripMargin,
+
+    "q64_pmi_bigrams" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |uni AS (SELECT tok, count(*) AS c1
+         |        FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+         |bi AS (SELECT bigram, count(*) AS cab FROM (
+         |         SELECT unnest(CASE WHEN len(toks) >= 2
+         |           THEN list_transform(generate_series(1, len(toks) - 1),
+         |                  i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |           ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM d)
+         |       GROUP BY bigram HAVING count(*) >= $PmiMinCount),
+         |nuni AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_uni FROM uni),
+         |nbi AS (SELECT CAST(sum(cab) AS DOUBLE) AS n_bi FROM bi),
+         |parts AS (SELECT bigram, cab, string_split(bigram, ' ')[1] AS w1,
+         |                 string_split(bigram, ' ')[2] AS w2 FROM bi),
+         |scored AS (SELECT bigram, cab, ua.c1 AS ca, ub.c1 AS cb,
+         |             ROUND(ln((CAST(cab AS DOUBLE) / (SELECT n_bi FROM nbi))
+         |               / ((CAST(ua.c1 AS DOUBLE) / (SELECT n_uni FROM nuni))
+         |                  * (CAST(ub.c1 AS DOUBLE) / (SELECT n_uni FROM nuni)))), 6) AS pmi
+         |           FROM parts
+         |           JOIN uni ua ON ua.tok = parts.w1
+         |           JOIN uni ub ON ub.tok = parts.w2),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram) AS rn
+         |           FROM scored)
+         |SELECT bigram, CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
+         |       CAST(cb AS BIGINT) AS cb, pmi
+         |FROM ranked WHERE rn <= $PmiTopK ORDER BY pmi DESC, bigram""".stripMargin,
+
+    "q65_rule_filter" -> {
+      val hits = hitsSql("toks", stopwords)
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks) AS n,
+         |        CASE WHEN len(toks) = 0 THEN NULL
+         |             ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
+         |        END AS avg_len,
+         |        len(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha,
+         |        $hits AS hits
+         |      FROM t),
+         |m AS (SELECT doc_id, n,
+         |        (CASE WHEN n >= $MinTokens AND n <= $MaxTokens THEN 0 ELSE 1 END)
+         |        + (CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0 THEN 0 ELSE 2 END)
+         |        + (CASE WHEN alpha >= n * 0.8 THEN 0 ELSE 4 END)
+         |        + (CASE WHEN hits >= 2 THEN 0 ELSE 8 END) AS mask
+         |      FROM f)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_toks,
+         |       CAST(mask AS INTEGER) AS fail_mask, mask = 0 AS keep
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q46_repetition" -> {
       val grams =

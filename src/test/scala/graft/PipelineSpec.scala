@@ -125,6 +125,37 @@ class PipelineSpec extends SparkSpec {
       }
   }
 
+  test("dropFrequentLines: boilerplate over the doc-frequency bar removed, idx order kept") {
+    val lines = Seq(
+      (1L, 0L, "nav"), (1L, 5L, "beta"), (1L, 1L, "alpha"),
+      (2L, 0L, "nav"), (2L, 1L, "gamma"),
+      (3L, 0L, "nav"), (3L, 7L, "zz"), (3L, 3L, "aa")
+    ).toDF("id", "idx", "line")
+    val out = CorpusOps.dropFrequentLines(lines, "id", "idx", "line", maxDocFreq = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 1L, "alpha\nbeta"),
+      (2L, 1L, 1L, "gamma"),
+      (3L, 2L, 1L, "aa\nzz")))
+  }
+
+  test("dropFrequentLines: all-boilerplate doc reconstructs to empty; within-doc repeats count once") {
+    val lines = Seq(
+      (1L, 0L, "nav"), (1L, 1L, "dup"), (1L, 2L, "dup"),
+      (2L, 0L, "nav"),
+      (3L, 0L, "nav")
+    ).toDF("id", "idx", "line")
+    val out = CorpusOps.dropFrequentLines(lines, "id", "idx", "line", maxDocFreq = 3)
+      .orderBy("id").as[(Long, Long, Long, String)].collect().toSeq
+    // "dup" repeats within doc 1 but appears in ONE document: freq 1 < 3,
+    // kept twice; "nav" hits 3 docs and is dropped everywhere, so docs 2-3
+    // reconstruct to ""
+    assert(out === Seq(
+      (1L, 2L, 1L, "dup\ndup"),
+      (2L, 0L, 1L, ""),
+      (3L, 0L, 1L, "")))
+  }
+
   test("mixtureWeights: integer weights replicate exactly, fractional parts sample") {
     val df = spark.range(4000)
       .select(col("id"), (when(col("id") % 4 === 0, "dbl")

@@ -147,6 +147,29 @@ object AnalyticsPack extends QueryPack {
         .orderBy("o_orderpriority")
     }),
 
+    // Approximate quantiles with an accuracy gate — the q54-HLL pattern
+    // applied to percentiles: exact percentile() at 100 TB materializes
+    // every group's values (full sort); approx_percentile is the
+    // mergeable-sketch scale path. Production runs ONLY the sketch; this
+    // gate query runs both and pins the sketch inside an exact-percentile
+    // band (the approx VALUE itself is merge-order dependent and must not
+    // be an output column — only the deterministic gate is).
+    "q66_approx_quantiles" -> ((s, dir) => {
+      val acc = 10000 // rank error <= 1/acc
+      def exact(p: Double) = expr(s"percentile(o_totalprice, $p)")
+      def approx(p: Double) = expr(s"approx_percentile(o_totalprice, $p, $acc)")
+      def gate(p: Double, eps: Double) =
+        (approx(p) >= exact(p - eps)) && (approx(p) <= exact(p + eps))
+      Tables.table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(exact(0.5), 4).as("p50_exact"),
+          gate(0.5, 0.005).as("p50_ok"),
+          gate(0.9, 0.005).as("p90_ok"),
+          gate(0.99, 0.005).as("p99_ok"))
+        .orderBy("o_orderpriority")
+    }),
+
     // As-of join: deterministic probe times derived from order keys, each
     // matched to the user's most recent event at-or-before the probe — the
     // union-timeline operator (AsOfJoin), not a join explosion.
@@ -276,6 +299,12 @@ object AnalyticsPack extends QueryPack {
         |SELECT op, CAST(COUNT(*) AS BIGINT) AS n,
         |       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key
         |FROM ops GROUP BY op ORDER BY op""".stripMargin,
+
+    "q66_approx_quantiles" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        |       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q43_percentiles" ->
       """SELECT o_orderpriority,

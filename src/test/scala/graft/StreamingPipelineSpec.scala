@@ -52,6 +52,60 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally qc.stop()
   }
 
+  test("stateless text ops (rule mask, markup strip) run unchanged on a stream, match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val T = graft.functions.TextFunctions
+    import graft.operators.TextPack
+    def features(df: org.apache.spark.sql.DataFrame) = {
+      val ts = T.tokenStats(col("text"))
+      val n = ts.getField("ws_tokens")
+      val mask =
+        when(n >= 3 && n <= 1000, 0).otherwise(1) +
+          when(T.vocabHitsText(col("text"), TextPack.stopwords) >= 1, 0).otherwise(2)
+      df.select(col("doc_id"), mask.as("fail_mask"),
+        T.stripMarkup(col("text")).as("clean"))
+    }
+    val rows = Seq(
+      (1L, "the quick <b>brown</b> fox"),
+      (2L, "the"),
+      (3L, "no stop words whatsoever listed"))
+    val in = MemoryStream[(Long, String)]
+    val q = features(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rules").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rules")
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+      val batch = features(rows.toDF("doc_id", "text"))
+        .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+      assert(streamed.map(r => r._1 -> r._2).toMap === Map(1L -> 0, 2L -> 1, 3L -> 2))
+      assert(streamed.head._3 === "the quick brown fox")
+    } finally q.stop()
+  }
+
+  test("stream-static frequent-line screening: live docs drop lines from a static boilerplate set") {
+    implicit val sqlCtx = spark.sqlContext
+    // the batch pass (dropFrequentLines' frequency side) yields the
+    // boilerplate line-hash set; live ingest then screens per-line against
+    // it — the same static-probe shape as decontamination
+    val boiler = Seq("subscribe now", "all rights reserved").toDF("line")
+      .select(md5(col("line")).as("_lh")).distinct()
+    val in = MemoryStream[(Long, Long, String)]
+    val lines = in.toDF().toDF("doc_id", "idx", "line")
+    val kept = lines.join(boiler, md5(col("line")) === col("_lh"), "left_anti")
+    val q = kept.writeStream.format("memory").queryName("keptlines").start()
+    try {
+      in.addData((1L, 0L, "subscribe now"), (1L, 1L, "actual content here"),
+        (2L, 0L, "all rights reserved"), (2L, 1L, "more content"))
+      q.processAllAvailable()
+      val got = spark.table("keptlines").select("doc_id", "line")
+        .as[(Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+      assert(got === Seq((1L, "actual content here"), (2L, "more content")))
+    } finally q.stop()
+  }
+
   test("stream-static decontamination: live eval docs screen against a static train set") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq((1L, "the quick brown fox jumps over the lazy dog"))

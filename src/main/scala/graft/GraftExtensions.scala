@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{CmsLookup, DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -61,6 +61,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_zratio takes exactly 1 argument")
         DeflateRatio(args.head)
+      }),
+    (FunctionIdentifier("graft_cms_probe"),
+      new ExpressionInfo(classOf[CmsLookup].getName, "graft_cms_probe"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cms_probe takes exactly 2 arguments")
+        CmsLookup(args.head, args(1))
       }),
     (FunctionIdentifier("graft_vocab_hits"),
       new ExpressionInfo(classOf[VocabHits].getName, "graft_vocab_hits"),

@@ -38,6 +38,12 @@ object TextFunctions {
       array().cast("array<string>"))
   }
 
+  /** Estimated count of `item` in a serialized count-min sketch (the
+    * BINARY from Spark's `count_min_sketch` aggregate) — see
+    * [[graft.functions.expressions.CmsLookup]] for the probe contract. */
+  def cmsProbe(sketch: Column, item: Column): Column =
+    column(expressions.CmsLookup(expression(sketch), expression(item)))
+
   /** Character n-gram shingles of the raw string. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,

@@ -56,6 +56,21 @@ object SimilarityPack extends QueryPack {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup-style semantic dedup, end to end: embedding near-dup pairs
+    // (blocked LSH + exact verify, q34's operator) → connected components
+    // under transitivity (DupGroups) → the keep/drop ledger a curation run
+    // executes (keep the min id of each group, drop the rest). The min
+    // label IS the keeper, so the component id doubles as keep_id.
+    "q68_semantic_dedup" -> ((s, dir) => {
+      val pairs = Similarity.cosineNearDup(nearDupCorpus(s, dir), NearDupThreshold, Dim)
+      DupGroups.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("group_size"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .select(col("comp").as("keep_id"), col("group_size"), col("n_dropped"))
+        .orderBy("keep_id")
+    }),
+
     // Brute-force exact top-5 ANN baseline.
     "q35_ann_bruteforce" -> ((s, dir) => {
       Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k = 5)
@@ -159,6 +174,34 @@ object SimilarityPack extends QueryPack {
          |FROM e a JOIN e b ON a.id < b.id
          |WHERE ${cosDblSql("a.v", "b.v")} >= $NearDupThreshold
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q68_semantic_dedup" ->
+      s"""WITH RECURSIVE base AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT id, v FROM base
+         |  UNION ALL
+         |  SELECT id + $PerturbOffset AS id,
+         |         list_transform(generate_series(1, $Dim),
+         |                        i -> CASE WHEN i = 1 THEN v[i] + 0.1 ELSE v[i] END) AS v
+         |  FROM base WHERE id % 5 = 0),
+         |pairs AS (
+         |  SELECT a.id AS doc_a, b.id AS doc_b
+         |  FROM e a JOIN e b ON a.id < b.id
+         |  WHERE ${cosDblSql("a.v", "b.v")} >= $NearDupThreshold),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM und),
+         |walk(id, comp) AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT u.src AS id, w.comp FROM und u JOIN walk w ON u.dst = w.id),
+         |labels AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+         |SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS group_size,
+         |       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+         |FROM labels GROUP BY comp ORDER BY keep_id""".stripMargin,
 
     "q35_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -189,6 +189,30 @@ object TextPack extends QueryPack {
         .orderBy(col("pmi").desc, col("bigram"))
     }),
 
+    // Count-min-sketch heavy hitters with an accuracy gate — the q54-HLL
+    // pattern for frequency counting: at corpus scale the exact token
+    // count table is itself huge; the CMS is a fixed-size mergeable
+    // summary (element-wise counter adds commute, so the seeded estimate
+    // is deterministic under any partitioning). Production probes ONLY
+    // the sketch; this gate runs both and pins every top-k estimate
+    // inside the CMS guarantee band: exact <= est <= exact + eps*N.
+    "q67_cms_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val total = tf.agg(sum(col("cnt")).as("n_total"))
+      val sketch = toks.agg(
+        expr(s"count_min_sketch(tok, ${CmsEps}d, 0.99d, 42)").as("cms"))
+      val top = tf.orderBy(col("cnt").desc, col("tok")).limit(TopkTokens)
+      top.crossJoin(sketch).crossJoin(total)
+        .select(col("tok"), col("cnt"),
+          (T.cmsProbe(col("cms"), col("tok")) >= col("cnt") &&
+            T.cmsProbe(col("cms"), col("tok")) <=
+              col("cnt") + ceil(lit(CmsEps) * col("n_total")).cast("long"))
+            .as("cms_ok"))
+        .orderBy(col("cnt").desc, col("tok"))
+    }),
+
     // Gopher-style hard rule filter: token count, mean token length, alpha
     // run share, stopword presence. Emits a failure BITMASK (which rules
     // rejected the doc), not just the verdict — the reject-reason ledger a
@@ -274,6 +298,9 @@ object TextPack extends QueryPack {
   val PmiTopK = 50
   val MinTokens = 40
   val MaxTokens = 1000
+
+  /** q67 count-min-sketch error bound (over-count <= CmsEps * N). */
+  val CmsEps = 0.001
 
   // ---- DuckDB twins --------------------------------------------------------
 
@@ -407,6 +434,15 @@ object TextPack extends QueryPack {
          |SELECT bigram, CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
          |       CAST(cb AS BIGINT) AS cb, pmi
          |FROM ranked WHERE rn <= $PmiTopK ORDER BY pmi DESC, bigram""".stripMargin,
+
+    "q67_cms_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+         |ranked AS (SELECT tok, cnt,
+         |             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rn
+         |           FROM tf)
+         |SELECT tok, CAST(cnt AS BIGINT) AS cnt, TRUE AS cms_ok
+         |FROM ranked WHERE rn <= $TopkTokens ORDER BY cnt DESC, tok""".stripMargin,
 
     "q65_rule_filter" -> {
       val hits = hitsSql("toks", stopwords)

@@ -156,6 +156,30 @@ class PipelineSpec extends SparkSpec {
       (3L, 0L, 1L, "")))
   }
 
+  test("cmsProbe: estimates never undercount, stay inside the eps*N band, merge-order stable") {
+    val words = (1 to 400).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i"))
+    val df = words.toDF("tok")
+    val n = words.length
+    val sketch = df.agg(expr("count_min_sketch(tok, 0.01d, 0.99d, 42)").as("cms"))
+    val exact = df.groupBy("tok").count()
+    val checked = exact.crossJoin(sketch)
+      .select(col("tok"), col("count"),
+        TextFunctions.cmsProbe(col("cms"), col("tok")).as("est"))
+      .as[(String, Long, Long)].collect()
+    checked.foreach { case (tok, cnt, est) =>
+      assert(est >= cnt, s"$tok undercounted: $est < $cnt")
+      assert(est <= cnt + math.ceil(0.01 * n).toLong, s"$tok over band: $est vs $cnt")
+    }
+    // partitioning must not change the (seeded) estimates: counter adds commute
+    val sketch2 = df.repartition(11).agg(
+      expr("count_min_sketch(tok, 0.01d, 0.99d, 42)").as("cms"))
+    val est1 = checked.map(r => r._1 -> r._3).toMap
+    val est2 = exact.crossJoin(sketch2)
+      .select(col("tok"), TextFunctions.cmsProbe(col("cms"), col("tok")))
+      .as[(String, Long)].collect().toMap
+    assert(est1 === est2)
+  }
+
   test("mixtureWeights: integer weights replicate exactly, fractional parts sample") {
     val df = spark.range(4000)
       .select(col("id"), (when(col("id") % 4 === 0, "dbl")

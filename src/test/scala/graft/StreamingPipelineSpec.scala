@@ -106,6 +106,47 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation end to end: rule filter -> exact dedup -> near-dup screen on one stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val T = graft.functions.TextFunctions
+    import graft.streaming.{StreamingDedup, StreamingNearDup}
+
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+
+    // stage 1 (stateless): minimum length + stopword presence
+    val ruled = docs.filter(
+      T.tokenStats(col("text")).getField("ws_tokens") >= 5 &&
+        T.vocabHitsText(col("text"), graft.operators.TextPack.stopwords) >= 1)
+    // stage 2 (stateful, watermark-bounded): exact content dedup
+    val exact = StreamingDedup.exactDedupStream(ruled, "10 minutes")
+    // stage 3 (stateful): MinHash LSH near-dup candidates over survivors
+    val cands = StreamingNearDup.lshCandidates(
+      exact.select(col("doc_id"), col("text")), shingleN = 3, numHashes = 16,
+      bands = 4, idleTimeout = None)
+
+    val qe = exact.writeStream.format("memory").queryName("cur_exact").start()
+    val qc = cands.writeStream.format("memory").queryName("cur_cands").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      in.addData(
+        (1L, base, t0),                       // survives everything
+        (2L, "short", t0),                    // stage-1 reject: too short
+        (3L, base, t0),                       // stage-2 reject: exact dup of 1
+        (4L, base + " with a small tail", t0)) // near-dup of 1 -> stage-3 pair
+      qe.processAllAvailable()
+      qc.processAllAvailable()
+      val survivors = spark.table("cur_exact").select("doc_id")
+        .as[Long].collect().toSet
+      assert(survivors === Set(1L, 4L),
+        s"rule filter + exact dedup should leave 1 and 4, got $survivors")
+      val pairs = spark.table("cur_cands").select("doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 4L)), s"near-dup pair (1,4) not flagged in $pairs")
+    } finally { qe.stop(); qc.stop() }
+  }
+
   test("stream-static decontamination: live eval docs screen against a static train set") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq((1L, "the quick brown fox jumps over the lazy dog"))

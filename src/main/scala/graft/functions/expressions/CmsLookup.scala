@@ -17,10 +17,13 @@ import org.apache.spark.util.sketch.CountMinSketch
   *
   * Intended for probing SMALL row sets (a top-k list cross-joined against
   * the one-row sketch): each distinct sketch blob is deserialized once per
-  * thread (identity-memoized — the cross join hands every row the same
-  * array reference), then probes are O(depth). For corpus-wide probes,
-  * deserialize once into a broadcast variable instead of routing the blob
-  * through a join.
+  * thread, then probes are O(depth). The per-thread memo is keyed on the
+  * blob CONTENT (identity first as a fast path, then length + byte
+  * equality): rows materialized from UnsafeRow/columnar scans hand each
+  * access a fresh byte[], so an identity-only key would re-deserialize per
+  * row. The content check is a memcmp — far cheaper than readFrom. For
+  * corpus-wide probes, deserialize once into a broadcast variable instead
+  * of routing the blob through a join.
   *
   * CodegenFallback is deliberate: the work is the sketch probe itself, and
   * the expression sits outside any hot scan loop by design.
@@ -47,7 +50,9 @@ case class CmsLookup(sketch: Expression, item: Expression)
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
     val cached = CmsLookup.lastSketch.get()
     val cms =
-      if (cached != null && (cached._1 eq bytes)) cached._2
+      if (cached != null &&
+          ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
+        cached._2
       else {
         val parsed = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
         CmsLookup.lastSketch.set((bytes, parsed))

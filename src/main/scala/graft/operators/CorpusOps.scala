@@ -140,9 +140,13 @@ object CorpusOps {
                      salt: String = "mix"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 8),
       "weights must be in [0, 8] (full copies explode rows)")
+    // NULL domains fold into the "" stratum (same rule as stratifiedSample):
+    // a raw NULL would poison both the weight dispatch and the hash key and
+    // silently drop the row whenever the applicable weight has a fraction.
+    val dom = coalesce(col(domainCol), lit(""))
     def chain(f: Double => Column) =
       weights.foldLeft(when(lit(false), lit(null))) { case (acc, (d, w)) =>
-        acc.when(col(domainCol) === d, f(w))
+        acc.when(dom === d, f(w))
       }.otherwise(f(defaultWeight))
     val wholeCopies = chain(w => lit(math.floor(w).toInt))
     val fracThr = chain(w => lit(hexThreshold(w - math.floor(w))))
@@ -151,7 +155,7 @@ object CorpusOps {
       .withColumn("rep",
         explode(sequence(lit(0), col("_whole")))) // 0..floor(w) inclusive
       .filter(col("rep") < col("_whole") ||
-        hashHex4(salt, concat(col(domainCol), lit(":"),
+        hashHex4(salt, concat(dom, lit(":"),
           col(keyCol).cast("string"), lit(":"), col("rep").cast("string")))
           < fracThr)
       .drop("_whole")
@@ -209,5 +213,92 @@ object CorpusOps {
         least(lit(window), size(col("_toks")) - col("_start")).as("n_toks"),
         array_join(slice(col("_toks"), col("_start") + 1, lit(window)), " ")
           .as("chunk"))
+  }
+
+  /** Corpus-wide paragraph-level exact dedup (the CCNet shape: dedupe at
+    * sub-document granularity, keep documents): documents are segmented
+    * into non-overlapping `paraTokens`-token "paragraphs"; across the WHOLE
+    * corpus only the first occurrence of each paragraph survives (first =
+    * smallest (id, paragraph index)); documents are reconstructed from
+    * their surviving paragraphs. Returns one row per document:
+    * (id, n_paras, n_kept, clean_text).
+    *
+    * Scale shape: the first-occurrence pass shuffles 16-byte md5 paragraph
+    * hashes with a partial-aggregable min(struct) — never paragraph text;
+    * the winner table joins back on the hash (no broadcast hint — the
+    * paragraph vocabulary of a 100 TB corpus outgrows any broadcast, AQE
+    * decides); reconstruction is one shuffle on the document id. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     paraTokens: Int): DataFrame = {
+    val paras = chunkTokens(docs, idCol, textCol, paraTokens, paraTokens)
+      .select(col(idCol), col("chunk_idx"), col("chunk"),
+        md5(col("chunk")).as("_h"))
+    val firsts = paras.groupBy(col("_h")).agg(
+      min(struct(col(idCol).as("id"), col("chunk_idx").as("ci"))).as("_f"))
+    paras.join(firsts, "_h")
+      .withColumn("_keep",
+        col(idCol) === col("_f.id") && col("chunk_idx") === col("_f.ci"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("chunk_idx").as("i"), col("chunk").as("c"))))),
+          x => x.getField("c")), " ").as("clean_text"))
+  }
+
+  /** Deterministic greedy sequence packing: documents in `orderCol` order
+    * are laid head-to-tail into fixed `budget`-token training sequences
+    * (documents may straddle a boundary — the standard pretraining packing
+    * where the tokenizer stream is cut every `budget` tokens). Returns per
+    * document: token count, tokens before it in the stream (`cum_before`),
+    * the sequence it starts in (`seq_id`) and its offset there.
+    *
+    * Scale shape: a naive `sum().over(Window.orderBy(...))` is a GLOBAL
+    * window — one partition, one task, the classic scale-killer. Instead a
+    * two-level prefix sum: within-block cumulative sums run in parallel
+    * (window partitioned by block = orderCol div `blockSize`), block
+    * totals — #blocks rows, thousands at 100 TB — take the only global
+    * window, and block offsets join back on the block id. Identical
+    * result, no corpus-wide single-task sort. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, blockSize: Long = 4096L): DataFrame = {
+    require(budget >= 1 && blockSize >= 1, "budget and blockSize must be >= 1")
+    val base = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.tokenStats(col(textCol))
+        .getField("ws_tokens").cast("long").as("n_toks"))
+    blockedPrefixSum(base, floor(col("id") / blockSize).cast("long"),
+        Seq(col("id")), col("n_toks"))
+      .select(col("id"), col("n_toks"), col("cum_before"))
+      .withColumn("seq_id", floor(col("cum_before") / budget).cast("long"))
+      .withColumn("seq_offset", col("cum_before") % budget)
+  }
+
+  /** Scale-safe exclusive prefix sum of `valCol` over the total order
+    * (`blockCol` asc, then `order`): adds a `cum_before` column. The caller
+    * must pick `blockCol` MONOTONE in the intended total order (equal-order
+    * rows may never land in different blocks) — e.g. `id div blockSize`
+    * for an id order, or a coarse quantized score for a score order.
+    *
+    * Two levels: within-block cumulative sums run in parallel (window
+    * partitioned by block); only the per-block TOTALS — thousands of rows
+    * at 100 TB — take a global window; offsets join back on the block id.
+    * Identical to the naive global window, without its single-task sort. */
+  def blockedPrefixSum(df: DataFrame, blockCol: Column, order: Seq[Column],
+                       valCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("_blk", blockCol).withColumn("_v", valCol)
+    val wIn = Window.partitionBy(col("_blk")).orderBy(order: _*)
+    val inBlk = base.withColumn("_cum_in", sum(col("_v")).over(wIn))
+    val blkTot = base.groupBy(col("_blk")).agg(sum(col("_v")).as("_tot"))
+    val wBlk = Window.orderBy(col("_blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = blkTot
+      .withColumn("_off", sum(col("_tot")).over(wBlk) - col("_tot"))
+      .select(col("_blk"), col("_off"))
+    inBlk.join(offsets, "_blk")
+      .withColumn("cum_before", col("_off") + col("_cum_in") - col("_v"))
+      .drop("_blk", "_v", "_cum_in", "_off")
   }
 }

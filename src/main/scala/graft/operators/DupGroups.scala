@@ -46,16 +46,19 @@ object DupGroups {
     while (iter < maxIter && !converged) {
       val fromNeighbors = und
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.unionAll(fromNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .select(col("src").as("id"), col("comp"), lit(0).as("own"))
+      // fold the convergence check into the same aggregation: `own` tags the
+      // row carrying the vertex's previous label (exactly one per id), so
+      // prev = max(own-weighted comp) rides along and the fixpoint test is a
+      // cheap scan of the just-checkpointed result instead of a second join
+      val next = labels.select(col("id"), col("comp"), lit(1).as("own"))
+        .unionAll(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"),
+          max(when(col("own") === 1, col("comp"))).as("prev"))
         .localCheckpoint(true)
       // labels only ever decrease, so "no label dropped" == fixpoint
-      converged = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") < col("prev"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     // a silent early exit would report one real dup group as several,

@@ -201,7 +201,7 @@ object PipelinePack extends QueryPack {
 
     "q51_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE substring(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
+        |WHERE substring(md5('strat:' || coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'zzzz' ELSE '8000' END
         |ORDER BY doc_id""".stripMargin,
 

@@ -33,9 +33,22 @@ object Tables {
     * schema. The cache holds logical plans only — no data is pinned.
     * Weak keying cannot work here (a Dataset strongly references its
     * SparkSession, so WeakHashMap entries would never be collectible);
-    * instead entries for stopped sessions are evicted on access. */
+    * instead entries for stopped sessions are evicted on access.
+    *
+    * ASSUMES the sf directories are immutable for the session's lifetime
+    * (true for the driver's pre-generated testdata). A rewritten path
+    * would serve a stale FileIndex — call [[invalidate]] after rewriting
+    * a directory this loader has already read. */
   private val relationCache = scala.collection.concurrent.TrieMap
     .empty[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
+
+  /** Drop cached relations under `dir` (all sessions) and refresh Spark's
+    * own per-path caches, so the next `table()` call re-lists the files.
+    * Needed only when a previously-read sf directory is rewritten. */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    relationCache.values.foreach(_.filterInPlace((p, _) => !p.startsWith(dir)))
+    spark.catalog.refreshByPath(dir)
+  }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     relationCache.filterInPlace((s, _) => !s.sparkContext.isStopped)

@@ -198,6 +198,25 @@ class PipelineSpec extends SparkSpec {
     assert(reps === ((2L, 2L)))
   }
 
+  test("mixtureWeights: NULL domain folds into the '' stratum, sampled not dropped") {
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 2 === 0, lit(null).cast("string")).otherwise("keep").as("d"))
+    // fractional default weight: before the coalesce fix, every NULL-domain
+    // row hashed to NULL and was silently dropped instead of sampled at 50%
+    val out = CorpusOps.mixtureWeights(df, "id", "d",
+      Map("keep" -> 1.0), defaultWeight = 0.5)
+    val n = out.groupBy(coalesce(col("d"), lit("NULL"))).count()
+      .as[(String, Long)].collect().toMap
+    assert(n("keep") === 1000L)
+    assert(math.abs(n("NULL") - 500) < 70,
+      s"NULL-domain rows must sample at ~50%, got ${n.getOrElse("NULL", 0L)}")
+    // and NULL strata match an explicit "" weight entry
+    val out2 = CorpusOps.mixtureWeights(df, "id", "d",
+      Map("" -> 2.0), defaultWeight = 1.0)
+    assert(out2.filter(col("d").isNull).count() === 2000L,
+      "NULL domain takes the '' stratum's weight (2 copies of 1000 rows)")
+  }
+
   test("DeflateRatio: repetitive text compresses below varied text; deterministic; empty = 1.0") {
     val varied = (1 to 200).map(i => s"w${i * 7919 % 997}x$i").mkString(" ")
     val repetitive = Seq.fill(200)("spam ham").mkString(" ")

@@ -114,6 +114,27 @@ object Dedup {
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
   }
 
+  /** All-pairs asymmetric shingle CONTAINMENT — |A∩B| / |A| and / |B| —
+    * the excerpt/quote detector Jaccard misses: a 13-token excerpt of a
+    * 400-token source has Jaccard ≈ 0.03 but containment 1.0 on the
+    * excerpt side. Same shared-shingle self-join shape as
+    * [[allPairsJaccard]] (cost Σ_shingle df², never |docs|²); pairs with
+    * no shared shingle (containment 0) are absent, which any threshold
+    * > 0 filters anyway. */
+  def allPairsContainment(sh: DataFrame, id: String = "doc_id"): DataFrame = {
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col(id).as("doc_a"), col("sh"))
+      .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("containment_a", col("n_shared").cast("double") / col("n_a"))
+      .withColumn("containment_b", col("n_shared").cast("double") / col("n_b"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     * verified with exact Jaccard ≥ threshold. */
   def minhashLsh(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 16,

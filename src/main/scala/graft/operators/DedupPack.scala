@@ -84,8 +84,55 @@ object DedupPack extends QueryPack {
       DupGroups.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("comp").as("component"))
         .orderBy("doc_id")
+    }),
+
+    // Best-of-group dedup: keep the HIGHEST-quality member of each dup
+    // cluster, not the min id — the re-crawl copies carry extra stopwords
+    // (higher quality score), so keepers must be the COPIES, proving the
+    // policy actually picks by score.
+    "q78_best_of_group" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val boosted = d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + CopyOffset).as("doc_id"),
+          concat(col("text"), lit(BoostSuffix)).as("text"))
+      val frame = d.unionAll(boosted)
+      val pairs = Dedup.minhashLsh(frame, shingleN = 3,
+        numHashes = 16, bands = 4, threshold = 0.5)
+      val comps = DupGroups.connectedComponents(pairs)
+      val scored = frame.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text"),
+          TextPack.stopwords).as("q"))
+      Selection.bestOfGroup(comps, scored, "doc_id", "q")
+        .select(col("component"), col("size"), col("keeper_id"),
+          round(col("keeper_score"), 6).as("keeper_q"))
+        .orderBy("component")
+    }),
+
+    // Asymmetric shingle containment: planted 13-token excerpts must come
+    // out with containment 1.0 on the excerpt side even though their
+    // Jaccard vs the source is far below any dedup threshold.
+    "q80_containment" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 4 === 0).select(col("doc_id"), col("text"))
+      val excerpts = d.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + CopyOffset).as("doc_id"),
+          array_join(slice(graft.functions.TextFunctions.tokens(col("text")),
+            1, ExcerptTokens), " ").as("text"))
+      val sh = Dedup.shingles(d.unionAll(excerpts), n = 3)
+      Dedup.allPairsContainment(sh)
+        .filter(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("containment_a"), 6).as("containment_a"),
+          round(col("containment_b"), 6).as("containment_b"))
+        .orderBy("doc_a", "doc_b")
     })
   )
+
+  /** Quality-raising suffix for the q78 re-crawl copies (stopword-dense,
+    * small enough that MinHash still pairs copy with original). */
+  val BoostSuffix = " the of and a is"
+  /** Excerpt width (tokens) for q80's planted quotes. */
+  val ExcerptTokens = 13
 
   val PlantOffset = 200000L
 
@@ -232,6 +279,62 @@ object DedupPack extends QueryPack {
          |  UNION
          |  SELECT u.src AS id, w.comp FROM und u JOIN walk w ON u.dst = w.id)
          |SELECT id AS doc_id, min(comp) AS component
-         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q57's recursive min-label walk + a per-component quality argmax.
+    "q78_best_of_group" ->
+      s"""WITH RECURSIVE docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id, text || '$BoostSuffix' AS text
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |sh AS (${shinglesSql("docs")}),
+         |${minhashCandCtes()},
+         |$countsSharedCtes,
+         |pairs AS (SELECT doc_a, doc_b FROM shared
+         |          JOIN counts ca ON ca.doc_id = doc_a
+         |          JOIN counts cb ON cb.doc_id = doc_b
+         |          WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= 0.5),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |verts AS (SELECT DISTINCT src AS id FROM und),
+         |walk(id, comp) AS (
+         |  SELECT id, id AS comp FROM verts
+         |  UNION
+         |  SELECT u.src AS id, w.comp FROM und u JOIN walk w ON u.dst = w.id),
+         |cmp AS (SELECT id, min(comp) AS component FROM walk GROUP BY id),
+         |qv AS (SELECT doc_id, ${graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords)} AS q
+         |       FROM (SELECT doc_id, text, ${TextPack.toksSql("text")} AS toks FROM docs)),
+         |j AS (SELECT c.component, c.id, qv.q FROM cmp c JOIN qv ON qv.doc_id = c.id),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, id) AS rn,
+         |        COUNT(*) OVER (PARTITION BY component) AS size
+         |      FROM j)
+         |SELECT component, CAST(size AS BIGINT) AS size, id AS keeper_id,
+         |       ROUND(q, 6) AS keeper_q
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "q80_containment" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         |docs AS (
+         |  SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id,
+         |         array_to_string(list_slice(${TextPack.toksSql("text")}, 1, $ExcerptTokens), ' ') AS text
+         |  FROM base WHERE doc_id % 8 = 0),
+         |sh AS (${shinglesSql("docs")}),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |           GROUP BY 1, 2),
+         |c AS (SELECT doc_a, doc_b, n_shared,
+         |        CAST(n_shared AS DOUBLE) / ca.n_sh AS c_a,
+         |        CAST(n_shared AS DOUBLE) / cb.n_sh AS c_b
+         |      FROM shared JOIN counts ca ON ca.doc_id = doc_a
+         |                  JOIN counts cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+         |       ROUND(c_a, 6) AS containment_a, ROUND(c_b, 6) AS containment_b
+         |FROM c WHERE greatest(c_a, c_b) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

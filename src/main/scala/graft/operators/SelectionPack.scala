@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.{TextFunctions => T}
+import graft.sources.Tables
+
+/** Driver-contract queries for the data-selection operators ([[Selection]],
+  * plus [[CorpusOps.paragraphDedup]]/[[CorpusOps.packSequences]]): the
+  * stages between a cleaned corpus and a training mix. Every query is
+  * oracle-checked — the operators are hash/count/window arithmetic that
+  * DuckDB replicates exactly; the two log-based scores reuse the q62
+  * round-then-DECIMAL-sum pattern so per-doc sums are order-independent.
+  */
+object SelectionPack extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Non-overlapping paragraph width (tokens) for sub-document dedup. */
+  val ParaTokens = 12
+  /** Per-source quota for the training-mix cap (documents spread over 20
+    * sources — 25/source at sf0.01 — so the cap must BIND there to be a
+    * real test of the cut). */
+  val CapPerSource = 15
+  /** Second-snapshot id offset + mutation period for cross-snapshot dedup. */
+  val SnapOffset = 300000L
+  /** Sequence-packing budget (tokens) and prefix-sum block width (ids). */
+  val PackBudget = 64
+  val PackBlock = 128L
+  /** Document-frequency band for the inverted index (3-gram terms). */
+  val PostMinDf = 4
+  val PostMaxDf = 12
+  /** Token budget for the best-quality corpus subset. */
+  val TokenBudget = 6000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus-wide paragraph dedup: first occurrence of each 12-token
+    // paragraph wins, documents reconstructed from survivors. The oracle
+    // pins per-doc paragraph counts AND the reconstructed content hash.
+    "q69_paragraph_dedup" -> ((s, dir) => {
+      CorpusOps.paragraphDedup(docs(s, dir), "doc_id", "text", ParaTokens)
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          substring(md5(col("clean_text")), 1, 8).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style within-doc repetition signals: top-token share +
+    // duplicate 2-/3-gram occurrence fractions.
+    "q70_ngram_repetition" -> ((s, dir) => {
+      Selection.ngramRepetition(docs(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Per-source quota: top CapPerSource docs by (quality desc, doc_id).
+    "q71_domain_cap" -> ((s, dir) => {
+      val scored = docs(s, dir).select(col("doc_id"), col("source"),
+        T.qualityScore(col("text"), TextPack.stopwords).as("q"))
+      Selection.domainCap(scored, "source",
+          Seq(col("q").desc, col("doc_id")), CapPerSource)
+        .select(col("source"), col("rank"), col("doc_id"),
+          round(col("q"), 6).as("q"))
+        .orderBy("source", "rank")
+    }),
+
+    // Cross-snapshot dedup: a re-crawl (ids offset, every 3rd doc mutated)
+    // against the previous snapshot — only genuinely new content survives.
+    "q72_cross_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val snap2 = d.select((col("doc_id") + SnapOffset).as("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" fresh")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      Selection.crossDedup(snap2, d)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Greedy sequence packing via the two-level (scale-safe) prefix sum:
+    // per doc, its position in the packed token stream.
+    "q73_pack_sequences" -> ((s, dir) => {
+      CorpusOps.packSequences(docs(s, dir), "doc_id", "text",
+          budget = PackBudget, blockSize = PackBlock)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // DSIR importance weights toward the src0 "curated" domain.
+    "q74_dsir_weights" -> ((s, dir) => {
+      Selection.dsirWeights(docs(s, dir), "doc_id", "text",
+          col("source") === "src0")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Fixed-weight logistic quality classifier at scan speed; bin + verdict
+    // derive from the ROUNDED score so the cut is engine-independent.
+    "q75_quality_logit" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          round(Selection.qualityLogit(col("text"), TextPack.stopwords), 6)
+            .as("score"))
+        .withColumn("bin", least(lit(9), floor(col("score") * 10)).cast("int"))
+        .withColumn("keep", col("score") >= 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget selection: best-quality docs that fit, whole, in a
+    // 6000-token budget (binds at every sf: it keeps the top ~150 docs).
+    "q77_budget_select" -> ((s, dir) => {
+      Selection.budgetSelect(docs(s, dir), "doc_id", "text",
+          T.qualityScore(col("text"), TextPack.stopwords),
+          budget = TokenBudget, scoreBlocks = 64)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("q"),
+          col("n_toks"), col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
+    // Inverted index over 3-gram terms inside a df band: df + sorted
+    // posting list (content-hashed, head ids in the clear).
+    "q76_posting_lists" -> ((s, dir) => {
+      Selection.postingLists(docs(s, dir), "doc_id",
+          T.wordNgrams(T.tokens(col("text")), 3), PostMinDf, PostMaxDf)
+        .select(col("term"), col("df"),
+          substring(md5(array_join(
+            transform(col("postings"), x => x.cast("string")), ",")), 1, 8)
+            .as("posting_hash"),
+          array_join(transform(slice(col("postings"), 1, 3),
+            x => x.cast("string")), ",").as("head_ids"))
+        .orderBy("term")
+    })
+  )
+
+  // ---- DuckDB twins --------------------------------------------------------
+
+  private def toks = TextPack.toksSql("text")
+
+  /** DuckDB word-n-gram list over a `toks` column (the Spark
+    * `wordNgrams` twin — shared shape with DedupPack.shinglesSql). */
+  private def ngramsSql(n: Int): String =
+    s"""CASE WHEN len(toks) >= $n
+       |     THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |                         i -> array_to_string(list_slice(toks, i, i + ${n - 1}), ' '))
+       |     ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q69_paragraph_dedup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        unnest(generate_series(0, len(toks) - 1, $ParaTokens)) AS start
+         |      FROM d),
+         |p AS (SELECT doc_id, CAST(start // $ParaTokens AS INTEGER) AS ci,
+         |        array_to_string(toks[start + 1 : start + $ParaTokens], ' ') AS chunk
+         |      FROM s),
+         |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk
+         |                                   ORDER BY doc_id, ci) AS rn FROM p)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       substring(md5(coalesce(
+         |         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY ci),
+         |         '')), 1, 8) AS clean_hash
+         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q70_ngram_repetition" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |e AS (
+         |  SELECT doc_id, 1 AS n, unnest(toks) AS g FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 2, unnest(${ngramsSql(2)}) FROM d
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest(${ngramsSql(3)}) FROM d),
+         |pg AS (SELECT doc_id, n, g, count(*) AS c FROM e GROUP BY 1, 2, 3),
+         |pk AS (SELECT doc_id, n, sum(c) AS tot,
+         |         sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, max(c) AS mx
+         |       FROM pg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_toks,
+         |  max(CASE WHEN n = 1 THEN ROUND(CAST(mx AS DOUBLE) / tot, 6) END) AS top_tok_share,
+         |  max(CASE WHEN n = 2 THEN ROUND(CAST(dup AS DOUBLE) / tot, 6) END) AS dup2_frac,
+         |  max(CASE WHEN n = 3 THEN ROUND(CAST(dup AS DOUBLE) / tot, 6) END) AS dup3_frac
+         |FROM pk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, text, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |        ${T.qualityScoreSql(TextPack.stopwords)} AS q FROM t),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |                                   ORDER BY q DESC, doc_id) AS rank
+         |      FROM s)
+         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(q, 6) AS q
+         |FROM r WHERE rank <= $CapPerSource ORDER BY source, rank""".stripMargin,
+
+    "q72_cross_dedup" ->
+      s"""WITH snap2 AS (
+         |  SELECT doc_id + $SnapOffset AS doc_id,
+         |         CASE WHEN doc_id % 3 = 0 THEN text || ' fresh' ELSE text END AS text,
+         |         source
+         |  FROM documents),
+         |ref AS (SELECT DISTINCT ${DedupPack.contentHashSql("text")} AS h FROM documents)
+         |SELECT doc_id, source FROM snap2
+         |WHERE ${DedupPack.contentHashSql("text")} NOT IN (SELECT h FROM ref)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q73_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, len($toks) AS n_toks FROM documents),
+         |c AS (SELECT doc_id, n_toks,
+         |        sum(n_toks) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+         |          AS cum_before
+         |      FROM d)
+         |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+         |       CAST(cum_before AS BIGINT) AS cum_before,
+         |       CAST(cum_before // $PackBudget AS BIGINT) AS seq_id,
+         |       CAST(cum_before % $PackBudget AS BIGINT) AS seq_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q74_dsir_weights" ->
+      s"""WITH toks AS (SELECT doc_id, source = 'src0' AS tgt, unnest($toks) AS tok
+         |              FROM documents),
+         |cf AS (SELECT tok, count(*) AS c_all,
+         |         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_tgt
+         |       FROM toks GROUP BY tok),
+         |t AS (SELECT CAST(sum(c_all) AS DOUBLE) AS n_all,
+         |        CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         |        CAST(count(*) AS DOUBLE) AS v FROM cf),
+         |r AS (SELECT tok, CAST(ROUND(ln(
+         |        ((c_tgt + 1) / ((SELECT n_tgt FROM t) + (SELECT v FROM t))) /
+         |        ((c_all + 1) / ((SELECT n_all FROM t) + (SELECT v FROM t)))), 6)
+         |        AS DECIMAL(18,6)) AS r
+         |      FROM cf)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |       ROUND(CAST(sum(r) AS DOUBLE), 6) AS dsir_score,
+         |       sum(r) > 0 AS target_like
+         |FROM toks JOIN r USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q75_quality_logit" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        ROUND(${Selection.qualityLogitSql(TextPack.stopwords)}, 6) AS score
+         |      FROM t)
+         |SELECT doc_id, score,
+         |       CAST(least(9, floor(score * 10)) AS INTEGER) AS bin,
+         |       score >= 0.5 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q77_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n_toks,
+         |        ${T.qualityScoreSql(TextPack.stopwords)} AS q FROM t),
+         |c AS (SELECT doc_id, q, n_toks,
+         |        sum(n_toks) OVER (ORDER BY q DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+         |          AS cum_before
+         |      FROM s)
+         |SELECT doc_id, ROUND(q, 6) AS q, CAST(n_toks AS BIGINT) AS n_toks,
+         |       CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before + n_toks <= $TokenBudget
+         |ORDER BY doc_id""".stripMargin,
+
+    "q76_posting_lists" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, unnest(${ngramsSql(3)}) AS term FROM d),
+         |p AS (SELECT term, count(*) AS df, list_sort(list(doc_id)) AS postings
+         |      FROM g GROUP BY term)
+         |SELECT term, CAST(df AS BIGINT) AS df,
+         |       substring(md5(array_to_string(postings, ',')), 1, 8) AS posting_hash,
+         |       array_to_string(postings[1:3], ',') AS head_ids
+         |FROM p WHERE df BETWEEN $PostMinDf AND $PostMaxDf
+         |ORDER BY term""".stripMargin
+  )
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{CorpusOps, Selection}
+
+/** Unit behavior of the data-selection operators (Selection +
+  * CorpusOps.paragraphDedup/packSequences); cross-engine exactness is
+  * covered by the SelectionPack oracles. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paragraphDedup: first occurrence wins corpus-wide, docs reconstruct in order") {
+    // doc 1 and 2 share paragraph "a b"; doc 2 repeats its own "c d"
+    val docs = Seq(
+      (1L, "a b x y"),
+      (2L, "a b c d c d"),
+      (3L, "z z")).toDF("doc_id", "text")
+    val out = CorpusOps.paragraphDedup(docs, "doc_id", "text", paraTokens = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 2L, "a b x y"),  // both paragraphs are first occurrences
+      (2L, 3L, 1L, "c d"),      // "a b" lost to doc 1; "c d" kept once
+      (3L, 1L, 1L, "z z")))
+  }
+
+  test("paragraphDedup: within-doc repeats collapse too (first index wins)") {
+    val docs = Seq((7L, "p q p q")).toDF("doc_id", "text")
+    val out = CorpusOps.paragraphDedup(docs, "doc_id", "text", paraTokens = 2)
+      .as[(Long, Long, Long, String)].head()
+    assert(out === ((7L, 2L, 1L, "p q")))
+  }
+
+  test("packSequences matches the naive global cumulative sum") {
+    val docs = (0L until 300L).map(i => (i * 3, s"t ${"w " * (i % 17).toInt}".trim))
+      .toDF("doc_id", "text")
+    val fast = CorpusOps.packSequences(docs, "doc_id", "text",
+        budget = 50, blockSize = 64)
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // naive: one global window (the scale-killer shape, fine for a test)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(Long.MinValue, 0)
+    val naive = docs.select(col("doc_id").as("id"),
+        TextFunctions.tokenStats(col("text")).getField("ws_tokens")
+          .cast("long").as("n_toks"))
+      .withColumn("cum_before", sum("n_toks").over(w) - col("n_toks"))
+      .withColumn("seq_id", floor(col("cum_before") / 50).cast("long"))
+      .withColumn("seq_offset", col("cum_before") % 50)
+      .orderBy("id").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(fast === naive)
+  }
+
+  test("domainCap keeps exactly cap best rows per domain; plan uses WindowGroupLimit") {
+    val df = (1 to 100).map(i => (i.toLong, s"d${i % 4}", (i % 10).toDouble))
+      .toDF("id", "dom", "score")
+    val capped = Selection.domainCap(df, "dom",
+      Seq(col("score").desc, col("id")), cap = 5)
+    assert(capped.count() === 20)
+    val perDom = capped.groupBy("dom").agg(count(lit(1)).as("n"),
+      min("score").as("worst")).as[(String, Long, Double)].collect()
+    perDom.foreach { case (_, n, worst) =>
+      assert(n === 5L)
+      assert(worst >= 8.0, s"cap must keep the best scores, worst kept = $worst")
+    }
+    // the rank-limit must push a partial top-k below the exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("crossDedup drops content present in the reference, ignoring layout/whitespace") {
+    val ref = Seq((1L, "Hello  World"), (2L, "unique ref")).toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, "hello world"),      // normalized dup of ref 1
+      (11L, "brand new doc"),
+      (12L, "HELLO   WORLD ")    // also a normalized dup
+    ).toDF("doc_id", "text")
+    val kept = Selection.crossDedup(fresh, ref).select("doc_id")
+      .as[Long].collect().toSeq
+    assert(kept === Seq(11L))
+  }
+
+  test("ngramRepetition flags repetitive docs and clean docs correctly") {
+    val docs = Seq(
+      (1L, "spam spam spam spam"),       // one token dominates; all bigrams dup
+      (2L, "a b c d e f")                // no repetition at all
+    ).toDF("doc_id", "text")
+    val out = Selection.ngramRepetition(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long, Double, Double, Double)].collect()
+    val (_, n1, top1, d2a, d3a) = out(0)
+    assert(n1 === 4L && top1 === 1.0 && d2a === 1.0 && d3a === 1.0)
+    val (_, n2, top2, d2b, d3b) = out(1)
+    assert(n2 === 6L && top2 === round6(1.0 / 6) && d2b === 0.0 && d3b === 0.0)
+  }
+
+  test("dsirWeights: target-like docs score above off-target docs; layout-stable") {
+    val target = (1L to 40L).map(i => (i, "alpha beta gamma", true))
+    val other = (41L to 80L).map(i => (i, "delta epsilon zeta", true))
+    val docs = (target ++ other).map { case (i, t, _) => (i, t) }
+      .toDF("doc_id", "text")
+    val scored = Selection.dsirWeights(docs, "doc_id", "text", col("doc_id") <= 40)
+    val byDoc = scored.as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._3, r._4)).toMap
+    assert(byDoc(1L)._1 > byDoc(41L)._1,
+      "docs made of target-domain tokens must outscore off-target docs")
+    assert(byDoc(1L)._2 && !byDoc(41L)._2)
+    // layout independence (DECIMAL sum of rounded per-token ratios)
+    val again = Selection.dsirWeights(docs.repartition(7), "doc_id", "text",
+      col("doc_id") <= 40).as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(byDoc.map { case (k, v) => k -> v._1 } === again)
+  }
+
+  test("postingLists: sorted postings, df band enforced, per-doc dups collapse") {
+    val docs = Seq(
+      (3L, "x x common"),     // "x" twice in one doc -> df counts the doc once
+      (1L, "common x"),
+      (2L, "common rare")).toDF("doc_id", "text")
+    val out = Selection.postingLists(docs, "doc_id",
+        TextFunctions.tokens(col("text")), minDf = 2, maxDf = 3)
+      .orderBy("term")
+      .as[(String, Long, Seq[Long])].collect().toSeq
+    assert(out === Seq(
+      ("common", 3L, Seq(1L, 2L, 3L)),
+      ("x", 2L, Seq(1L, 3L))))
+  }
+
+  test("qualityLogit: bounded in (0,1), 0 for empty, monotone in stopword signal") {
+    val sw = Seq("the", "a", "of")
+    val rows = Seq(
+      ("empty", ""),
+      ("stopless", "xyzzy qwerty asdf ghjk"),
+      ("stoppy", "the cat of a hat the end of a tale"))
+      .toDF("k", "text")
+      .select(col("k"), Selection.qualityLogit(col("text"), sw).as("s"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("empty") === 0.0)
+    assert(rows("stopless") > 0.0 && rows("stopless") < 1.0)
+    assert(rows("stoppy") > rows("stopless"),
+      "stopword-bearing natural text must outscore keyboard mash")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}

@@ -55,8 +55,30 @@ object MultimodalPack extends QueryPack {
         .select(col("doc_id"), col("width"), col("height"),
           length(col("pixels")).cast("long").as("n_payload"))
         .orderBy("doc_id")
+    }),
+
+    // Content-addressed media dedup: every 5th asset is re-ingested under
+    // a new id, which ALSO changes its container metadata (kind, dims
+    // derive from the id) — dedup on the md5 of the decoded PAYLOAD must
+    // still collapse them (n_kinds 2 proves the container differed).
+    // Scale shape: one shuffle on a 16-byte payload hash, never the bytes.
+    "q79_media_dedup" -> ((s, dir) => {
+      val d = graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val frame = d.unionAll(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + ReencodeOffset).as("doc_id"), col("text")))
+      decode(mediaFrom(frame)).toDF()
+        .select(col("doc_id"), col("kind"), md5(col("pixels")).as("payload_hash"))
+        .groupBy(col("payload_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
+          countDistinct(col("kind")).as("n_kinds"))
+        .orderBy("keeper")
     })
   )
+
+  /** Id offset for q79's re-encoded copies (offset % 3 != 0, so the fake
+    * container kind/dims change while the payload stays identical). */
+  val ReencodeOffset = 100000L
 
   def oracles: Map[String, String] = Map(
     "q26_media_meta" ->
@@ -92,6 +114,23 @@ object MultimodalPack extends QueryPack {
          |  CAST(GREATEST(1, (16 + doc_id % 48) // 4) AS INT) AS width,
          |  CAST(GREATEST(1, (16 + (doc_id * 7) % 32) // 4) AS INT) AS height,
          |  CAST(CEIL(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_payload
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // md5 of the decoded payload == md5 of the document text's UTF-8 bytes.
+    "q79_media_dedup" ->
+      s"""WITH frame AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ReencodeOffset AS doc_id, text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |m AS (SELECT doc_id,
+         |        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |             ELSE 'video' END AS kind,
+         |        md5(text) AS payload_hash
+         |      FROM frame)
+         |SELECT payload_hash, min(doc_id) AS keeper,
+         |       CAST(count(*) AS BIGINT) AS n_copies,
+         |       CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds
+         |FROM m GROUP BY payload_hash ORDER BY keeper""".stripMargin
   )
 }

@@ -141,6 +141,58 @@ class SelectionSpec extends SparkSpec {
       "stopword-bearing natural text must outscore keyboard mash")
   }
 
+  test("budgetSelect keeps the best-score prefix that fits whole, matches naive") {
+    val docs = (1L to 200L).map(i => (i, ("w " * (5 + (i % 11)).toInt).trim))
+      .toDF("doc_id", "text")
+    // score descending in id for a known order: score = 1 - id/1000
+    val score = lit(1.0) - col("doc_id") / 1000.0
+    val kept = operators.Selection.budgetSelect(docs, "doc_id", "text",
+        score, budget = 300, scoreBlocks = 64)
+      .orderBy("id").as[(Long, Double, Long, Long)].collect().toSeq
+    // naive check: ids ascending are score-descending; accumulate
+    var cum = 0L
+    val expect = (1L to 200L).flatMap { i =>
+      val n = 5 + (i % 11)
+      val keep = cum + n <= 300
+      val row = if (keep) Some((i, 1.0 - i / 1000.0, n, cum)) else None
+      if (keep) cum += n
+      row
+    }
+    assert(kept.map(r => (r._1, r._3, r._4)) === expect.map(r => (r._1, r._3, r._4)))
+    assert(kept.map(_._2) === expect.map(_._2))
+    // every kept doc fits wholly inside the budget
+    kept.foreach { case (_, _, n, cb) => assert(cb + n <= 300) }
+  }
+
+  test("bestOfGroup picks the highest score, smallest id on ties") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "comp")
+    val scored = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5))
+      .toDF("doc_id", "q")
+    val out = operators.Selection.bestOfGroup(comps, scored, "doc_id", "q")
+      .orderBy("component").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, 0.9),    // 2 and 3 tie on 0.9 -> smaller id wins
+      (10L, 2L, 10L, 0.5)))
+  }
+
+  test("allPairsContainment: a planted excerpt has containment 1.0 vs its source") {
+    val src = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, src),
+      (2L, "alpha beta gamma delta epsilon"),  // prefix excerpt of 1
+      (3L, "totally unrelated words here now")).toDF("doc_id", "text")
+    val sh = operators.Dedup.shingles(docs, n = 3)
+    val pairs = operators.Dedup.allPairsContainment(sh)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)]
+    val row = pairs.filter(r => r._1 == 1L && r._2 == 2L).head()
+    assert(row._4 === 1.0, "excerpt-side containment must be exactly 1.0")
+    assert(row._3 < 0.5, "source-side containment stays low")
+    assert(pairs.filter(r => r._2 == 3L || r._1 == 3L).isEmpty,
+      "no shared shingle -> pair absent")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

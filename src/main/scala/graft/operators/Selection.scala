@@ -215,6 +215,51 @@ object Selection {
         col("_k.kid").as("keeper_id"), col("_k.ks").as("keeper_score"))
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis 2006): each row draws u from ITS OWN hash
+    * (layout-independent, engine-portable — never `rand()`), gets key
+    * ln(u)/w, and the k largest keys win; inclusion probability is
+    * proportional to weight, and the draw is reproducible bit-for-bit.
+    * Weights must be strictly positive.
+    *
+    * Scale shape: the top-k is orderBy+limit — TakeOrdered, a map-side
+    * partial top-k heap per task, never a global sort; the rank window
+    * touches only the k winners. */
+  def weightedSample(df: DataFrame, idCol: String,
+                     weight: org.apache.spark.sql.Column, k: Int,
+                     salt: String = "es"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val u = (graft.functions.Portable.hash32(
+      concat(lit(salt + ":"), col(idCol).cast("string"))) + 1).cast("double") /
+      lit(4294967297.0) // (h+1) / (2^32 + 1) ∈ (0, 1)
+    val keyed = df.withColumn("es_key", log(u) / weight)
+    val top = keyed.orderBy(col("es_key").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("es_key").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w))
+  }
+
+  /** Crawl-snapshot diff: full-outer join of two snapshots on the id,
+    * comparing normalized content hashes — (id, status) with status in
+    * added / removed / changed / unchanged. The incremental-ingestion
+    * planner's input: only added+changed need reprocessing.
+    *
+    * Scale shape: one full-outer shuffle join on the id carrying 16-byte
+    * hashes, never document text. */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val o = oldSnap.select(col(idCol).as("id"),
+      Dedup.contentHash(col(textCol)).as("_ho"))
+    val n = newSnap.select(col(idCol).as("id"),
+      Dedup.contentHash(col(textCol)).as("_hn"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("_ho").isNull, "added")
+          .when(col("_hn").isNull, "removed")
+          .when(col("_ho") =!= col("_hn"), "changed")
+          .otherwise("unchanged"))
+      .select(col("id"), col("status"))
+  }
+
   /** DuckDB twin of [[qualityLogit]] — expects `text` and a `toks` column
     * (the [[TextPack.toksSql]] split) in scope. ONE definition of the
     * weights, interpolated into both engines' plans. */

@@ -35,6 +35,9 @@ object SelectionPack extends QueryPack {
   val PostMaxDf = 12
   /** Token budget for the best-quality corpus subset. */
   val TokenBudget = 6000L
+  /** Weighted-sample draw size + snapshot-delta added-id offset. */
+  val SampleK = 50
+  val DeltaOffset = 400000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -117,6 +120,35 @@ object SelectionPack extends QueryPack {
           budget = TokenBudget, scoreBlocks = 64)
         .select(col("id").as("doc_id"), round(col("score"), 6).as("q"),
           col("n_toks"), col("cum_before"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic Efraimidis-Spirakis weighted sample: 50 docs drawn
+    // with probability ~ quality score, reproducible bit-for-bit.
+    "q82_weighted_sample" -> ((s, dir) => {
+      Selection.weightedSample(
+          docs(s, dir).select(col("doc_id"),
+            (T.qualityScore(col("text"), TextPack.stopwords) + 0.01).as("w")),
+          "doc_id", col("w"), k = SampleK)
+        .select(col("rank"), col("doc_id"), round(col("es_key"), 6).as("es_key"),
+          round(col("w") - 0.01, 6).as("q"))
+        .orderBy("rank")
+    }),
+
+    // Crawl-snapshot diff: the second snapshot drops every 17th doc,
+    // rewrites every 11th, adds re-keyed copies of every 13th — the delta
+    // report drives incremental reprocessing.
+    "q83_snapshot_delta" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val snap2 = d.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 5, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + DeltaOffset).as("doc_id"), col("text")))
+      Selection.snapshotDelta(d, snap2, "doc_id", "text")
+        .filter(col("status") =!= "unchanged")
+        .select(col("id").as("doc_id"), col("status"))
         .orderBy("doc_id")
     }),
 
@@ -261,6 +293,41 @@ object SelectionPack extends QueryPack {
          |       CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before + n_toks <= $TokenBudget
          |ORDER BY doc_id""".stripMargin,
+
+    "q82_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |        ${T.qualityScoreSql(TextPack.stopwords)} + 0.01 AS w FROM t),
+         |k AS (SELECT doc_id, w,
+         |        ln((CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |             AS BIGINT) + 1) / 4294967297.0) / w AS es_key
+         |      FROM s),
+         |r AS (SELECT doc_id, w, es_key,
+         |        ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rn
+         |      FROM k)
+         |SELECT CAST(rn AS INTEGER) AS rank, doc_id,
+         |       ROUND(es_key, 6) AS es_key, ROUND(w - 0.01, 6) AS q
+         |FROM r WHERE rn <= $SampleK ORDER BY rank""".stripMargin,
+
+    "q83_snapshot_delta" -> {
+      val h = (t: String) => DedupPack.contentHashSql(t)
+      s"""WITH snap1 AS (SELECT doc_id, text FROM documents),
+         |snap2 AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 11 = 5 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 3
+         |  UNION ALL
+         |  SELECT doc_id + $DeltaOffset AS doc_id, text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |        CASE WHEN a.doc_id IS NULL THEN 'added'
+         |             WHEN b.doc_id IS NULL THEN 'removed'
+         |             WHEN ${h("a.text")} <> ${h("b.text")} THEN 'changed'
+         |             ELSE 'unchanged' END AS status
+         |      FROM snap1 a FULL OUTER JOIN snap2 b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q76_posting_lists" ->
       s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),

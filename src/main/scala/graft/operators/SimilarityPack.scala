@@ -14,6 +14,9 @@ object SimilarityPack extends QueryPack {
   val NumCentroids = 8
   val Dim = 64
   val PerturbOffset = 100000L
+  /** PQ geometry: 8 subspaces of 8 dims, 16 codewords per subspace. */
+  val PqM = 8
+  val PqCodewords = 16
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
@@ -105,6 +108,30 @@ object SimilarityPack extends QueryPack {
           bool_and(coalesce(col("cnt"), lit(0L)) === 3).as("full_topk"),
           (avg(when(array_contains(col("ids"), col("top1")), 1.0)
             .otherwise(0.0)) >= 0.5).as("recall_ok"))
+    }),
+
+    // Product quantization + ADC search: 16x vector compression with a
+    // table-lookup distance (the memory side of billion-scale ANN; IVF
+    // bucketing q36 composes with this inside each bucket). Codebooks are
+    // the first PqCodewords embeddings (deterministic, like q36's
+    // centroids), so the WHOLE pipeline — encode argmins, LUT, ADC sums,
+    // ranking — is replicated exactly in DuckDB: no recall gate needed,
+    // the oracle pins every neighbor and distance.
+    "q81_pq_adc" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.toDoubleArray
+      val all = Tables.table(s, dir, "embeddings")
+      val corp = all.select(col("vec_id").as("id"),
+        toDoubleArray(col("embedding")).as("vec"))
+      val codebook = all.filter(col("vec_id") < PqCodewords)
+        .select(col("vec_id").cast("int").as("code"),
+          toDoubleArray(col("embedding")).as("cvec"))
+      val qs = all.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), toDoubleArray(col("embedding")).as("qvec"))
+      val enc = PQ.encode(corp, codebook, m = PqM, dim = Dim)
+      PQ.adcTopK(enc, codebook, qs, m = PqM, dim = Dim, k = 3)
+        .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+          round(col("adc_dist").cast("double"), 6).as("adc_dist"))
+        .orderBy("qid", "rank")
     }),
 
     // Symmetric int8 quantization of the embedding column — the 4x
@@ -259,6 +286,45 @@ object SimilarityPack extends QueryPack {
          |       ROUND(list_max(e), 6) AS max_err,
          |       ROUND(list_sum(e) / 64.0, 6) AS mean_err
          |FROM err ORDER BY vec_id""".stripMargin
+    },
+
+    "q81_pq_adc" -> {
+      val sub = Dim / PqM
+      def dist(x: String, c: String, mi: Int): String = {
+        val base = mi * sub
+        val diff = s"(CAST($x[$base + j] AS DOUBLE) - CAST($c[$base + j] AS DOUBLE))"
+        s"list_sum(list_transform(generate_series(1, $sub), j -> $diff * $diff))"
+      }
+      val encBranches = (0 until PqM).map(mi =>
+        s"SELECT id, code, $mi AS mi, d$mi AS d FROM cd").mkString("\nUNION ALL\n")
+      val lutBranches = (0 until PqM).map(mi =>
+        s"SELECT qid, code, $mi AS mi, CAST(ROUND(dq$mi, 6) AS DECIMAL(18,6)) AS d FROM lutd")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < $PqCodewords),
+         |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |      WHERE vec_id % 50 = 0),
+         |cd AS (SELECT corpus.id, cb.code,
+         |         ${(0 until PqM).map(mi => s"${dist("vec", "cvec", mi)} AS d$mi").mkString(",\n         ")}
+         |       FROM corpus, cb),
+         |cdm AS ($encBranches),
+         |best AS (SELECT id, mi, code,
+         |           ROW_NUMBER() OVER (PARTITION BY id, mi ORDER BY d, code) AS rn
+         |         FROM cdm),
+         |codes AS (SELECT id, mi, code FROM best WHERE rn = 1),
+         |lutd AS (SELECT q.qid, cb.code,
+         |           ${(0 until PqM).map(mi => s"${dist("qvec", "cvec", mi)} AS dq$mi").mkString(",\n           ")}
+         |         FROM q, cb),
+         |lut AS ($lutBranches),
+         |adc AS (SELECT l.qid, c.id, sum(l.d) AS adc
+         |        FROM codes c JOIN lut l ON l.mi = c.mi AND l.code = c.code
+         |        GROUP BY 1, 2),
+         |r AS (SELECT qid, id, adc,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS INTEGER) AS rank
+         |      FROM adc)
+         |SELECT qid, rank, id AS neighbor_id, ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     }
   )
 }

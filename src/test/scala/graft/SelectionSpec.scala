@@ -193,6 +193,30 @@ class SelectionSpec extends SparkSpec {
       "no shared shingle -> pair absent")
   }
 
+  test("blockedPrefixSum: the only unpartitioned window runs over block totals, not rows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val docs = (0L until 500L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val out = CorpusOps.packSequences(docs, "doc_id", "text",
+      budget = 10, blockSize = 64)
+    // sparkPlan, not executedPlan: AQE's adaptive wrapper hides the tree
+    // from collect() until execution
+    val wins = out.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "expected window operators in the plan")
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.nonEmpty, "expected the block-offset global window")
+    global.foreach { g =>
+      assert(g.collectLeaves().nonEmpty)
+      val aggBelow = g.collect { case a: BaseAggregateExec => a }
+      assert(aggBelow.nonEmpty,
+        "the single-partition window must consume AGGREGATED block totals — " +
+          "an unpartitioned window over raw rows is the scale-killer this " +
+          "operator exists to avoid")
+    }
+    // and the per-row cumulative window is partitioned (parallel)
+    assert(wins.exists(_.partitionSpec.nonEmpty))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

@@ -147,6 +147,45 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally { qe.stop(); qc.stop() }
   }
 
+  test("quality-logit scoring runs unchanged on a stream and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val sw = Seq("the", "a", "of")
+    val rows = Seq((1L, "the cat of a hat sits on the mat again today"),
+      (2L, "zxq wvu"), (3L, ""))
+    val in = MemoryStream[(Long, String)]
+    val scored = graft.operators.Selection.qualityLogit(col("text"), sw)
+    val q = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), round(scored, 6).as("s"))
+      .writeStream.format("memory").queryName("qlogit").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qlogit")
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      val batch = rows.toDF("doc_id", "text")
+        .select(col("doc_id"), round(scored, 6).as("s"))
+        .as[(Long, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stream-static cross-snapshot dedup: live ingest drops content already in the reference") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "seen before"), (2L, "also known")).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val kept = graft.operators.Selection.crossDedup(
+      in.toDF().toDF("doc_id", "text"), ref)
+    assert(kept.isStreaming, "anti-join against the static reference stays streaming")
+    val q = kept.writeStream.format("memory").queryName("xdedup").start()
+    try {
+      in.addData((10L, "SEEN  before"), (11L, "genuinely new"), (12L, "also known"))
+      q.processAllAvailable()
+      val got = spark.table("xdedup").select("doc_id").as[Long].collect().toSeq
+      assert(got === Seq(11L),
+        "normalized dups of the reference must not pass the live ingest screen")
+    } finally q.stop()
+  }
+
   test("stream-static decontamination: live eval docs screen against a static train set") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq((1L, "the quick brown fox jumps over the lazy dog"))

@@ -165,4 +165,42 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** SimHash near-dup pairs by banded Hamming search (the Google-crawl
+    * dedup shape, Manku et al. 2007): signatures split into `bands`
+    * equal bit chunks; by pigeonhole, two signatures within Hamming
+    * distance `bands - 1` agree EXACTLY on at least one chunk, so
+    * candidates come from an equi-join on (band, chunk) — never an
+    * all-pairs scan — and only candidates pay the popcount verify.
+    *
+    * Scale note: maxHamming must stay ≤ bands - 1 or recall silently
+    * drops (enforced); at corpus scale use wider signatures (64-bit,
+    * `bits`) and more bands so chunk buckets stay sparse. */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+                     bits: Int = 16, id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming <= bands - 1,
+      s"pigeonhole guarantee needs maxHamming <= bands - 1 " +
+        s"(got $maxHamming vs ${bands - 1})")
+    val chunkW = bits / bands
+    val mask = (1L << chunkW) - 1L
+    val sig = simhash(docs, bits, id, text)
+    val bandRows = sig.select(col(id),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * chunkW).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "ckey")))
+    val cand = bandRows.select(col("band"), col("ckey"), col(id).as("doc_a"))
+      .join(bandRows.select(col("band"), col("ckey"), col(id).as("doc_b")),
+        Seq("band", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    cand
+      .join(sig.select(col(id).as("doc_a"), col("simhash").as("_sa")), "doc_a")
+      .join(sig.select(col(id).as("doc_b"), col("simhash").as("_sb")), "doc_b")
+      .withColumn("hamming", hamming(col("_sa"), col("_sb")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -108,6 +108,20 @@ object DedupPack extends QueryPack {
         .orderBy("component")
     }),
 
+    // SimHash near-dup by banded Hamming search (32-bit signatures, 4
+    // bands of 8 bits): candidates from an equi-join on exact band
+    // chunks (pigeonhole covers Hamming <= 3), popcount verify on
+    // candidates only. Mutated re-crawls (one appended token) land a few
+    // bits away; organic pairs at Hamming <= 3 in 32-bit space are rare.
+    "q84_simhash_dedup" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val frame = d.unionAll(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + CopyOffset).as("doc_id"),
+          concat(col("text"), lit(" zzz")).as("text")))
+      Dedup.simhashNearDup(frame, maxHamming = 3, bands = 4, bits = 32)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Asymmetric shingle containment: planted 13-token excerpts must come
     // out with containment 1.0 on the excerpt side even though their
     // Jaccard vs the source is far below any dedup threshold.
@@ -313,6 +327,36 @@ object DedupPack extends QueryPack {
          |SELECT component, CAST(size AS BIGINT) AS size, id AS keeper_id,
          |       ROUND(q, 6) AS keeper_q
          |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
+
+    "q84_simhash_dedup" -> {
+      val bits = 32
+      val sums = (0 until bits).map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")
+      val sigExpr = (0 until bits)
+        .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, (sh >> ${b * 8}) & 255 AS ckey FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id, text || ' zzz' AS text
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |toks AS (SELECT doc_id, unnest(${TextPack.toksSql("text")}) AS tok FROM docs),
+         |hh AS (SELECT doc_id, ${Portable.hash32mSql("tok")} AS h FROM toks),
+         |bsum AS (SELECT doc_id, ${sums.mkString(", ")} FROM hh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sigExpr AS BIGINT) AS sh FROM bsum),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.ckey = y.ckey
+         |         WHERE x.doc_id < y.doc_id),
+         |v AS (SELECT doc_a, doc_b,
+         |        CAST(bit_count(xor(sa.sh, sb.sh)) AS INTEGER) AS hamming
+         |      FROM cand JOIN sig sa ON sa.doc_id = doc_a
+         |                JOIN sig sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, hamming FROM v
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q80_containment" ->
       s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),

@@ -152,6 +152,22 @@ object SelectionPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Token-length histogram per source (linear 10-token buckets, capped):
+    // the corpus-audit report behind length-filter thresholds. Integer
+    // bucket arithmetic — no float log whose last ulp could differ
+    // across engines at bucket boundaries.
+    "q85_length_histogram" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("source"),
+          T.tokenStats(col("text")).getField("ws_tokens").as("n"))
+        .withColumn("bucket", least(lit(8), floor(col("n") / 10)).cast("int"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n")).cast("long").as("min_toks"),
+          max(col("n")).cast("long").as("max_toks"))
+        .orderBy("source", "bucket")
+    }),
+
     // Inverted index over 3-gram terms inside a df band: df + sorted
     // posting list (content-hashed, head ids in the clear).
     "q76_posting_lists" -> ((s, dir) => {
@@ -328,6 +344,13 @@ object SelectionPack extends QueryPack {
          |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q85_length_histogram" ->
+      s"""WITH s AS (SELECT source, len($toks) AS n FROM documents),
+         |b AS (SELECT source, CAST(least(8, n // 10) AS INTEGER) AS bucket, n FROM s)
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(min(n) AS BIGINT) AS min_toks, CAST(max(n) AS BIGINT) AS max_toks
+         |FROM b GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
 
     "q76_posting_lists" ->
       s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),

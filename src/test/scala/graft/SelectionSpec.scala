@@ -217,6 +217,24 @@ class SelectionSpec extends SparkSpec {
     assert(wins.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("simhashNearDup: identical docs pair at Hamming 0; distinct-vocab docs don't pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (3L, "qq ww ee rr tt yy uu ii oo pp")        // disjoint vocabulary
+    ).toDF("doc_id", "text")
+    val pairs = operators.Dedup.simhashNearDup(docs, maxHamming = 3,
+        bands = 4, bits = 32)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "a disjoint-vocabulary doc must not pair within Hamming 3")
+    // guardrail: recall guarantee requires maxHamming <= bands - 1
+    intercept[IllegalArgumentException] {
+      operators.Dedup.simhashNearDup(docs, maxHamming = 4, bands = 4)
+    }
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

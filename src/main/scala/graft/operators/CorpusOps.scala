@@ -289,7 +289,11 @@ object CorpusOps {
                        valCol: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = df.withColumn("_blk", blockCol).withColumn("_v", valCol)
+    // ROWS, not the default RANGE frame: rows tied on the order keys must
+    // each see only the rows physically before them, or cum_before absorbs
+    // the peers' values and is no exclusive prefix sum for any total order.
     val wIn = Window.partitionBy(col("_blk")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBlk = base.withColumn("_cum_in", sum(col("_v")).over(wIn))
     val blkTot = base.groupBy(col("_blk")).agg(sum(col("_v")).as("_tot"))
     val wBlk = Window.orderBy(col("_blk"))

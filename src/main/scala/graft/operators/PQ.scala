@@ -59,6 +59,8 @@ object PQ {
     * (distance, id). */
   def adcTopK(encoded: DataFrame, codebook: DataFrame, queries: DataFrame,
               m: Int, dim: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 1, "k must be >= 1")
     val sub = dim / m
     // LUT: (qid, mi, code, d) — per-subspace distance rounded to 6 and
     // fixed-point so the m-way sum below is exact in any order

@@ -66,10 +66,15 @@ object Selection {
     * n-grams per document. Token-less documents produce no rows. */
   def ngramRepetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), T.tokens(col(textCol)).as("_t"))
-    val exploded = (1 to 3).map(n =>
-        toks.select(col("id"), lit(n).as("n"),
-          explode(T.wordNgrams(col("_t"), n)).as("g")))
-      .reduce(_ unionAll _)
+    // One scan: posexplode over the three gram arrays, then explode each —
+    // a 3-way union of per-n selects would re-read and re-tokenize the
+    // corpus once per n (the lit(n) difference defeats ReuseExchange).
+    val exploded = toks
+      .select(col("id"), posexplode(array(
+        T.wordNgrams(col("_t"), 1),
+        T.wordNgrams(col("_t"), 2),
+        T.wordNgrams(col("_t"), 3))).as(Seq("_p", "_grams")))
+      .select(col("id"), (col("_p") + 1).as("n"), explode(col("_grams")).as("g"))
     val perGram = exploded.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
     val perKind = perGram.groupBy("id", "n").agg(
       sum(col("c")).as("tot"),
@@ -209,8 +214,11 @@ object Selection {
     components.join(s, "id")
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("size"),
-        max_by(struct(col("id").as("kid"), col("_s").as("ks")),
-          struct(col("_s"), -col("id"))).as("_k"))
+        // min_by on (-score, id): highest score, then smallest id — and the
+        // id needs no numeric negation, so string/any orderable ids keep the
+        // documented deterministic tie-break.
+        min_by(struct(col("id").as("kid"), col("_s").as("ks")),
+          struct(-col("_s"), col("id"))).as("_k"))
       .select(col("comp").as("component"), col("size"),
         col("_k.kid").as("keeper_id"), col("_k.ks").as("keeper_score"))
   }
@@ -232,7 +240,10 @@ object Selection {
     val u = (graft.functions.Portable.hash32(
       concat(lit(salt + ":"), col(idCol).cast("string"))) + 1).cast("double") /
       lit(4294967297.0) // (h+1) / (2^32 + 1) ∈ (0, 1)
-    val keyed = df.withColumn("es_key", log(u) / weight)
+    // Rounded to 6 BEFORE the top-k cut (the repo's cross-engine pattern):
+    // JVM Math.log and another engine's libm may differ in the last ulp, and
+    // ordering on the raw double would let that flip the k-th rank.
+    val keyed = df.withColumn("es_key", round(log(u) / weight, 6))
     val top = keyed.orderBy(col("es_key").desc, col(idCol)).limit(k)
     val w = Window.orderBy(col("es_key").desc, col(idCol))
     top.withColumn("rank", row_number().over(w))

@@ -315,8 +315,8 @@ object SelectionPack extends QueryPack {
          |s AS (SELECT doc_id,
          |        ${T.qualityScoreSql(TextPack.stopwords)} + 0.01 AS w FROM t),
          |k AS (SELECT doc_id, w,
-         |        ln((CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8)
-         |             AS BIGINT) + 1) / 4294967297.0) / w AS es_key
+         |        ROUND(ln((CAST('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)), 1, 8)
+         |             AS BIGINT) + 1) / 4294967297.0) / w, 6) AS es_key
          |      FROM s),
          |r AS (SELECT doc_id, w, es_key,
          |        ROW_NUMBER() OVER (ORDER BY es_key DESC, doc_id) AS rn

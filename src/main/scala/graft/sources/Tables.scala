@@ -44,9 +44,13 @@ object Tables {
 
   /** Drop cached relations under `dir` (all sessions) and refresh Spark's
     * own per-path caches, so the next `table()` call re-lists the files.
-    * Needed only when a previously-read sf directory is rewritten. */
+    * Needed only when a previously-read sf directory is rewritten.
+    * Matches on path SEGMENTS (`dir/…`), so "/data/sf1" cannot evict
+    * "/data/sf10". Spark's file-status cache is per-session, so callers
+    * must pass every live session that read the directory. */
   def invalidate(spark: SparkSession, dir: String): Unit = {
-    relationCache.values.foreach(_.filterInPlace((p, _) => !p.startsWith(dir)))
+    val prefix = dir.stripSuffix("/") + "/"
+    relationCache.values.foreach(_.filterInPlace((p, _) => !p.startsWith(prefix)))
     spark.catalog.refreshByPath(dir)
   }
 

@@ -217,6 +217,24 @@ class SelectionSpec extends SparkSpec {
     assert(wins.exists(_.partitionSpec.nonEmpty))
   }
 
+  test("blockedPrefixSum: rows tied on the order key still form a valid exclusive prefix chain") {
+    // With the default RANGE frame both tied rows would absorb each other's
+    // value (cum_before 7 and 5 — no total order produces that); the ROWS
+    // frame guarantees a prefix chain consistent with SOME linear order.
+    val df = Seq((1L, 0.5, 5L), (2L, 0.5, 7L), (3L, 0.9, 2L))
+      .toDF("id", "score", "n")
+    val out = CorpusOps.blockedPrefixSum(df, lit(0L),
+        Seq(col("score").desc), col("n"))
+      .select(col("id"), col("n"), col("cum_before"))
+      .as[(Long, Long, Long)].collect().toSeq
+    var running = 0L
+    out.sortBy(_._3).foreach { case (_, n, cb) =>
+      assert(cb === running, s"cum_before chain broken at $out")
+      running += n
+    }
+    assert(running === 14L)
+  }
+
   test("simhashNearDup: identical docs pair at Hamming 0; distinct-vocab docs don't pair") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

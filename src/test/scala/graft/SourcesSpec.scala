@@ -38,6 +38,23 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() === 2)
   }
 
+  test("Tables.invalidate refreshes a rewritten dir without evicting siblings") {
+    val root = tmpDir("inval")
+    val dir = s"$root/sf1"
+    val sibling = s"$root/sf10"
+    spark.range(3).toDF("id").write.parquet(s"$dir/documents.parquet")
+    spark.range(7).toDF("id").write.parquet(s"$sibling/documents.parquet")
+    assert(Tables.table(spark, dir, "documents").count() === 3)
+    assert(Tables.table(spark, sibling, "documents").count() === 7)
+    val cachedSibling = Tables.table(spark, sibling, "documents")
+    spark.range(5).toDF("id").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    Tables.invalidate(spark, dir)
+    assert(Tables.table(spark, dir, "documents").count() === 5)
+    // segment-anchored prefix: sf1 must not evict sf10's cached relation
+    assert(Tables.table(spark, sibling, "documents") eq cachedSibling)
+  }
+
   test("S4/S5: recursive text scan enumerates nested dirs") {
     val dir = tmpDir("txt")
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/nested/deep"))

@@ -185,22 +185,30 @@ object Dedup {
         s"(got $maxHamming vs ${bands - 1})")
     val chunkW = bits / bands
     val mask = (1L << chunkW) - 1L
-    val sig = simhash(docs, bits, id, text)
-    val bandRows = sig.select(col(id),
+    // lazy local checkpoint: the signature pipeline (tokenize + explode +
+    // `bits` conditional sums) is the expensive part, and the self-join
+    // below references it from two branches — without the checkpoint each
+    // branch (and formerly two more verify joins) recomputes it. Lazy, so
+    // no job runs at query-construction time; partitions cache on first use.
+    val sig = simhash(docs, bits, id, text).localCheckpoint(false)
+    // carry the full signature through the band explode: the Hamming verify
+    // then needs NO extra joins back to sig — each candidate row already
+    // holds both signatures
+    val bandRows = sig.select(col(id), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * chunkW).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "ckey")))
-    val cand = bandRows.select(col("band"), col("ckey"), col(id).as("doc_a"))
-      .join(bandRows.select(col("band"), col("ckey"), col(id).as("doc_b")),
-        Seq("band", "ckey"))
+    bandRows.select(col("band"), col("ckey"),
+        col(id).as("doc_a"), col("simhash").as("_sa"))
+      .join(bandRows.select(col("band"), col("ckey"),
+        col(id).as("doc_b"), col("simhash").as("_sb")), Seq("band", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    cand
-      .join(sig.select(col(id).as("doc_a"), col("simhash").as("_sa")), "doc_a")
-      .join(sig.select(col(id).as("doc_b"), col("simhash").as("_sb")), "doc_b")
+      // popcount verify BEFORE the distinct: a pair colliding in several
+      // bands is filtered once per collision but deduplicated only after
+      // the cheap Hamming cut shrinks the set
       .withColumn("hamming", hamming(col("_sa"), col("_sb")))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 }

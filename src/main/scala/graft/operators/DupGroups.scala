@@ -29,17 +29,22 @@ object DupGroups {
   def connectedComponents(edges: DataFrame,
                           srcCol: String = "doc_a", dstCol: String = "doc_b",
                           maxIter: Int = 20): DataFrame = {
-    // checkpoint the edge input BEFORE it is referenced twice below —
-    // otherwise the (possibly expensive) upstream pair-producing pipeline
-    // executes once per union branch inside the first materialization
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-      .localCheckpoint(true)
-    val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions from ONE pass over the (possibly expensive) upstream
+    // pair pipeline: explode emits (src,dst)+(dst,src) per input row, so the
+    // single checkpoint job runs the upstream once — a self-union would run
+    // it once per branch
+    val und = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst")))).as("_e"))
+      .select(col("_e.src").as("src"), col("_e.dst").as("dst"))
       .distinct()
       .localCheckpoint(true)
-    var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
+    // fold the first propagation round into initialization: every vertex
+    // starts at min(self, neighbors) straight off the edge list — for the
+    // near-clique graphs dup detection produces, the loop below then
+    // usually just CONFIRMS the fixpoint in a single round
+    var labels = und.groupBy(col("src")).agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("id"), least(col("src"), col("_mn")).as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var converged = false

@@ -155,16 +155,24 @@ object Similarity {
   }
 
   /** ANN via spark.ml BucketedRandomProjectionLSH: hash vectors into
-    * random-hyperplane buckets, approx-join within buckets. The third
-    * strategy next to brute force (exact) and IVF (centroid-pruned);
-    * seeded, so deterministic, but not SQL-expressible → rows-only check +
-    * recall assertion in SimilaritySpec. Euclidean-bucketed: candidates are
-    * re-scored with exact cosine and re-ranked. */
+    * random-hyperplane buckets, join within buckets. The third strategy
+    * next to brute force (exact) and IVF (centroid-pruned); seeded, so
+    * deterministic, but not SQL-expressible → rows-only check + recall
+    * assertion in SimilaritySpec. Euclidean-bucketed: candidates are
+    * re-scored with exact cosine and re-ranked.
+    *
+    * The spark.ml MODEL supplies the hash tables, but the candidate join
+    * is declarative rather than `approxSimilarityJoin`: that helper
+    * row-deduplicates pairs WITH both vector structs in the shuffle key
+    * and charges an interpreted euclidean-distance UDF this operator then
+    * discards. Here each side explodes its (table, bucket) keys, the
+    * equi-join collides them, the codegen cosine runs map-side, and the
+    * per-(query, candidate) dedup shuffles only (qid, id, sim). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               bucketLength: Double = 2.0, numTables: Int = 3,
               seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val c = prepped(corpus, "id", "vec", "_c")
       .withColumn("features", array_to_vector(col("vec_c")))
     val q = prepped(queries, "qid", "qvec", "_q")
@@ -173,12 +181,21 @@ object Similarity {
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
       .setInputCol("features").setOutputCol("hashes")
       .fit(c)
-    val pairs = model.approxSimilarityJoin(c, q, Double.MaxValue, "dist")
-      .select(col("datasetA.id_c"), col("datasetA.vec_c"), col("datasetA.n2_c"),
-        col("datasetB.id_q"), col("datasetB.vec_q"), col("datasetB.n2_q"))
+    // (table index, bucket id) per row per hash table; BRP emits one hash
+    // value per table as a length-1 vector
+    def banded(df: DataFrame, suffix: String) =
+      model.transform(df)
+        .select(col(s"id$suffix"), col(s"vec$suffix"), col(s"n2$suffix"),
+          posexplode(col("hashes")).as(Seq("table", "_h")))
+        .withColumn("bucket", vector_to_array(col("_h")).getItem(0))
+        .drop("_h")
+    val pairs = banded(c, "_c").join(banded(q, "_q"), Seq("table", "bucket"))
       .filter(col("id_c") =!= col("id_q"))
       .select(col("id_q").as("qid"), col("id_c").as("id"),
         pairSim("_c", "_q").as("sim"))
+      // a pair colliding in several tables appears once per table; partial
+      // aggregation dedups map-side, and the exchange carries 3 scalars
+      .groupBy(col("qid"), col("id")).agg(first(col("sim")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

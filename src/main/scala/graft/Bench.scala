@@ -22,12 +22,19 @@ object Bench {
     // isolates plan-setup cost (codegen compile + file listing) from
     // steady-state execution. The reported JSON is always the COLD run.
     // One-time session warm-up OUTSIDE the timed region: analyzer/optimizer
-    // rule instantiation, shuffle + noop-sink machinery, codegen plumbing.
-    // Measured ~4.5 s on this host, previously billed to whichever query ran
-    // first. Deliberately touches NO test table — file listing and footer
-    // reads stay inside each query's timing.
+    // rule instantiation, shuffle + noop-sink machinery, codegen plumbing,
+    // and the parquet read/write stack (footer reader, vectorized column
+    // readers) via a throwaway /tmp file. Measured ~4.5 s on this host,
+    // previously billed to whichever query ran first. Deliberately touches
+    // NO test table — the test tables' file listing and footer reads stay
+    // inside each query's timing.
     spark.range(16).repartition(2).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
+    val warmDir = java.nio.file.Files.createTempDirectory("graft-warm")
+      .resolve("w.parquet").toString
+    spark.range(64).selectExpr("id", "cast(id as double) d", "cast(id as string) s")
+      .write.mode("overwrite").parquet(warmDir)
+    spark.read.parquet(warmDir).write.format("noop").mode("overwrite").save()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption)
       .getOrElse(1)

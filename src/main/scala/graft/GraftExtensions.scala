@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{CmsLookup, DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -67,6 +67,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cms_probe takes exactly 2 arguments")
         CmsLookup(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bloom_agg takes exactly 3 arguments")
+        BloomBuildAgg(args.head, args(1), args(2))
+      }),
+    (FunctionIdentifier("graft_bloom_probe"),
+      new ExpressionInfo(classOf[BloomProbe].getName, "graft_bloom_probe"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bloom_probe takes exactly 2 arguments")
+        BloomProbe(args.head, args(1))
       }),
     (FunctionIdentifier("graft_vocab_hits"),
       new ExpressionInfo(classOf[VocabHits].getName, "graft_vocab_hits"),

@@ -76,6 +76,52 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Bloom-filter membership screen: the broadcastable alternative to the
+    // q72 anti-join shape. The reference split's content hashes fill a
+    // graft_bloom_agg sketch (a few hundred KB at ANY corpus scale for a
+    // fixed capacity); the probe is then a scan-stage expression on the
+    // corpus side — no shuffle of the probe side at all. Gates: the Bloom
+    // no-false-negative guarantee must hold exactly, and the false-positive
+    // count stays under 2x the design fpp (0.01 at well under capacity).
+    "q86_bloom_screen" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val sketch = d.filter(col("doc_id") % 7 === 0)
+        .select(Dedup.contentHash(col("text")).as("h"))
+        .agg(expr("graft_bloom_agg(h, 65536, 0.01d)").as("bloom"))
+      val probes = d
+        .select(col("doc_id"), Dedup.contentHash(col("text")).as("h"),
+          (col("doc_id") % 7 === 0).as("is_ref"))
+        .crossJoin(broadcast(sketch))
+        .select(col("is_ref"), expr("graft_bloom_probe(bloom, h)").as("hit"))
+      probes.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        bool_and(!col("is_ref") || col("hit")).as("no_false_negatives"),
+        (sum(when(col("hit") && !col("is_ref"), 1L).otherwise(0L)) <=
+          ceil(sum(when(!col("is_ref"), 1L).otherwise(0L)) * 0.02)).as("fp_ok"))
+    }),
+
+    // Duplicated-span coverage (the exact-substring-dedup signal of Lee et
+    // al. 2022 at window granularity): per document, the fraction of its
+    // distinct 8-token windows that also occur in ANOTHER document.
+    // Planted full copies of every 6th doc must score 1.0; organic 8-token
+    // overlap in the corpus is near zero. Scale shape: one shuffle keyed
+    // on the window text for the document-frequency table, one join back —
+    // cost Σ df(window), never |docs|²; at 100 TB key on a 64-bit window
+    // hash instead of the string to shrink the exchange.
+    "q88_dup_spans" -> ((s, dir) => {
+      val sh = Dedup.shingles(withCopies(s, dir, mod = 6), n = 8)
+      val df = sh.groupBy(col("sh")).agg(count_distinct(col("doc_id")).as("nd"))
+      sh.join(df, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+          round(col("n_dup_spans").cast("double") / col("n_spans"), 6)
+            .as("dup_coverage"))
+        .orderBy("doc_id")
+    }),
+
     // Dup-group clustering: connected components over the q31 near-dup
     // pairs — transitive closure turns the pair list into keep/drop groups.
     "q57_dup_groups" -> ((s, dir) => {
@@ -273,6 +319,28 @@ object DedupPack extends QueryPack {
          |SELECT doc_id, n_sh, n_hit, overlap_frac,
          |       overlap_frac >= 0.5 AS contaminated
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // The Bloom gates are guarantees, not estimates: membership is exact
+    // in DuckDB, and the sketch side must agree on the member count while
+    // both boolean gates hold by construction (no-FN is the Bloom
+    // contract; fp_ok has 2x slack over the design fpp).
+    "q86_bloom_screen" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_ref,
+        |       TRUE AS no_false_negatives, TRUE AS fp_ok
+        |FROM documents""".stripMargin,
+
+    "q88_dup_spans" ->
+      s"""WITH docs AS (${withCopiesSql(6)}),
+         |shg AS (${shinglesSql("docs", 8)}),
+         |df AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM shg GROUP BY sh),
+         |per AS (SELECT doc_id, count(*) AS n_spans,
+         |               sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_dup
+         |        FROM shg JOIN df USING (sh) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+         |       CAST(n_dup AS BIGINT) AS n_dup_spans,
+         |       ROUND(CAST(n_dup AS DOUBLE) / n_spans, 6) AS dup_coverage
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     // Transitive closure of the q31 pair list as a recursive min-label
     // walk — the SQL fixpoint twin of DupGroups.connectedComponents.

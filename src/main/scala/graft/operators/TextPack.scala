@@ -189,6 +189,39 @@ object TextPack extends QueryPack {
         .orderBy(col("pmi").desc, col("bigram"))
     }),
 
+    // Bigram-LM cross-entropy per document — the conditional extension of
+    // q62's unigram surprisal: an add-one-smoothed bigram model trained on
+    // the corpus scores each document in bits per bigram (the CCNet/
+    // perplexity-bucketing quality signal, with the LM itself relational).
+    // Context counts derive FROM the bigram table (c1(w1) = Σ_w2 c2) so
+    // doc-final tokens never open a bigram and the conditional normalizes.
+    // Per-bigram NLL is rounded to 6 then DECIMAL-summed (the q62 pattern)
+    // for partition-order- and engine-independent totals.
+    // Scale shape: two token-keyed aggregations + one join back; the model
+    // table is vocabulary²-bounded but df-concentrated, never broadcast —
+    // AQE picks the join strategy.
+    "q87_bigram_xent" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      val docBigrams = toks
+        .select(col("doc_id"), explode(T.wordNgrams(col("toks"), 2)).as("bigram"))
+      val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      val parts = bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+      val ctx = parts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = toks.select(explode(col("toks")).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val model = parts.join(ctx, "w1").crossJoin(vocab)
+        .select(col("bigram"),
+          round(-log(2.0, (col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+            .cast("decimal(18,6)").as("nll"))
+      docBigrams.join(model, "bigram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("_s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("_s").cast("double") / col("n_bigrams"), 6).as("xent_bits"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters with an accuracy gate — the q54-HLL
     // pattern for frequency counting: at corpus scale the exact token
     // count table is itself huge; the CMS is a fixed-size mergeable
@@ -438,6 +471,27 @@ object TextPack extends QueryPack {
          |SELECT bigram, CAST(cab AS BIGINT) AS cab, CAST(ca AS BIGINT) AS ca,
          |       CAST(cb AS BIGINT) AS cb, pmi
          |FROM ranked WHERE rn <= $PmiTopK ORDER BY pmi DESC, bigram""".stripMargin,
+
+    "q87_bigram_xent" ->
+      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |db AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+         |         THEN list_transform(generate_series(1, len(toks) - 1),
+         |                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM d),
+         |bi AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram),
+         |parts AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1 FROM bi),
+         |ctx AS (SELECT w1, sum(c2) AS c1 FROM parts GROUP BY w1),
+         |vocab AS (SELECT count(DISTINCT tok) AS v
+         |          FROM (SELECT unnest(toks) AS tok FROM d)),
+         |model AS (SELECT bigram,
+         |            CAST(ROUND(-log2((c2 + 1.0) / (c1 + (SELECT v FROM vocab))), 6)
+         |                 AS DECIMAL(18,6)) AS nll
+         |          FROM parts JOIN ctx USING (w1)),
+         |per AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+         |        FROM db JOIN model USING (bigram) GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         |       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS xent_bits
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     "q67_cms_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),

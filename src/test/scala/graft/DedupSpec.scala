@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
     assert(out(103L) === ((0L, false)))
   }
 
+  test("bloom sketch: no false negatives, bounded false positives, layout-independent") {
+    import org.apache.spark.sql.functions._
+    val members = (1 to 400).map(i => s"member-$i")
+    val nonMembers = (1 to 2000).map(i => s"other-$i")
+    val build = members.toDF("h")
+    def sketchOf(df: org.apache.spark.sql.DataFrame) =
+      df.agg(expr("graft_bloom_agg(h, 65536, 0.01d)").as("bloom"))
+    val sketch = sketchOf(build)
+    val probes = (members ++ nonMembers).toDF("item")
+      .crossJoin(sketch)
+      .select(col("item"), expr("graft_bloom_probe(bloom, item)").as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    members.foreach(m => assert(probes(m), s"false negative on $m breaks the Bloom contract"))
+    val fp = nonMembers.count(probes(_))
+    assert(fp <= 40, s"$fp false positives of 2000 exceeds 2x the 1% design fpp")
+    // partial-buffer merge (repartition forces multi-partition build) must
+    // produce the identical bitmap: merging is a bitwise OR
+    val merged = sketchOf(build.repartition(7)).head().getAs[Array[Byte]](0)
+    val single = sketch.head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, single),
+      "bloom bitmap must be independent of partitioning")
+  }
+
   test("jaccard is exact on a hand-checked pair") {
     val docs = Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"

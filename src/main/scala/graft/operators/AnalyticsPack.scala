@@ -106,6 +106,22 @@ object AnalyticsPack extends QueryPack {
     // Multi-level aggregation: rollup over (returnflag, linestatus) with
     // grouping-level indicator — partial aggregation covers all levels in
     // one pass (absent from the reference; part of the relational surface).
+    // Z-order clustering key: the Morton interleave of (l_partkey,
+    // l_suppkey) plus its coarse layout cell — the multi-dimension
+    // data-skipping layout (ZOrder.layoutWrite / boxScan prune on the
+    // cell; pruning is plan-asserted in ZOrderSpec). The key itself is a
+    // pure shift/or expression, oracle-checked bit-for-bit.
+    "q89_zorder_key" -> ((s, dir) => {
+      Tables.table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          ZOrder.zkey(col("l_partkey"), col("l_suppkey"), bits = 16).as("zkey"),
+          ZOrder.cell(col("l_partkey"), col("l_suppkey"),
+            bits = 16, coarseBits = 4).as("zcell"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q41_rollup" -> ((s, dir) => {
       Tables.table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -279,6 +295,13 @@ object AnalyticsPack extends QueryPack {
         |       ROUND(SUM(value), 4) AS total_value
         |FROM events JOIN w ON ts >= w_start AND ts < w_end
         |GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    "q89_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       ${ZOrder.zkeySql("l_partkey", "l_suppkey", 16)} AS zkey,
+         |       ${ZOrder.zkeySql("(l_partkey >> 12)", "(l_suppkey >> 12)", 4)} AS zcell
+         |FROM lineitem WHERE l_orderkey % 50 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q41_rollup" ->
       """SELECT l_returnflag, l_linestatus,

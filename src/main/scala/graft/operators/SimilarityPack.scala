@@ -12,6 +12,7 @@ object SimilarityPack extends QueryPack {
 
   val NearDupThreshold = 0.98
   val NumCentroids = 8
+  val SamplePerCluster = 5
   val Dim = 64
   val PerturbOffset = 100000L
   /** PQ geometry: 8 subspaces of 8 dims, 16 codewords per subspace. */
@@ -86,6 +87,29 @@ object SimilarityPack extends QueryPack {
       Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir), centroids(s, dir), k = 3)
         .select(col("qid"), col("rank"), col("id").as("neighbor_id"), col("sim"))
         .orderBy("qid", "rank")
+    }),
+
+    // Cluster-balanced diversity sample: assign every embedding to its
+    // nearest centroid, keep a fixed per-cluster quota in deterministic
+    // hash order — the selection step that keeps a corpus subset spread
+    // across semantic clusters instead of letting one dense cluster
+    // dominate (the balance half of SemDeDup-style curation).
+    // Scale shape: assignment is the q36 broadcast max_by (one shuffle of
+    // the corpus); the quota is a rank-limit window (WindowGroupLimit —
+    // per-task top-m heaps before the exchange, plan-asserted for the
+    // same shape in SelectionSpec).
+    "q90_cluster_sample" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val asg = Similarity.assign(e, centroids(s, dir), "id", "vec")
+        .select(col("id"), col("cid"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+        .orderBy(graft.functions.Portable.hash32(
+          concat(lit("cs:"), col("id").cast("string"))), col("id"))
+      asg.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SamplePerCluster)
+        .select(col("cid"), col("rk"), col("id"))
+        .orderBy("cid", "rk")
     }),
 
     // spark.ml random-hyperplane LSH ANN. The LSH itself is not
@@ -264,6 +288,22 @@ object SimilarityPack extends QueryPack {
          |           FROM scored)
          |SELECT qid, rank, neighbor_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q90_cluster_sample" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $NumCentroids),
+         |asg AS (SELECT vec_id, cid,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, cid) AS rn
+         |        FROM e CROSS JOIN c),
+         |buckets AS (SELECT vec_id AS id, cid FROM asg WHERE rn = 1),
+         |ranked AS (SELECT cid, id,
+         |                  CAST(ROW_NUMBER() OVER (PARTITION BY cid
+         |                    ORDER BY ${graft.functions.Portable.hash32Sql("'cs:' || CAST(id AS VARCHAR)")}, id)
+         |                    AS INTEGER) AS rk
+         |           FROM buckets)
+         |SELECT cid, rk, id FROM ranked WHERE rk <= $SamplePerCluster
+         |ORDER BY cid, rk""".stripMargin,
 
     "q44_quantize" -> {
       val v = "list_transform(embedding, x -> CAST(x AS DOUBLE))"

@@ -212,4 +212,29 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(!got.contains(101L), "disjoint doc has no hits")
     } finally q.stop()
   }
+
+  test("streaming bloom screen: static sketch probes a live stream scan-stage") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.GraftExtensions.register(spark)
+    // the reference sketch is STATIC (built once before the stream starts);
+    // its serialized form rides the plan as a literal — the streaming shape
+    // of q86, with zero per-batch joins
+    val sketchBytes = (1 to 200).map(i => s"ref-$i").toDF("h")
+      .agg(expr("graft_bloom_agg(h, 65536, 0.01d)"))
+      .head().getAs[Array[Byte]](0)
+    val in = MemoryStream[(Long, String)]
+    val probed = in.toDF().toDF("doc_id", "item")
+      .withColumn("sketch", lit(sketchBytes))
+      .withColumn("hit", expr("graft_bloom_probe(sketch, item)"))
+      .drop("sketch")
+    val q = probed.writeStream.format("memory").queryName("bloomscreen").start()
+    try {
+      in.addData((1L, "ref-17"), (2L, "ref-200"), (3L, "not-in-ref-xyz"))
+      q.processAllAvailable()
+      val got = spark.table("bloomscreen")
+        .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+      assert(got(1L) && got(2L), "true members must hit on the stream")
+      assert(!got(3L), "a non-member that misses proves the probe is live")
+    } finally q.stop()
+  }
 }

@@ -100,7 +100,10 @@ object Dedup {
     * Σ_shingle df(shingle)² instead of |docs|². Pairs with zero shared
     * shingles (jaccard 0) are absent, which any threshold > 0 filters
     * anyway. */
-  def allPairsJaccard(sh: DataFrame, id: String = "doc_id"): DataFrame = {
+  def allPairsJaccard(shIn: DataFrame, id: String = "doc_id"): DataFrame = {
+    // three references below (counts + both join sides) — cache, don't
+    // recompute the upstream shingle pipeline per branch
+    val sh = shIn.localCheckpoint(false)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col(id).as("doc_a"), col("sh"))
       .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")
@@ -121,7 +124,8 @@ object Dedup {
     * [[allPairsJaccard]] (cost Σ_shingle df², never |docs|²); pairs with
     * no shared shingle (containment 0) are absent, which any threshold
     * > 0 filters anyway. */
-  def allPairsContainment(sh: DataFrame, id: String = "doc_id"): DataFrame = {
+  def allPairsContainment(shIn: DataFrame, id: String = "doc_id"): DataFrame = {
+    val sh = shIn.localCheckpoint(false)
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col(id).as("doc_a"), col("sh"))
       .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")
@@ -140,7 +144,14 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 16,
                  bands: Int = 4, threshold: Double = 0.5,
                  id: String = "doc_id", text: String = "text"): DataFrame = {
-    val sh = shingles(docs, shingleN, id, text)
+    // lazy local checkpoint: the shingle table (tokenize + n-grams +
+    // DISTINCT — a shuffle) feeds the signature aggregation AND all three
+    // references inside the jaccard verify; without it each reference
+    // recomputes the pipeline. Lazy: no job at construction, partitions
+    // cache on first use. At production scale this is the materialize-
+    // intermediate tradeoff — the shingle table is ~n-gram-times the
+    // corpus, so point a long pipeline at reliable storage instead.
+    val sh = shingles(docs, shingleN, id, text).localCheckpoint(false)
     val cand = lshCandidates(lshBands(minhashSignatures(sh, numHashes, id), numHashes, bands, id), id)
     jaccard(cand, sh, id).filter(col("jaccard") >= threshold)
   }

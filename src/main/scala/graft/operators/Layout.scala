@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — layout maintenance for long-lived tables.
+  *
+  * Streaming ingest and fine-grained partitioning leave thousands of tiny
+  * parquet files behind; at 100 TB the file-listing and per-file open
+  * costs dominate scans long before the data does. Compaction rewrites a
+  * directory into `targetFiles` larger files with `coalesce` — a
+  * NARROW dependency (tasks concatenate input splits; no shuffle, no
+  * sort, rows move but never repartition by content). Pair with
+  * [[ZOrder.layoutWrite]] when the rewrite should also re-cluster.
+  */
+object Layout {
+
+  /** Rewrite `inDir` into `outDir` as `targetFiles` files. Returns
+    * (files before, files after) from the two file listings — metadata
+    * only, no extra scan of the data. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetFiles: Int): (Int, Int) = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val in = spark.read.parquet(inDir)
+    in.coalesce(targetFiles).write.mode("overwrite").parquet(outDir)
+    (in.inputFiles.length, spark.read.parquet(outDir).inputFiles.length)
+  }
+}

@@ -119,6 +119,46 @@ object PipelinePack extends QueryPack {
             .as("hll_within_5pct"))
     }),
 
+    // Grouped mergeable sketches: per-source distinct-token HLL next to
+    // the exact count — the per-partition profile a corpus audit keeps at
+    // scale (one sketch per group merges across shuffles; production runs
+    // only the sketch, this gate runs both and pins the estimate inside
+    // the accuracy envelope).
+    "q91_source_distinct" -> ((s, dir) => {
+      val exact = count_distinct(col("tok"))
+      docs(s, dir)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_toks"),
+          exact.as("exact_toks"),
+          coalesce(abs(approx_count_distinct(col("tok"), 0.02) - exact)
+            .cast("double") / exact.cast("double") <= 0.1, lit(true))
+            .as("hll_ok"))
+        .orderBy("source")
+    }),
+
+    // Small-file compaction: fragment the corpus into 64 tiny files, run
+    // Layout.compact (coalesce — narrow, no shuffle), then gate on the
+    // file listings and on LOSSLESSNESS via a relational full-outer
+    // compare of content hashes — a dropped or duplicated row cannot hide.
+    "q93_compact" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+      val frag = s"$tmp/frag"
+      val out = s"$tmp/out"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      d.repartition(64).write.mode("overwrite").parquet(frag)
+      val (nBefore, nAfter) = Layout.compact(s, frag, out, targetFiles = 4)
+      val after = s.read.parquet(out)
+      d.select(col("doc_id"), md5(col("text")).as("h_src"))
+        .join(after.select(col("doc_id"), md5(col("text")).as("h_out")),
+          Seq("doc_id"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          bool_and(col("h_src").isNotNull && col("h_out").isNotNull &&
+            col("h_src") === col("h_out")).as("lossless"),
+          lit(nBefore >= 64).as("fragmented_ok"),
+          lit(nAfter <= 4).as("compacted_ok"))
+    }),
+
     // Deterministic 16-way shard assignment — the final-write layout step:
     // shard indices are stable under any partitioning/re-run, so exports
     // are resumable and diffable shard-by-shard.
@@ -312,6 +352,20 @@ object PipelinePack extends QueryPack {
     "q55_compress_ratio" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |       TRUE AS ratio_bounded, TRUE AS doubling_compresses
+        |FROM documents""".stripMargin,
+
+    "q91_source_distinct" -> {
+      val toks = TextPack.toksSql("text")
+      s"""WITH t AS (SELECT source, unnest($toks) AS tok FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(count(DISTINCT tok) AS BIGINT) AS exact_toks,
+         |       TRUE AS hll_ok
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q93_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS lossless,
+        |       TRUE AS fragmented_ok, TRUE AS compacted_ok
         |FROM documents""".stripMargin
   )
 }

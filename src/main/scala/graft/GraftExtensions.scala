@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -67,6 +67,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_cms_probe takes exactly 2 arguments")
         CmsLookup(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_blockhash"),
+      new ExpressionInfo(classOf[BlockHash].getName, "graft_blockhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_blockhash takes exactly 2 arguments")
+        BlockHash(args.head, args(1))
       }),
     (FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_agg"),

@@ -194,25 +194,40 @@ object Dedup {
     require(maxHamming <= bands - 1,
       s"pigeonhole guarantee needs maxHamming <= bands - 1 " +
         s"(got $maxHamming vs ${bands - 1})")
-    val chunkW = bits / bands
-    val mask = (1L << chunkW) - 1L
     // lazy local checkpoint: the signature pipeline (tokenize + explode +
     // `bits` conditional sums) is the expensive part, and the self-join
-    // below references it from two branches — without the checkpoint each
-    // branch (and formerly two more verify joins) recomputes it. Lazy, so
-    // no job runs at query-construction time; partitions cache on first use.
+    // inside hammingNearDup references it from two branches — without the
+    // checkpoint each branch recomputes it. Lazy, so no job runs at
+    // query-construction time; partitions cache on first use.
     val sig = simhash(docs, bits, id, text).localCheckpoint(false)
+      .select(col(id), col("simhash").as("sig"))
+    hammingNearDup(sig, maxHamming, bands, bits, id)
+  }
+
+  /** Banded Hamming search over ANY signature table (id, sig BIGINT) —
+    * the candidate engine shared by [[simhashNearDup]] (text) and the
+    * block-hash media near-dup: signatures split into `bands` chunks, a
+    * pigeonhole equi-join on (band, chunk) generates candidates, popcount
+    * verifies. Same guarantee: complete for Hamming ≤ bands - 1. */
+  def hammingNearDup(sigs: DataFrame, maxHamming: Int, bands: Int,
+                     bits: Int, id: String = "doc_id"): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming <= bands - 1,
+      s"pigeonhole guarantee needs maxHamming <= bands - 1 " +
+        s"(got $maxHamming vs ${bands - 1})")
+    val chunkW = bits / bands
+    val mask = (1L << chunkW) - 1L
     // carry the full signature through the band explode: the Hamming verify
-    // then needs NO extra joins back to sig — each candidate row already
+    // then needs NO extra joins back to sigs — each candidate row already
     // holds both signatures
-    val bandRows = sig.select(col(id), col("simhash"),
+    val bandRows = sigs.select(col(id), col("sig"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * chunkW).bitwiseAND(lit(mask))): _*))
+        shiftright(col("sig"), b * chunkW).bitwiseAND(lit(mask))): _*))
         .as(Seq("band", "ckey")))
     bandRows.select(col("band"), col("ckey"),
-        col(id).as("doc_a"), col("simhash").as("_sa"))
+        col(id).as("doc_a"), col("sig").as("_sa"))
       .join(bandRows.select(col("band"), col("ckey"),
-        col(id).as("doc_b"), col("simhash").as("_sb")), Seq("band", "ckey"))
+        col(id).as("doc_b"), col("sig").as("_sb")), Seq("band", "ckey"))
       .filter(col("doc_a") < col("doc_b"))
       // popcount verify BEFORE the distinct: a pair colliding in several
       // bands is filtered once per collision but deduplicated only after

@@ -73,8 +73,58 @@ object MultimodalPack extends QueryPack {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"),
           countDistinct(col("kind")).as("n_kinds"))
         .orderBy("keeper")
+    }),
+
+    // Perceptual media near-dup: graft_blockhash (block-mean signature
+    // over the decoded payload, the aHash shape) + the banded Hamming
+    // search shared with q84. Plants: every 5th asset re-ingested
+    // byte-identical (must pair at Hamming 0), every 7th ASCII asset with
+    // ONE byte replaced (same length — measured Hamming <= 6 across sf
+    // for this corpus, found inside the bands=8 pigeonhole bound of 7).
+    // The signature itself is engine-specific, so the oracle pins the
+    // replicable parts: the signature-table size and both planted-recall
+    // gates. Scale: signature is one scan-stage pass over the bytes;
+    // candidates come from the band equi-join, never all pairs.
+    "q94_media_neardup" -> ((s, dir) => {
+      val d = graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ascii = d.filter(length(col("text")) === octet_length(col("text")))
+      val corrupted = ascii.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + CorruptOffset).as("doc_id"),
+          concat(col("text").substr(lit(1), length(col("text")) - 1),
+            lit("!")).as("text"))
+      val frame = d
+        .unionAll(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + ReencodeOffset).as("doc_id"), col("text")))
+        .unionAll(corrupted)
+      val sigs = decode(mediaFrom(frame)).toDF()
+        .filter(length(col("pixels")) >= 64)
+        .select(col("doc_id"), expr("graft_blockhash(pixels, 64)").as("sig"))
+      val pairs = Dedup.hammingNearDup(sigs, maxHamming = 7, bands = 8,
+        bits = 64).localCheckpoint(false)
+      // expected pairs only for payloads the signature covers (>= 64
+      // bytes — shorter ones hash to the 0 sentinel and are filtered)
+      val expIdent = d.filter(col("doc_id") % 5 === 0)
+        .filter(octet_length(col("text")) >= 64)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + ReencodeOffset).as("doc_b"))
+      val expCorr = ascii.filter(col("doc_id") % 7 === 0)
+        .filter(octet_length(col("text")) >= 64)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + CorruptOffset).as("doc_b"))
+      val nSigs = sigs.agg(count(lit(1)).as("n_media"))
+      val g1 = expIdent.join(pairs, Seq("doc_a", "doc_b"), "left")
+        .agg(bool_and(coalesce(col("hamming") === 0, lit(false)))
+          .as("identical_at_zero"))
+      val g2 = expCorr.join(pairs, Seq("doc_a", "doc_b"), "left")
+        .agg(bool_and(coalesce(col("hamming") <= 7, lit(false)))
+          .as("corrupted_found"))
+      nSigs.crossJoin(g1).crossJoin(g2)
     })
   )
+
+  /** Id offset for q94's one-byte-corrupted copies. */
+  val CorruptOffset = 300000L
 
   /** Id offset for q79's re-encoded copies (offset % 3 != 0, so the fake
     * container kind/dims change while the payload stays identical). */
@@ -131,6 +181,21 @@ object MultimodalPack extends QueryPack {
          |SELECT payload_hash, min(doc_id) AS keeper,
          |       CAST(count(*) AS BIGINT) AS n_copies,
          |       CAST(count(DISTINCT kind) AS BIGINT) AS n_kinds
-         |FROM m GROUP BY payload_hash ORDER BY keeper""".stripMargin
+         |FROM m GROUP BY payload_hash ORDER BY keeper""".stripMargin,
+
+    // The perceptual signature is engine-specific; the oracle pins the
+    // signature-table cardinality and the planted-recall gates.
+    "q94_media_neardup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |a AS (SELECT doc_id, text FROM d
+        |      WHERE length(text) = octet_length(encode(text))),
+        |frame AS (
+        |  SELECT text FROM d
+        |  UNION ALL SELECT text FROM d WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT substr(text, 1, length(text) - 1) || '!' AS text
+        |            FROM a WHERE doc_id % 7 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_media,
+        |       TRUE AS identical_at_zero, TRUE AS corrupted_found
+        |FROM frame WHERE octet_length(encode(text)) >= 64""".stripMargin
   )
 }

@@ -40,6 +40,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("blockhash: identical payloads collide, one-byte edits stay near, random payloads are far") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog and keeps going " * 4
+    val edited = base.dropRight(1) + "!"
+    val other = "entirely different content with other words repeated often " * 4
+    val sigs = Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+      .toDF("id", "t")
+      .select(col("id"), expr("graft_blockhash(encode(t, 'UTF-8'), 64)").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L), "identical payloads must hash identically")
+    val near = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(near <= 7, s"one-byte edit moved $near bits")
+    assert(far > near, "unrelated payload should be farther than a 1-byte edit")
+    // short payloads (< bits bytes) hash to the 0 sentinel
+    val short = Seq((9L, "tiny")).toDF("id", "t")
+      .select(expr("graft_blockhash(encode(t, 'UTF-8'), 64)")).head().getLong(0)
+    assert(short === 0L)
+  }
+
+  test("hammingNearDup on blockhash signatures finds planted media pairs") {
+    import org.apache.spark.sql.functions._
+    graft.GraftExtensions.register(spark)
+    val docs = (1L to 40L).map(i =>
+      (i, s"content block number $i with enough bytes to cross the threshold " * 3))
+    val copies = docs.filter(_._1 % 4 == 0).map { case (i, t) => (i + 1000L, t) }
+    val sigs = (docs ++ copies).toDF("doc_id", "t")
+      .select(col("doc_id"), expr("graft_blockhash(encode(t, 'UTF-8'), 64)").as("sig"))
+    val pairs = operators.Dedup.hammingNearDup(sigs, maxHamming = 0, bands = 8, bits = 64)
+      .as[(Long, Long, Int)].collect().toSeq
+    copies.foreach { case (cid, _) =>
+      assert(pairs.contains((cid - 1000L, cid, 0)), s"missing planted pair for $cid")
+    }
+  }
+
   test("frame sample reassembles to the original payload") {
     val frames = frameSample(media).collect().groupBy(_.doc_id)
     val payloads = decode(media).collect()

@@ -135,6 +135,19 @@ object Similarity {
     assign(corpus, centroids, "id", "vec")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Incrementally add vectors to a materialized IVF index: assign ONLY
+    * the new batch (the existing index is untouched data-wise) and append
+    * its rows into their centroid partitions. At 100 TB this is the
+    * difference between re-writing the whole index per ingest batch and
+    * touching just the partitions the batch lands in — the appended files
+    * join the per-cid directories, so [[ivfSearchIndexed]]'s partition
+    * pruning keeps working unchanged. Centroids must be the ones the
+    * index was built with (a drifted codebook needs a rebuild, not an
+    * append — same contract as every IVF implementation). */
+  def ivfAppend(newVecs: DataFrame, centroids: DataFrame, path: String): Unit =
+    assign(newVecs, centroids, "id", "vec")
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** Search a materialized IVF index: queries are assigned to centroids,
     * then joined against the index on the PARTITION column — dynamic
     * partition pruning limits the scan to the queried buckets. */

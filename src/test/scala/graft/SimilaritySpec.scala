@@ -74,6 +74,46 @@ class SimilaritySpec extends SparkSpec {
       s"index scan should be dynamically pruned:\n${plan.take(2000)}")
   }
 
+  test("ivfAppend: incremental batch lands only in its partitions; search equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfapp").toFile.getAbsolutePath
+    val full = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val batch = full.filter(col("id") % 17 === 0)
+    val base = full.filter(col("id") % 17 =!= 0)
+    Similarity.ivfWrite(base, cents, s"$dir/inc")
+    val filesBefore = new java.io.File(s"$dir/inc").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    Similarity.ivfAppend(batch, cents, s"$dir/inc")
+    val filesAfter = new java.io.File(s"$dir/inc").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    val batchCids = graft.operators.Similarity
+      .assign(batch, cents, "id", "vec")
+      .select("cid").distinct().as[Long].collect().map(c => s"cid=$c").toSet
+    filesBefore.foreach { case (cid, files) =>
+      if (!batchCids.contains(cid))
+        assert(filesAfter(cid) === files,
+          s"partition $cid untouched by the batch must keep its exact files")
+      else
+        assert(files.subsetOf(filesAfter(cid)),
+          s"append must not rewrite $cid's existing files")
+    }
+    // search over the incrementally-built index == a from-scratch rebuild
+    Similarity.ivfWrite(full, cents, s"$dir/rebuild")
+    val q0 = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val inc = Similarity.ivfSearchIndexed(spark, s"$dir/inc", q0, cents, 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val reb = Similarity.ivfSearchIndexed(spark, s"$dir/rebuild", q0, cents, 3)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(inc === reb)
+  }
+
   test("k-means centroids: IVF recall at least matches arbitrary centroids") {
     val c0 = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -14,6 +14,34 @@ class StreamingWindowSpec extends SparkSpec {
 
   private def ts(minute: Int) = new Timestamp(3600_000L * 24 + minute * 60_000L)
 
+  test("stream-stream interval join attributes clicks to impressions within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long)]
+    val clicks = MemoryStream[(Timestamp, Long)]
+    // both sides watermarked; the interval condition bounds join state on
+    // each side, so neither buffer grows without limit — the
+    // stream-stream shape Spark requires for state cleanup
+    val i = imps.toDF().toDF("its", "ad_id").withWatermark("its", "1 hour")
+    val c = clicks.toDF().toDF("cts", "ad_id").withWatermark("cts", "1 hour")
+    val joined = i.join(c,
+      i("ad_id") === c("ad_id") &&
+        col("cts") >= col("its") && col("cts") <= col("its") + expr("interval 10 minutes"))
+      .select(i("ad_id").as("ad_id"), col("its"), col("cts"))
+    val q = joined.writeStream.format("memory").queryName("attrib").start()
+    try {
+      imps.addData((ts(0), 1L), (ts(0), 2L), (ts(30), 3L))
+      clicks.addData(
+        (ts(5), 1L),   // within 10 min of ad 1 -> match
+        (ts(20), 2L),  // 20 min after ad 2 -> outside window
+        (ts(32), 3L),  // within -> match
+        (ts(2), 9L))   // no impression for ad 9
+      q.processAllAvailable()
+      val got = spark.table("attrib").select("ad_id")
+        .as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming hourly windows equal the batch rollup") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]

@@ -30,8 +30,9 @@ object Bench {
     // inside each query's timing.
     spark.range(16).repartition(2).selectExpr("sum(id) as s")
       .write.format("noop").mode("overwrite").save()
-    val warmDir = java.nio.file.Files.createTempDirectory("graft-warm")
-      .resolve("w.parquet").toString
+    // fixed path + overwrite: repeated bench runs reuse the scratch space
+    val warmDir =
+      s"${System.getProperty("java.io.tmpdir")}/graft-warm/w.parquet"
     spark.range(64).selectExpr("id", "cast(id as double) d", "cast(id as string) s")
       .write.mode("overwrite").parquet(warmDir)
     spark.read.parquet(warmDir).write.format("noop").mode("overwrite").save()

@@ -20,8 +20,16 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
   * (Multimodal's decode extension point) and hash the pixel matrix.
   *
   * Deterministic, scan-stage, O(payload) per row. `bits` must be a
-  * literal in 1..64. Payloads shorter than `bits` bytes hash to 0 (too
-  * little signal to band on; callers filter them).
+  * literal in 1..64. Payloads shorter than `bits` bytes hash to NULL
+  * (too little signal to band on; null band keys drop out of the
+  * candidate equi-join naturally).
+  *
+  * Like every mean-threshold hash (aHash included), CONSTANT or
+  * near-constant payloads collapse to the all-zero signature and pair
+  * with each other at Hamming 0 — flat media genuinely is mutually
+  * near-duplicate under this feature, but callers deduplicating mixed
+  * corpora should screen flat payloads (e.g. a byte-variance floor) if
+  * that grouping is unwanted.
   */
 case class BlockHash(child: Expression, bits: Expression)
   extends BinaryExpression with CodegenFallback {
@@ -38,20 +46,25 @@ case class BlockHash(child: Expression, bits: Expression)
     if (bits.dataType != IntegerType || !bits.foldable)
       return TypeCheckResult.TypeCheckFailure(
         "graft_blockhash requires a literal INT bit count")
-    val n = bits.eval().asInstanceOf[Number].intValue()
-    if (n < 1 || n > 64)
-      return TypeCheckResult.TypeCheckFailure(
-        s"graft_blockhash bits must be in 1..64, got $n")
-    TypeCheckResult.TypeCheckSuccess
+    bits.eval() match {
+      case null => TypeCheckResult.TypeCheckFailure(
+        "graft_blockhash bit count must not be NULL")
+      case n: Number if n.intValue() < 1 || n.intValue() > 64 =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_blockhash bits must be in 1..64, got ${n.intValue()}")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   override def dataType: DataType = LongType
+  // null even for non-null input (short payloads), so always nullable
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_blockhash"
 
   override protected def nullSafeEval(payload: Any, bitsVal: Any): Any = {
     val bytes = payload.asInstanceOf[Array[Byte]]
     val n = bytes.length
-    if (n < nBits) return 0L
+    if (n < nBits) return null
     var total = 0L
     var i = 0
     while (i < n) { total += (bytes(i) & 0xff); i += 1 }

@@ -52,7 +52,21 @@ case class BloomBuildAgg(
       return TypeCheckResult.TypeCheckFailure(
         "graft_bloom_agg capacity and fpp must be literals")
     (capacity.dataType, fpp.dataType) match {
-      case (IntegerType | LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (IntegerType | LongType, DoubleType) =>
+        // validate the VALUES during analysis — BloomFilter.create would
+        // otherwise throw inside executor buffer creation with a stack
+        // trace that never mentions this function
+        (capacity.eval(), fpp.eval()) match {
+          case (null, _) | (_, null) => TypeCheckResult.TypeCheckFailure(
+            "graft_bloom_agg capacity and fpp must not be NULL")
+          case (c: Number, _) if c.longValue() <= 0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_bloom_agg capacity must be positive, got ${c.longValue()}")
+          case (_, f: Number) if f.doubleValue() <= 0.0 || f.doubleValue() >= 1.0 =>
+            TypeCheckResult.TypeCheckFailure(
+              s"graft_bloom_agg fpp must be in (0, 1), got ${f.doubleValue()}")
+          case _ => TypeCheckResult.TypeCheckSuccess
+        }
       case (c, f) => TypeCheckResult.TypeCheckFailure(
         s"graft_bloom_agg requires (item STRING, capacity INT/LONG, fpp DOUBLE), " +
           s"got (${child.dataType.simpleString}, ${c.simpleString}, ${f.simpleString})")
@@ -98,17 +112,28 @@ case class BloomBuildAgg(
   * `graft_bloom_probe(sketch, item) -> BOOLEAN`. Hashes the item's UTF-8
   * bytes, matching what [[BloomBuildAgg]] inserted.
   *
-  * Per-thread blob memo keyed on CONTENT (identity fast path, then
-  * length + byte equality), same rationale as [[CmsLookup]]: columnar
-  * scans hand each access a fresh byte[], so identity alone never hits.
-  * For corpus-wide probes against one reference sketch, the intended plan
-  * shape is the one-row cross join — the blob rides a broadcast and the
-  * memo makes deserialization once-per-thread. */
+  * A FOLDABLE sketch (a `lit(bytes)` column — the streaming-screen and
+  * broadcast-variable shape) is deserialized exactly once per expression
+  * instance and probes are O(hash count). A non-foldable sketch (e.g.
+  * the one-row cross join) falls back to a per-thread memo keyed on
+  * CONTENT (identity fast path, then length + byte equality, same
+  * rationale as [[CmsLookup]]: columnar scans hand each access a fresh
+  * byte[], so identity alone never hits) — sound, but the validating
+  * memcmp is O(sketch size) per row, so prefer the literal shape for
+  * corpus-wide probes. */
 case class BloomProbe(sketch: Expression, item: Expression)
   extends BinaryExpression with CodegenFallback {
 
   override def left: Expression = sketch
   override def right: Expression = item
+
+  @transient private lazy val staticFilter: BloomFilter =
+    if (sketch.foldable) {
+      val v = sketch.eval()
+      if (v == null) null
+      else BloomFilter.readFrom(
+        new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+    } else null
 
   override def checkInputDataTypes(): TypeCheckResult =
     (sketch.dataType, item.dataType) match {
@@ -122,6 +147,9 @@ case class BloomProbe(sketch: Expression, item: Expression)
   override def prettyName: String = "graft_bloom_probe"
 
   override protected def nullSafeEval(sketchBytes: Any, itemVal: Any): Any = {
+    if (staticFilter != null)
+      return staticFilter.mightContainBinary(
+        itemVal.asInstanceOf[UTF8String].getBytes)
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
     val cached = BloomProbe.lastSketch.get()
     val bf =

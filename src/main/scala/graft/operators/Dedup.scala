@@ -190,10 +190,7 @@ object Dedup {
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3, bands: Int = 4,
                      bits: Int = 16, id: String = "doc_id",
                      text: String = "text"): DataFrame = {
-    require(bits % bands == 0, "bands must divide bits")
-    require(maxHamming <= bands - 1,
-      s"pigeonhole guarantee needs maxHamming <= bands - 1 " +
-        s"(got $maxHamming vs ${bands - 1})")
+    // parameter guards live in hammingNearDup (the delegate)
     // lazy local checkpoint: the signature pipeline (tokenize + explode +
     // `bits` conditional sums) is the expensive part, and the self-join
     // inside hammingNearDup references it from two branches — without the

@@ -103,14 +103,19 @@ object DedupPack extends QueryPack {
 
     // Duplicated-span coverage (the exact-substring-dedup signal of Lee et
     // al. 2022 at window granularity): per document, the fraction of its
-    // distinct 8-token windows that also occur in ANOTHER document.
-    // Planted full copies of every 6th doc must score 1.0; organic 8-token
-    // overlap in the corpus is near zero. Scale shape: one shuffle keyed
-    // on the window text for the document-frequency table, one join back —
-    // cost Σ df(window), never |docs|²; at 100 TB key on a 64-bit window
-    // hash instead of the string to shrink the exchange.
+    // distinct 8-token windows that also occur in ANOTHER document. The
+    // frame is the FULL corpus plus copies of every 6th doc — copied docs
+    // (and their copies) must score 1.0 while the uncopied majority
+    // exercises the organic near-zero side, so a broken df count cannot
+    // hide. Scale shape: one shuffle keyed on the window text for the
+    // document-frequency table, one join back — cost Σ df(window), never
+    // |docs|²; at 100 TB key on a 64-bit window hash instead of the
+    // string to shrink the exchange.
     "q88_dup_spans" -> ((s, dir) => {
-      val sh = Dedup.shingles(withCopies(s, dir, mod = 6), n = 8)
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val frame = d.unionAll(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+      val sh = Dedup.shingles(frame, n = 8).localCheckpoint(false)
       val df = sh.groupBy(col("sh")).agg(count_distinct(col("doc_id")).as("nd"))
       sh.join(df, "sh")
         .groupBy(col("doc_id"))
@@ -331,7 +336,11 @@ object DedupPack extends QueryPack {
         |FROM documents""".stripMargin,
 
     "q88_dup_spans" ->
-      s"""WITH docs AS (${withCopiesSql(6)}),
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id, text
+         |  FROM documents WHERE doc_id % 6 = 0),
          |shg AS (${shinglesSql("docs", 8)}),
          |df AS (SELECT sh, count(DISTINCT doc_id) AS nd FROM shg GROUP BY sh),
          |per AS (SELECT doc_id, count(*) AS n_spans,

@@ -116,8 +116,12 @@ object MultimodalPack extends QueryPack {
       val g1 = expIdent.join(pairs, Seq("doc_a", "doc_b"), "left")
         .agg(bool_and(coalesce(col("hamming") === 0, lit(false)))
           .as("identical_at_zero"))
+      // RATE gate, not bool_and: the <= 7-bit excursion is measured for
+      // this corpus (max 6 at both sf) but not a mathematical guarantee —
+      // a single unlucky near-flat payload must not flip the whole gate,
+      // so >= 90% planted recall is the bar (observed 100%)
       val g2 = expCorr.join(pairs, Seq("doc_a", "doc_b"), "left")
-        .agg(bool_and(coalesce(col("hamming") <= 7, lit(false)))
+        .agg((avg(when(col("hamming") <= 7, 1.0).otherwise(0.0)) >= 0.9)
           .as("corrupted_found"))
       nSigs.crossJoin(g1).crossJoin(g2)
     })

@@ -142,7 +142,9 @@ object PipelinePack extends QueryPack {
     // file listings and on LOSSLESSNESS via a relational full-outer
     // compare of content hashes — a dropped or duplicated row cannot hide.
     "q93_compact" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-compact")
+      // FIXED scratch path + overwrite mode: a fresh temp dir per
+      // invocation would leak two corpus copies per bench/verify run
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-q93-compact"
       val frag = s"$tmp/frag"
       val out = s"$tmp/out"
       val d = docs(s, dir).select(col("doc_id"), col("text"))

@@ -201,10 +201,15 @@ object TextPack extends QueryPack {
     // table is vocabulary²-bounded but df-concentrated, never broadcast —
     // AQE picks the join strategy.
     "q87_bigram_xent" -> ((s, dir) => {
+      // tokenization feeds three consumers (bigram counts, vocab, the
+      // probe-side join) — cache it instead of re-scanning per branch
+      // (the Dedup.allPairsJaccard pattern)
       val toks = Tables.table(s, dir, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .localCheckpoint(false)
       val docBigrams = toks
         .select(col("doc_id"), explode(T.wordNgrams(col("toks"), 2)).as("bigram"))
+        .localCheckpoint(false)
       val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       val parts = bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
       val ctx = parts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))

@@ -95,6 +95,16 @@ class DedupSpec extends SparkSpec {
     val single = sketch.head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(merged, single),
       "bloom bitmap must be independent of partitioning")
+    // bad parameters fail at ANALYSIS with the function's name, not deep
+    // inside executor buffer creation
+    val bad = intercept[Exception] {
+      build.agg(expr("graft_bloom_agg(h, 0, 0.01d)")).head()
+    }
+    assert(bad.getMessage.contains("capacity must be positive"), bad.getMessage)
+    val badFpp = intercept[Exception] {
+      build.agg(expr("graft_bloom_agg(h, 100, 1.5d)")).head()
+    }
+    assert(badFpp.getMessage.contains("fpp must be in (0, 1)"), badFpp.getMessage)
   }
 
   test("jaccard is exact on a hand-checked pair") {

@@ -55,10 +55,10 @@ class MultimodalSpec extends SparkSpec {
     val far = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
     assert(near <= 7, s"one-byte edit moved $near bits")
     assert(far > near, "unrelated payload should be farther than a 1-byte edit")
-    // short payloads (< bits bytes) hash to the 0 sentinel
+    // short payloads (< bits bytes) hash to NULL, not a colliding sentinel
     val short = Seq((9L, "tiny")).toDF("id", "t")
-      .select(expr("graft_blockhash(encode(t, 'UTF-8'), 64)")).head().getLong(0)
-    assert(short === 0L)
+      .select(expr("graft_blockhash(encode(t, 'UTF-8'), 64)")).head()
+    assert(short.isNullAt(0))
   }
 
   test("hammingNearDup on blockhash signatures finds planted media pairs") {

@@ -34,6 +34,17 @@ case class CmsLookup(sketch: Expression, item: Expression)
   override def left: Expression = sketch
   override def right: Expression = item
 
+  // a foldable sketch (lit(bytes) — the broadcast-variable shape) parses
+  // once per expression instance; the per-thread content memo below stays
+  // the fallback for blobs routed through joins
+  @transient private lazy val staticSketch: CountMinSketch =
+    if (sketch.foldable) {
+      val v = sketch.eval()
+      if (v == null) null
+      else CountMinSketch.readFrom(
+        new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+    } else null
+
   override def checkInputDataTypes(): TypeCheckResult =
     (sketch.dataType, item.dataType) match {
       case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
@@ -47,6 +58,9 @@ case class CmsLookup(sketch: Expression, item: Expression)
   override def prettyName: String = "graft_cms_probe"
 
   override protected def nullSafeEval(sketchBytes: Any, itemVal: Any): Any = {
+    if (staticSketch != null)
+      return staticSketch.estimateCount(
+        itemVal.asInstanceOf[UTF8String].getBytes)
     val bytes = sketchBytes.asInstanceOf[Array[Byte]]
     val cached = CmsLookup.lastSketch.get()
     val cms =

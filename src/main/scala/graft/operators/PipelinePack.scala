@@ -161,6 +161,33 @@ object PipelinePack extends QueryPack {
           lit(nAfter <= 4).as("compacted_ok"))
     }),
 
+    // Training-mix plan: given per-source availability, uniform target
+    // weights, and a token budget, emit the allocation table a data mix
+    // is built from — target tokens per source and the EPOCH factor
+    // (target / available; > 1 means the source must be oversampled /
+    // repeated, the signal mix designers watch). Pure relational
+    // arithmetic over a tiny per-source aggregate — the plan itself is
+    // never the scale problem, the corpus scan feeding it is one
+    // aggregation.
+    "q95_mix_plan" -> ((s, dir) => {
+      val budget = 100000L
+      val perSource = docs(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenStats(col("text"))
+            .getField("ws_tokens").cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("avail_tokens"))
+      val nSources = perSource.agg(count(lit(1)).as("k"))
+      perSource.crossJoin(nSources)
+        .select(col("source"), col("n_docs"), col("avail_tokens"),
+          floor(lit(budget) / col("k")).cast("long").as("target_tokens"),
+          round(floor(lit(budget) / col("k")) / col("avail_tokens"), 6)
+            .as("epochs"),
+          (floor(lit(budget) / col("k")) > col("avail_tokens"))
+            .as("oversampled"))
+        .orderBy("source")
+    }),
+
     // Deterministic 16-way shard assignment — the final-write layout step:
     // shard indices are stable under any partitioning/re-run, so exports
     // are resumable and diffable shard-by-shard.
@@ -368,6 +395,20 @@ object PipelinePack extends QueryPack {
     "q93_compact" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS lossless,
         |       TRUE AS fragmented_ok, TRUE AS compacted_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "q95_mix_plan" -> {
+      val toks = TextPack.toksSql("text")
+      s"""WITH t AS (SELECT source, len($toks) AS n FROM documents),
+         |p AS (SELECT source, count(*) AS n_docs, sum(n) AS avail_tokens
+         |      FROM t GROUP BY source),
+         |k AS (SELECT count(*) AS k FROM p)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         |       CAST(FLOOR(100000 / k) AS BIGINT) AS target_tokens,
+         |       ROUND(FLOOR(100000 / k) / avail_tokens, 6) AS epochs,
+         |       FLOOR(100000 / k) > avail_tokens AS oversampled
+         |FROM p CROSS JOIN k ORDER BY source""".stripMargin
+    }
   )
 }

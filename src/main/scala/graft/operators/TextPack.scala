@@ -227,6 +227,25 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style perplexity bucketing composed on the q87 bigram LM:
+    // documents split into head / middle / tail terciles of cross-entropy
+    // (head = most predictable). Buckets come from ntile(3) over the
+    // TOTAL order (xent, doc_id) so both engines agree exactly even when
+    // a document sits on a cut; at 100 TB the cuts would come from
+    // approx_percentile (the q66 gate pattern) instead of a global
+    // window, trading the exact tercile boundary for no global sort.
+    "q96_ppl_buckets" -> ((s, dir) => {
+      val xent = queries("q87_bigram_xent")(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("xent_bits"), col("doc_id"))
+      xent.withColumn("tercile", ntile(3).over(w))
+        .select(col("doc_id"), col("xent_bits"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    }),
+
     // Count-min-sketch heavy hitters with an accuracy gate — the q54-HLL
     // pattern for frequency counting: at corpus scale the exact token
     // count table is itself huge; the CMS is a fixed-size mergeable
@@ -353,6 +372,26 @@ object TextPack extends QueryPack {
   private def hitsSql(toks: String, ws: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Shared CTE chain of the q87 bigram LM (also the base of q96's
+    * buckets): ends with `per(doc_id, n_bigrams, s)`. */
+  private def bigramXentCtes: String =
+    s"""d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+       |db AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+       |         THEN list_transform(generate_series(1, len(toks) - 1),
+       |                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+       |         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM d),
+       |bi AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram),
+       |parts AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1 FROM bi),
+       |ctx AS (SELECT w1, sum(c2) AS c1 FROM parts GROUP BY w1),
+       |vocab AS (SELECT count(DISTINCT tok) AS v
+       |          FROM (SELECT unnest(toks) AS tok FROM d)),
+       |model AS (SELECT bigram,
+       |            CAST(ROUND(-log2((c2 + 1.0) / (c1 + (SELECT v FROM vocab))), 6)
+       |                 AS DECIMAL(18,6)) AS nll
+       |          FROM parts JOIN ctx USING (w1)),
+       |per AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
+       |        FROM db JOIN model USING (bigram) GROUP BY doc_id)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q60_html_strip" ->
       """WITH raw AS (
@@ -478,25 +517,21 @@ object TextPack extends QueryPack {
          |FROM ranked WHERE rn <= $PmiTopK ORDER BY pmi DESC, bigram""".stripMargin,
 
     "q87_bigram_xent" ->
-      s"""WITH d AS (SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
-         |db AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
-         |         THEN list_transform(generate_series(1, len(toks) - 1),
-         |                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
-         |         ELSE CAST([] AS VARCHAR[]) END) AS bigram FROM d),
-         |bi AS (SELECT bigram, count(*) AS c2 FROM db GROUP BY bigram),
-         |parts AS (SELECT bigram, c2, string_split(bigram, ' ')[1] AS w1 FROM bi),
-         |ctx AS (SELECT w1, sum(c2) AS c1 FROM parts GROUP BY w1),
-         |vocab AS (SELECT count(DISTINCT tok) AS v
-         |          FROM (SELECT unnest(toks) AS tok FROM d)),
-         |model AS (SELECT bigram,
-         |            CAST(ROUND(-log2((c2 + 1.0) / (c1 + (SELECT v FROM vocab))), 6)
-         |                 AS DECIMAL(18,6)) AS nll
-         |          FROM parts JOIN ctx USING (w1)),
-         |per AS (SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS s
-         |        FROM db JOIN model USING (bigram) GROUP BY doc_id)
+      s"""WITH $bigramXentCtes
          |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
          |       ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS xent_bits
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q96_ppl_buckets" ->
+      s"""WITH $bigramXentCtes,
+         |x AS (SELECT doc_id,
+         |             ROUND(CAST(s AS DOUBLE) / n_bigrams, 6) AS xent_bits
+         |      FROM per)
+         |SELECT doc_id, xent_bits,
+         |       CASE NTILE(3) OVER (ORDER BY xent_bits, doc_id)
+         |            WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM x ORDER BY doc_id""".stripMargin,
 
     "q67_cms_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),

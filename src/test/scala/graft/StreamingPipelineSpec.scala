@@ -213,6 +213,33 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quota admits per-domain caps across micro-batches and matches batch domainCap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val admitted = graft.streaming.StreamingQuota.enforce(
+      in.toDF().toDF("doc_id", "domain"), cap = 2)
+    val q = admitted.writeStream.format("memory").queryName("quota").start()
+    try {
+      in.addData((1L, "a"), (2L, "a"), (10L, "b"))
+      q.processAllAvailable()
+      // second batch: domain a is already full, b admits one more
+      in.addData((3L, "a"), (11L, "b"), (12L, "b"))
+      q.processAllAvailable()
+      val got = spark.table("quota")
+        .as[(Long, String, Int)].collect().sortBy(_._1).toSeq
+      assert(got === Seq((1L, "a", 1), (2L, "a", 2), (10L, "b", 1), (11L, "b", 2)),
+        s"got $got")
+      // arrival order == batch order here, so the admitted multiset equals
+      // the batch twin's rank-limit cut
+      val batch = graft.operators.Selection.domainCap(
+        Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"), (12L, "b"))
+          .toDF("doc_id", "domain"),
+        "domain", Seq(col("doc_id")), cap = 2)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(got.map(_._1) === batch)
+    } finally q.stop()
+  }
+
   test("streaming bloom screen: static sketch probes a live stream scan-stage") {
     implicit val sqlCtx = spark.sqlContext
     graft.GraftExtensions.register(spark)

@@ -54,6 +54,35 @@ object PQ {
       .agg(argmins.head, argmins.tail: _*)
   }
 
+  /** LUT rows (qid, mi, code, d): per-subspace query→codeword distance,
+    * rounded to 6 and fixed-point so the m-way ADC sum is exact in any
+    * order. */
+  private def lutOf(queries: DataFrame, codebook: DataFrame,
+                    m: Int, sub: Int): DataFrame = {
+    val lutCols = (0 until m).map(mi =>
+      struct(lit(mi).as("mi"),
+        round(subDist(col("qvec"), col("cvec"), mi, sub), 6)
+          .cast("decimal(18,6)").as("d")).as(s"_s$mi"))
+    queries.crossJoin(broadcast(codebook))
+      .select(col("qid") +: col("code") +: lutCols: _*)
+      .select(col("qid"), col("code"), explode(array((0 until m).map(mi => col(s"_s$mi")): _*)).as("_e"))
+      .select(col("qid"), col("_e.mi").as("mi"), col("code"), col("_e.d").as("d"))
+  }
+
+  /** Exploded code rows (id, mi, code) from an [[encode]] output. */
+  private def codesOf(encoded: DataFrame, m: Int): DataFrame =
+    encoded.select(col("id"),
+        explode(array((0 until m).map(mi =>
+          struct(lit(mi).as("mi"), col(s"c$mi").as("code"))): _*)).as("_e"))
+      .select(col("id"), col("_e.mi").as("mi"), col("_e.code").as("code"))
+
+  private def rankTopK(adc: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("id"))
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc_dist"))
+  }
+
   /** ADC top-k: queries (qid, qvec ARRAY<DOUBLE>) against an encoded
     * corpus. Returns (qid, rank, id, adc_dist) with rank 1..k by
     * (distance, id). */
@@ -62,27 +91,33 @@ object PQ {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 1, "k must be >= 1")
     val sub = dim / m
-    // LUT: (qid, mi, code, d) — per-subspace distance rounded to 6 and
-    // fixed-point so the m-way sum below is exact in any order
-    val lutCols = (0 until m).map(mi =>
-      struct(lit(mi).as("mi"),
-        round(subDist(col("qvec"), col("cvec"), mi, sub), 6)
-          .cast("decimal(18,6)").as("d")).as(s"_s$mi"))
-    val lut = queries.crossJoin(broadcast(codebook))
-      .select(col("qid") +: col("code") +: lutCols: _*)
-      .select(col("qid"), col("code"), explode(array((0 until m).map(mi => col(s"_s$mi")): _*)).as("_e"))
-      .select(col("qid"), col("_e.mi").as("mi"), col("code"), col("_e.d").as("d"))
-    // codes: (id, mi, code)
-    val codes = encoded.select(col("id"),
-        explode(array((0 until m).map(mi =>
-          struct(lit(mi).as("mi"), col(s"c$mi").as("code"))): _*)).as("_e"))
-      .select(col("id"), col("_e.mi").as("mi"), col("_e.code").as("code"))
-    val adc = codes.join(lut, Seq("mi", "code"))
+    val adc = codesOf(encoded, m).join(lutOf(queries, codebook, m, sub), Seq("mi", "code"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("d")).as("adc_dist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("adc_dist"), col("id"))
-    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("id"), col("adc_dist"))
+    rankTopK(adc, k)
+  }
+
+  /** The full IVF-PQ search: ADC restricted to each query's IVF bucket.
+    * `corpusBuckets` (id, cid) and `queryBuckets` (qid, cid) come from
+    * [[Similarity.assign]]; the candidate join carries the bucket id as
+    * an EXTRA equi-key, so only same-bucket (query, candidate) pairs are
+    * ever scored AND the join shards by bucket — at billion scale this is
+    * the |corpus|/|buckets| candidate reduction of q36 stacked on q81's
+    * 16x memory compression, the standard IVF-PQ layout (Jégou et al.).
+    * Buckets may use a different metric than ADC (cosine assignment over
+    * normalized vectors pairs fine with L2 scoring). */
+  def adcTopKBucketed(encoded: DataFrame, codebook: DataFrame,
+                      queries: DataFrame, m: Int, dim: Int, k: Int,
+                      corpusBuckets: DataFrame,
+                      queryBuckets: DataFrame): DataFrame = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 1, "k must be >= 1")
+    val sub = dim / m
+    val codesB = codesOf(encoded, m).join(corpusBuckets, "id")
+    val lutB = lutOf(queries, codebook, m, sub).join(queryBuckets, "qid")
+    val adc = codesB.join(lutB, Seq("mi", "code", "cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("d")).as("adc_dist"))
+    rankTopK(adc, k)
   }
 }

@@ -189,6 +189,34 @@ object SimilarityPack extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // The full IVF-PQ index: q36's centroid bucketing stacked on q81's
+    // product quantization — ADC scores ONLY same-bucket candidates, and
+    // the candidate join carries the bucket id as an extra equi-key (the
+    // billion-scale ANN layout: |corpus|/|buckets| candidates at 16x
+    // compression). Oracle replays both halves exactly.
+    "q97_ivfpq" -> ((s, dir) => {
+      import graft.functions.VectorFunctions.toDoubleArray
+      val all = Tables.table(s, dir, "embeddings")
+      val corp = all.select(col("vec_id").as("id"),
+        toDoubleArray(col("embedding")).as("vec"))
+      val codebook = all.filter(col("vec_id") < PqCodewords)
+        .select(col("vec_id").cast("int").as("code"),
+          toDoubleArray(col("embedding")).as("cvec"))
+      val qs = all.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), toDoubleArray(col("embedding")).as("qvec"))
+      val cents = centroids(s, dir)
+      val corpB = Similarity.assign(corp, cents, "id", "vec")
+        .select(col("id"), col("cid"))
+      val qB = Similarity.assign(qs, cents, "qid", "qvec")
+        .select(col("qid"), col("cid"))
+      val enc = PQ.encode(corp, codebook, m = PqM, dim = Dim)
+      PQ.adcTopKBucketed(enc, codebook, qs, m = PqM, dim = Dim, k = 3,
+          corpusBuckets = corpB, queryBuckets = qB)
+        .select(col("qid"), col("rank"), col("id").as("neighbor_id"),
+          round(col("adc_dist").cast("double"), 6).as("adc_dist"))
+        .orderBy("qid", "rank")
+    }),
+
     // Symmetric int8 quantization of the embedding column — the 4x
     // compression step a 100 TB vector corpus applies before ANN.
     // floor(x + 0.5) on BOTH engines (plain round() differs in half-way
@@ -362,6 +390,55 @@ object SimilarityPack extends QueryPack {
          |       ROUND(list_max(e), 6) AS max_err,
          |       ROUND(list_sum(e) / 64.0, 6) AS mean_err
          |FROM err ORDER BY vec_id""".stripMargin
+    },
+
+    "q97_ivfpq" -> {
+      val sub = Dim / PqM
+      def dist(x: String, c: String, mi: Int): String = {
+        val base = mi * sub
+        val diff = s"(CAST($x[$base + j] AS DOUBLE) - CAST($c[$base + j] AS DOUBLE))"
+        s"list_sum(list_transform(generate_series(1, $sub), j -> $diff * $diff))"
+      }
+      val encBranches = (0 until PqM).map(mi =>
+        s"SELECT id, code, $mi AS mi, d$mi AS d FROM cd").mkString("\nUNION ALL\n")
+      val lutBranches = (0 until PqM).map(mi =>
+        s"SELECT qid, code, $mi AS mi, CAST(ROUND(dq$mi, 6) AS DECIMAL(18,6)) AS d FROM lutd")
+        .mkString("\nUNION ALL\n")
+      s"""WITH cb AS (SELECT CAST(vec_id AS INTEGER) AS code, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < $PqCodewords),
+         |corpus AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |      WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS cid, embedding AS centv FROM embeddings
+         |      WHERE vec_id < $NumCentroids),
+         |asg AS (SELECT e.vec_id, c.cid,
+         |               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                 ORDER BY ${cosSql("e.embedding", "c.centv")} DESC, c.cid) AS rn
+         |        FROM embeddings e CROSS JOIN c),
+         |buckets AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+         |cd AS (SELECT corpus.id, cb.code,
+         |         ${(0 until PqM).map(mi => s"${dist("vec", "cvec", mi)} AS d$mi").mkString(",\n         ")}
+         |       FROM corpus, cb),
+         |cdm AS ($encBranches),
+         |best AS (SELECT id, mi, code,
+         |           ROW_NUMBER() OVER (PARTITION BY id, mi ORDER BY d, code) AS rn
+         |         FROM cdm),
+         |codes AS (SELECT id, mi, code FROM best WHERE rn = 1),
+         |lutd AS (SELECT q.qid, cb.code,
+         |           ${(0 until PqM).map(mi => s"${dist("qvec", "cvec", mi)} AS dq$mi").mkString(",\n           ")}
+         |         FROM q, cb),
+         |lut AS ($lutBranches),
+         |adc AS (SELECT l.qid, cc.id, sum(l.d) AS adc
+         |        FROM codes cc
+         |        JOIN buckets bc ON bc.vec_id = cc.id
+         |        JOIN lut l ON l.mi = cc.mi AND l.code = cc.code
+         |        JOIN buckets bq ON bq.vec_id = l.qid AND bq.cid = bc.cid
+         |        GROUP BY 1, 2),
+         |r AS (SELECT qid, id, adc,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, id) AS INTEGER) AS rank
+         |      FROM adc)
+         |SELECT qid, rank, id AS neighbor_id, ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist
+         |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
     },
 
     "q81_pq_adc" -> {

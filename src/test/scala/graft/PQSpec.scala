@@ -25,6 +25,31 @@ class PQSpec extends SparkSpec {
     assert(enc === Seq((10L, 0, 1), (11L, 1, 0)))
   }
 
+  test("adcTopKBucketed only scores same-bucket candidates and agrees with in-bucket ADC") {
+    val codebook = Seq(
+      (0, Seq(0.0, 0.0, 0.0, 0.0)),
+      (1, Seq(1.0, 1.0, 1.0, 1.0)),
+      (2, Seq(5.0, 5.0, 5.0, 5.0))).toDF("code", "cvec")
+    val corpus = Seq(
+      (10L, Seq(0.1, 0.1, 0.1, 0.1)), (11L, Seq(0.9, 0.9, 0.9, 0.9)),
+      (20L, Seq(5.1, 5.1, 5.1, 5.1)), (21L, Seq(4.9, 4.9, 4.9, 4.9))
+    ).toDF("id", "vec")
+    val enc = PQ.encode(corpus, codebook, m = 2, dim = dim)
+    val queries = Seq((100L, Seq(0.0, 0.0, 0.0, 0.0))).toDF("qid", "qvec")
+    val corpB = Seq((10L, 1L), (11L, 1L), (20L, 2L), (21L, 2L)).toDF("id", "cid")
+    val qB = Seq((100L, 1L)).toDF("qid", "cid")
+    val got = PQ.adcTopKBucketed(enc, codebook, queries, m = 2, dim = dim,
+        k = 4, corpB, qB)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSeq.sorted
+    // bucket 2's candidates (20, 21) must never appear, even with k=4
+    assert(got === Seq((100L, 1, 10L), (100L, 2, 11L)))
+    // and the in-bucket ranking equals plain ADC over only that bucket
+    val plain = PQ.adcTopK(enc.filter(col("id") < 20L), codebook, queries,
+        m = 2, dim = dim, k = 4)
+      .select("qid", "rank", "id").as[(Long, Int, Long)].collect().toSeq.sorted
+    assert(got === plain)
+  }
+
   test("adcTopK: a query equal to an uncorrupted codeword retrieves it at distance 0") {
     val codebook = (0 until 4).map(c =>
       (c, (0 until dim).map(j => (c * 10 + j).toDouble))).toDF("code", "cvec")

@@ -106,6 +106,49 @@ object AnalyticsPack extends QueryPack {
     // Multi-level aggregation: rollup over (returnflag, linestatus) with
     // grouping-level indicator — partial aggregation covers all levels in
     // one pass (absent from the reference; part of the relational surface).
+    // TPC-H Q5-shaped multi-join: fact chain customer ⋈ orders ⋈ lineitem
+    // with the dimension chain supplier/nation/region riding BROADCASTS —
+    // revenue per nation. The canonical star-join scale shape: the only
+    // shuffles are the fact-fact joins on their keys; every dimension
+    // join is map-side (plan-asserted in ScaleJoinsSpec).
+    "q98_star_join" -> ((s, dir) => {
+      val customer = Tables.table(s, dir, "customer")
+      val orders = Tables.table(s, dir, "orders")
+      val lineitem = Tables.table(s, dir, "lineitem")
+      val supplier = Tables.table(s, dir, "supplier")
+      val nation = Tables.table(s, dir, "nation")
+      val region = Tables.table(s, dir, "region")
+      customer
+        .join(orders, col("c_custkey") === col("o_custkey"))
+        .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // The salted skew join, oracle-checked: its output must be EXACTLY
+    // the plain join's (salting redistributes work, never rows). The
+    // events fact joins a small per-user dimension on a key whose
+    // distribution is skewed; the aggregation pins row-level parity.
+    "q99_salted_join" -> ((s, dir) => {
+      val events = Tables.events(s, dir)
+        .select(col("user_id"), col("value"))
+      val dim = Tables.table(s, dir, "customer")
+        .filter(col("c_custkey") < 150)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      ScaleJoins.saltedJoin(events, dim, key = "user_id", salt = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("total_value"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Z-order clustering key: the Morton interleave of (l_partkey,
     // l_suppkey) plus its coarse layout cell — the multi-dimension
     // data-skipping layout (ZOrder.layoutWrite / boxScan prune on the
@@ -295,6 +338,26 @@ object AnalyticsPack extends QueryPack {
         |       ROUND(SUM(value), 4) AS total_value
         |FROM events JOIN w ON ts >= w_start AND ts < w_end
         |GROUP BY window_id ORDER BY window_id""".stripMargin,
+
+    "q98_star_join" ->
+      """SELECT n_name,
+        |       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q99_salted_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        |       ROUND(SUM(value), 4) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE c_custkey < 150
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q89_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

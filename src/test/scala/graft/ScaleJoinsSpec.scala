@@ -85,6 +85,14 @@ class ScaleJoinsSpec extends SparkSpec {
     }
   }
 
+  test("q98 star join: every dimension join is a broadcast, never a shuffle") {
+    val plan = SparkEntry.queries("q98_star_join")(spark, sf1)
+      .queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"supplier/nation/region must ride broadcasts, found $broadcasts:\n${plan.take(1500)}")
+  }
+
   test("skew profile surfaces the heaviest keys with shares") {
     val df = (Seq.fill(70)(1L) ++ Seq.fill(20)(2L) ++ Seq.fill(10)(3L))
       .toDF("k")

@@ -38,6 +38,10 @@ object SelectionPack extends QueryPack {
   /** Weighted-sample draw size + snapshot-delta added-id offset. */
   val SampleK = 50
   val DeltaOffset = 400000L
+  /** q100 capstone knobs: re-crawl copy offset/period, per-source cap,
+    * token budget (binds at every sf: ~120 docs fit of 300 capped). */
+  val MixCopyOffset = 500000L
+  val MixBudget = 12000L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -156,6 +160,42 @@ object SelectionPack extends QueryPack {
     // the corpus-audit report behind length-filter thresholds. Integer
     // bucket arithmetic — no float log whose last ulp could differ
     // across engines at bucket boundaries.
+    // The capstone: a full corpus -> training-shards pipeline in ONE
+    // declarative plan — re-crawled frame -> exact dedup (min-id keeper)
+    // -> quality scoring -> per-source cap -> token-budget cut -> shard
+    // manifest. Every stage is an operator this engine already ships
+    // (Dedup.contentHash, domain cap's rank-limit, budgetSelect's blocked
+    // prefix sum, shardIndex), composed; the oracle replays the entire
+    // chain, so a regression ANYWHERE in the pipeline breaks the hash.
+    // Scale: dedup + cap + budget are the same bounded-shuffle shapes as
+    // their standalone queries; nothing new materializes.
+    "q100_training_mix" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val frame = d.unionAll(d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + MixCopyOffset).as("doc_id"),
+          col("source"), col("text")))
+      val scored = frame.select(col("doc_id"), col("source"), col("text"),
+        T.qualityScore(col("text"), TextPack.stopwords).as("_q"),
+        Dedup.contentHash(col("text")).as("_h"))
+      val wDed = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_h")).orderBy(col("doc_id"))
+      val wCap = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("_q").desc, col("doc_id"))
+      val capped = scored
+        .withColumn("_rn", row_number().over(wDed)).filter(col("_rn") === 1)
+        .withColumn("_r2", row_number().over(wCap))
+        .filter(col("_r2") <= CapPerSource)
+      val kept = Selection.budgetSelect(
+        capped.select(col("doc_id"), col("text"), col("_q")),
+        "doc_id", "text", col("_q"), budget = MixBudget)
+      kept.select(col("id").as("doc_id"), col("n_toks"))
+        .withColumn("shard", CorpusOps.shardIndex(col("doc_id")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("shard")
+    }),
+
     "q85_length_histogram" -> ((s, dir) => {
       docs(s, dir)
         .select(col("source"),
@@ -343,6 +383,39 @@ object SelectionPack extends QueryPack {
          |      FROM snap1 a FULL OUTER JOIN snap2 b ON a.doc_id = b.doc_id)
          |SELECT doc_id, status FROM j WHERE status <> 'unchanged'
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q100_training_mix" -> {
+      val shardC = "ascii(substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 1))"
+      s"""WITH frame AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $MixCopyOffset AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |t AS (SELECT doc_id, source, text, ${TextPack.toksSql("text")} AS toks FROM frame),
+         |s AS (SELECT doc_id, source, len(toks) AS n,
+         |        ${T.qualityScoreSql(TextPack.stopwords)} AS q,
+         |        ${DedupPack.contentHashSql("text")} AS h
+         |      FROM t),
+         |ded AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+         |        FROM s),
+         |cap AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |                    ORDER BY q DESC, doc_id) AS r2
+         |        FROM ded WHERE rn = 1),
+         |sel AS (SELECT doc_id, n,
+         |          sum(n) OVER (ORDER BY q DESC, doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cb
+         |        FROM cap WHERE r2 <= $CapPerSource),
+         |kept AS (SELECT doc_id, n FROM sel WHERE cb + n <= $MixBudget),
+         |sh AS (SELECT doc_id, n,
+         |         CASE WHEN $shardC <= 57 THEN $shardC - 48
+         |              ELSE $shardC - 87 END AS shard
+         |       FROM kept)
+         |SELECT CAST(shard AS INTEGER) AS shard,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "q85_length_histogram" ->

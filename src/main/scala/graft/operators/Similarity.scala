@@ -87,6 +87,29 @@ object Similarity {
         col("best.n2_d").as("n2"), col("best.id_k").as("cid"))
   }
 
+  /** Scan-stage centroid assignment for STREAMING/serve paths: centroids
+    * ride the plan as a literal array (there are few — the IVF codebook),
+    * and the argmax is `array_max` over per-centroid (sim, -cid, cid)
+    * structs — no aggregation, no shuffle, legal in any streaming plan.
+    * Tie/null semantics match [[assign]]: (rounded sim DESC, cid ASC),
+    * zero-norm rows fall to the last-ranked centroid via the -2.0 floor. */
+  def assignScan(data: DataFrame, centroidsLocal: Seq[(Long, Array[Double])],
+                 idCol: String, vecCol: String): DataFrame = {
+    require(centroidsLocal.nonEmpty, "need at least one centroid")
+    val d = prepped(data, idCol, vecCol, "_d")
+    val cands = centroidsLocal.map { case (cid, cvec) =>
+      val cv = lit(cvec)
+      val n2c = cvec.map(x => x * x).sum
+      val denom = sqrt(col("n2_d")) * math.sqrt(n2c)
+      val sim = round(when(denom === 0.0, lit(null).cast("double"))
+        .otherwise(dot(col("vec_d"), cv) / denom), 4)
+      struct(coalesce(sim, lit(-2.0)).as("s"), lit(-cid).as("nid"),
+        lit(cid).as("cid"))
+    }
+    d.select(col("id_d").as(idCol), col("vec_d").as(vecCol), col("n2_d").as("n2"),
+      array_max(array(cands: _*)).getField("cid").as("cid"))
+  }
+
   /** IVF top-k: search only the query's centroid bucket. Trades recall for
     * a |corpus|/|buckets| reduction in scored pairs. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,

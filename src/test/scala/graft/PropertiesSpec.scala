@@ -113,6 +113,28 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("blockedPrefixSum is a valid exclusive prefix chain under random ties and blocks") {
+    val rowsGen = Gen.listOfN(60, Gen.zip(
+      Gen.choose(0.0, 3.0).map(s => math.floor(s * 4) / 4), // heavy ties
+      Gen.choose(1L, 9L)))
+    samples(rowsGen, 5).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.zipWithIndex
+        .map { case ((score, n), idx) => (idx.toLong, score, n) }
+        .toDF("id", "score", "n")
+      val blk = floor((lit(3.0) - col("score")) * 2).cast("long") // monotone in score desc
+      val out = graft.operators.CorpusOps
+        .blockedPrefixSum(df, blk, Seq(col("score").desc, col("id")), col("n"))
+        .select("id", "n", "cum_before")
+        .as[(Long, Long, Long)].collect().toSeq
+      var running = 0L
+      out.sortBy(_._3).foreach { case (id, n, cb) =>
+        assert(cb === running, s"case $i: chain broken at id=$id")
+        running += n
+      }
+      assert(running === rows.map(_._2).sum, s"case $i: total mismatch")
+    }
+  }
+
   test("SGD step with tiny lr reduces squared error on a single rating") {
     val cases = samples(Gen.zip(vecGen, vecGen, Gen.choose(0.5, 5.0)), 10)
     cases.foreach { case (u, v, r) =>

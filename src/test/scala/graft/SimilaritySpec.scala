@@ -114,6 +114,46 @@ class SimilaritySpec extends SparkSpec {
     assert(inc === reb)
   }
 
+  test("streaming ANN serve over the materialized index equals batch indexed search") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("annserve").toFile.getAbsolutePath
+    val c0 = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    Similarity.ivfWrite(c0, cents, dir)
+    val centsLocal = cents
+      .select(col("cid"), graft.functions.VectorFunctions.toDoubleArray(col("cvec")))
+      .as[(Long, Array[Double])].collect().toSeq
+    val qRows = Tables.table(spark, sf0, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")))
+      .as[(Long, Array[Double])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Double])]
+    val served = graft.streaming.AnnServe.serve(spark,
+      in.toDF().toDF("qid", "qvec"), centsLocal, dir, k = 3)
+    val q = served.writeStream.format("memory").queryName("annserve").start()
+    try {
+      in.addData(qRows.take(3))
+      q.processAllAvailable()
+      in.addData(qRows.drop(3)) // second batch: same path, no state carried
+      q.processAllAvailable()
+      val got = spark.table("annserve")
+        .as[(Long, Int, Long, Double)].collect().toSet
+      val batch = Similarity.ivfSearchIndexed(spark, dir,
+          Tables.table(spark, sf0, "embeddings")
+            .filter(col("vec_id") % 50 === 0)
+            .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+          cents, k = 3)
+        .select(col("qid"), col("rank"), col("id"), col("sim"))
+        .as[(Long, Int, Long, Double)].collect().toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("k-means centroids: IVF recall at least matches arbitrary centroids") {
     val c0 = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

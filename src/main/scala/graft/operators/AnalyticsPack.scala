@@ -103,9 +103,6 @@ object AnalyticsPack extends QueryPack {
         .orderBy("user_id")
     }),
 
-    // Multi-level aggregation: rollup over (returnflag, linestatus) with
-    // grouping-level indicator — partial aggregation covers all levels in
-    // one pass (absent from the reference; part of the relational surface).
     // TPC-H Q5-shaped multi-join: fact chain customer ⋈ orders ⋈ lineitem
     // with the dimension chain supplier/nation/region riding BROADCASTS —
     // revenue per nation. The canonical star-join scale shape: the only
@@ -165,6 +162,9 @@ object AnalyticsPack extends QueryPack {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Multi-level aggregation: rollup over (returnflag, linestatus) with
+    // grouping-level indicator — partial aggregation covers all levels in
+    // one pass (absent from the reference; part of the relational surface).
     "q41_rollup" -> ((s, dir) => {
       Tables.table(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))

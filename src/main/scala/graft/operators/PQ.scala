@@ -113,8 +113,14 @@ object PQ {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 1, "k must be >= 1")
     val sub = dim / m
-    val codesB = codesOf(encoded, m).join(corpusBuckets, "id")
-    val lutB = lutOf(queries, codebook, m, sub).join(queryBuckets, "qid")
+    // project the bucket frames down to (key, cid) HERE: Similarity.assign
+    // returns the full vectors too, and joining them verbatim would drag
+    // every uncompressed vector through the ADC shuffle — the exact cost
+    // this operator exists to avoid
+    val codesB = codesOf(encoded, m)
+      .join(corpusBuckets.select(col("id"), col("cid")), "id")
+    val lutB = lutOf(queries, codebook, m, sub)
+      .join(queryBuckets.select(col("qid"), col("cid")), "qid")
     val adc = codesB.join(lutB, Seq("mi", "code", "cid"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("d")).as("adc_dist"))

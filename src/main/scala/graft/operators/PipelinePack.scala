@@ -20,6 +20,9 @@ import graft.sources.Tables
   */
 object PipelinePack extends QueryPack {
 
+  /** q95's token budget — ONE definition interpolated into both engines. */
+  val MixPlanBudget = 100000L
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
@@ -170,7 +173,7 @@ object PipelinePack extends QueryPack {
     // never the scale problem, the corpus scan feeding it is one
     // aggregation.
     "q95_mix_plan" -> ((s, dir) => {
-      val budget = 100000L
+      val budget = MixPlanBudget
       val perSource = docs(s, dir)
         .select(col("source"),
           TextFunctions.tokenStats(col("text"))
@@ -405,9 +408,9 @@ object PipelinePack extends QueryPack {
          |k AS (SELECT count(*) AS k FROM p)
          |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
          |       CAST(avail_tokens AS BIGINT) AS avail_tokens,
-         |       CAST(FLOOR(100000 / k) AS BIGINT) AS target_tokens,
-         |       ROUND(FLOOR(100000 / k) / avail_tokens, 6) AS epochs,
-         |       FLOOR(100000 / k) > avail_tokens AS oversampled
+         |       CAST(FLOOR($MixPlanBudget / k) AS BIGINT) AS target_tokens,
+         |       ROUND(FLOOR($MixPlanBudget / k) / avail_tokens, 6) AS epochs,
+         |       FLOOR($MixPlanBudget / k) > avail_tokens AS oversampled
          |FROM p CROSS JOIN k ORDER BY source""".stripMargin
     }
   )

@@ -24,7 +24,7 @@ import graft.operators.Similarity
   */
 object AnnServe {
 
-  case class Neighbor(qid: Long, rank: Int, id: Long, sim: Double)
+  case class Neighbor(qid: Long, rank: Int, id: Long, sim: Option[Double])
 
   /** queries stream (qid, qvec ARRAY<FLOAT|DOUBLE>) → top-k neighbors per
     * query from the index at `indexPath` (an [[Similarity.ivfWrite]]
@@ -53,10 +53,25 @@ object AnnServe {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (qid: Long, rows: Iterator[(Long, Long, Option[Double])],
          state: GroupState[Int]) =>
-          rows.toSeq
-            .map { case (_, id, sim) => (id, sim.getOrElse(-2.0)) }
-            .sortBy { case (id, sim) => (-sim, id) }
-            .take(k)
+          // bounded k-heap, not a full sort: a skewed IVF bucket must cost
+          // O(k) memory per request, not buffer the whole candidate set.
+          // NULL sims (zero-norm vectors) rank last, exactly like the
+          // batch twin's sim DESC sort — and are EMITTED as null, so
+          // batch ≡ stream holds even for degenerate vectors.
+          def key(id: Long, sim: Option[Double]): (Double, Long) =
+            (-sim.getOrElse(-2.0), id)
+          // head = worst of the kept k (largest (-sim, id))
+          val heap = scala.collection.mutable.PriorityQueue
+            .empty[(Long, Option[Double])](
+              Ordering.by[(Long, Option[Double]), (Double, Long)] {
+                case (id, sim) => key(id, sim)
+              })
+          rows.foreach { case (_, id, sim) =>
+            heap.enqueue((id, sim))
+            if (heap.size > k) heap.dequeue()
+          }
+          heap.toSeq
+            .sortBy { case (id, sim) => key(id, sim) }
             .zipWithIndex
             .map { case ((id, sim), i) => Neighbor(qid, i + 1, id, sim) }
             .iterator

@@ -43,6 +43,30 @@ object SelectionPack extends QueryPack {
   val MixCopyOffset = 500000L
   val MixBudget = 12000L
 
+  /** q100's corpus -> kept-set chain: exact dedup (min-id keeper over the
+    * content hash) -> quality scoring -> per-source cap (top
+    * [[CapPerSource]] by score) -> [[Selection.budgetSelect]] token cut.
+    * Returns budgetSelect's (id, score, n_toks, cum_before). Exposed so
+    * the pipeline invariants (no duplicate content survives, cap binds,
+    * budget holds) are testable on the KEPT SET, not just the shard
+    * aggregate the q100 contract query emits. */
+  def mixKept(frame: DataFrame): DataFrame = {
+    val scored = frame.select(col("doc_id"), col("source"), col("text"),
+      T.qualityScore(col("text"), TextPack.stopwords).as("_q"),
+      Dedup.contentHash(col("text")).as("_h"))
+    val wDed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h")).orderBy(col("doc_id"))
+    val wCap = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("_q").desc, col("doc_id"))
+    val capped = scored
+      .withColumn("_rn", row_number().over(wDed)).filter(col("_rn") === 1)
+      .withColumn("_r2", row_number().over(wCap))
+      .filter(col("_r2") <= CapPerSource)
+    Selection.budgetSelect(
+      capped.select(col("doc_id"), col("text"), col("_q")),
+      "doc_id", "text", col("_q"), budget = MixBudget)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus-wide paragraph dedup: first occurrence of each 12-token
@@ -174,21 +198,8 @@ object SelectionPack extends QueryPack {
       val frame = d.unionAll(d.filter(col("doc_id") % 9 === 0)
         .select((col("doc_id") + MixCopyOffset).as("doc_id"),
           col("source"), col("text")))
-      val scored = frame.select(col("doc_id"), col("source"), col("text"),
-        T.qualityScore(col("text"), TextPack.stopwords).as("_q"),
-        Dedup.contentHash(col("text")).as("_h"))
-      val wDed = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("_h")).orderBy(col("doc_id"))
-      val wCap = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("_q").desc, col("doc_id"))
-      val capped = scored
-        .withColumn("_rn", row_number().over(wDed)).filter(col("_rn") === 1)
-        .withColumn("_r2", row_number().over(wCap))
-        .filter(col("_r2") <= CapPerSource)
-      val kept = Selection.budgetSelect(
-        capped.select(col("doc_id"), col("text"), col("_q")),
-        "doc_id", "text", col("_q"), budget = MixBudget)
-      kept.select(col("id").as("doc_id"), col("n_toks"))
+      mixKept(frame)
+        .select(col("id").as("doc_id"), col("n_toks"))
         .withColumn("shard", CorpusOps.shardIndex(col("doc_id")))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),

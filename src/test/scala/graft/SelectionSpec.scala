@@ -253,6 +253,38 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("mixKept (q100 capstone): dedup keeper, per-source cap, and token budget all hold on the kept set") {
+    import graft.operators.SelectionPack
+    val d = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    // same re-crawl frame as q100: every 9th doc has an identical copy
+    val frame = d.unionAll(d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + SelectionPack.MixCopyOffset).as("doc_id"),
+        col("source"), col("text")))
+    val kept = SelectionPack.mixKept(frame)
+    val ids = kept.select("id").as[Long].collect().toSeq
+    assert(ids.nonEmpty)
+    // 1. exact dedup keeps the min-id member: a re-crawl copy is identical
+    //    to its original, so no copy id may survive
+    assert(!ids.exists(_ >= SelectionPack.MixCopyOffset),
+      "an identical re-crawl copy survived dedup over its min-id original")
+    // 2. no duplicate content among keepers (corpus-wide, not just copies)
+    val hashes = frame.join(kept.select(col("id").as("doc_id")), "doc_id")
+      .select(graft.operators.Dedup.contentHash(col("text")))
+      .as[String].collect().toSeq
+    assert(hashes.distinct.size === hashes.size, "duplicate content kept")
+    // 3. per-source cap binds: no source exceeds CapPerSource keepers
+    val bySource = frame.join(kept.select(col("id").as("doc_id")), "doc_id")
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(bySource.forall(_._2 <= SelectionPack.CapPerSource),
+      s"source over cap: ${bySource.filter(_._2 > SelectionPack.CapPerSource).toSeq}")
+    // 4. the token budget is a hard ceiling AND binds (some doc was cut)
+    val total = kept.agg(sum(col("n_toks"))).as[Long].head()
+    assert(total <= SelectionPack.MixBudget)
+    assert(ids.size < frame.select("doc_id").distinct().count(),
+      "budget/cap cut nothing — the capstone knobs no longer bind at sf0.001")
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

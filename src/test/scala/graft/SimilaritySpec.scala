@@ -154,6 +154,36 @@ class SimilaritySpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serve: zero-norm index vector gets NULL sim, ranks last, equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("annserve0").toFile.getAbsolutePath
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)),
+      (2L, Array(0.0, 1.0)),
+      (99L, Array(0.0, 0.0))). // degenerate: cosine undefined -> NULL sim
+      toDF("id", "vec")
+    val cents = Seq((0L, Array(1.0, 1.0))).toDF("cid", "cvec")
+    Similarity.ivfWrite(corpus, cents, dir)
+    val in = MemoryStream[(Long, Array[Double])]
+    val served = graft.streaming.AnnServe.serve(spark,
+      in.toDF().toDF("qid", "qvec"), Seq((0L, Array(1.0, 1.0))), dir, k = 3)
+    val q = served.writeStream.format("memory").queryName("annserve0").start()
+    try {
+      in.addData((1000L, Array(1.0, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("annserve0")
+        .as[(Long, Int, Long, Option[Double])].collect().toSet
+      val batch = Similarity.ivfSearchIndexed(spark, dir,
+          Seq((1000L, Array(1.0, 0.0))).toDF("qid", "qvec"), cents, k = 3)
+        .select(col("qid"), col("rank"), col("id"), col("sim"))
+        .as[(Long, Int, Long, Option[Double])].collect().toSet
+      assert(got === batch)
+      assert(got.exists(r => r._3 == 99L && r._4.isEmpty && r._2 == 3),
+        s"zero-norm vector must surface as (rank 3, sim null); got $got")
+    } finally q.stop()
+  }
+
   test("k-means centroids: IVF recall at least matches arbitrary centroids") {
     val c0 = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -17,7 +17,8 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     AlsPack, ModelCodec, SvmPack, ServePack, GeneratorPack, TrainPack,
     AnalyticsPack, TextPack, DedupPack, SimilarityPack, MultimodalPack,
-    CurationPack, PipelinePack, SelectionPack)
+    CurationPack, PipelinePack, SelectionPack,
+    AuditPack, GraphPack, VectorPack, LifecyclePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end capability in one plan: rating fact ⋈

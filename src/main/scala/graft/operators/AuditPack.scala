@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.sources.Tables
+
+/** Warehouse-audit / reporting surface: pivoted cross-tabs, CUBE grouping
+  * sets, single-pass column profiling, and robust (median/MAD) outlier
+  * detection. These are the "describe the corpus before training on it"
+  * queries a data pipeline runs on every ingest.
+  *
+  * Scale notes common to the pack: every query is one or two shuffles on
+  * the natural grouping key; pivots use an EXPLICIT value list (a
+  * `pivot(col)` without values runs a driver-side distinct job during plan
+  * construction — the q45-TF-IDF mistake round 1 flagged); the profiler
+  * computes all columns in one scan (no per-column passes).
+  */
+object AuditPack extends QueryPack {
+
+  /** The closed event-type vocabulary of the events table. An explicit
+    * list keeps the pivot plan construction job-free and the output schema
+    * stable even when a scale factor is missing a type. */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Profiled numeric lineitem columns (one output row each). */
+  val ProfileCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Outlier gate: |x - median| > OutlierK * 1.4826 * MAD (the normal
+    * consistency constant; 3-sigma-equivalent robust z-score). */
+  val OutlierK = 3.0
+  val MadConsistency = 1.4826
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cross-tab: per user segment, total event value by type. The pivot is
+    // a single groupBy shuffle producing one column per type; missing
+    // (segment, type) combinations stay NULL in both engines.
+    "q101_pivot_events" -> ((s, dir) => {
+      Tables.table(s, dir, "events")
+        .withColumn("segment", col("user_id") % 10)
+        .groupBy("segment")
+        .pivot("event_type", EventTypes)
+        .agg(round(sum(col("value")), 6))
+        .orderBy("segment")
+    }),
+
+    // CUBE over (lang, source): all four grouping sets in one pass, with
+    // grouping_id disambiguating rolled-up NULLs from data NULLs. One
+    // shuffle; Spark expands the cube map-side.
+    "q102_cube_docs" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .cube(col("lang"), col("source"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"))
+        .select("lang", "source", "gid", "n_docs", "chars")
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
+    // Column profiler: non-null count, exact NDV, min/max/mean for every
+    // profiled column in ONE scan (a single multi-aggregate — Spark plans
+    // the distinct aggregates via Expand), then unpivoted to one row per
+    // column. The shape a 100 TB profile job needs: columns scale the
+    // plan, not the number of passes over the data.
+    "q104_profile" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+      val aggs = ProfileCols.flatMap { c =>
+        Seq(count(col(c)).as(s"${c}_n"),
+          countDistinct(col(c)).as(s"${c}_ndv"),
+          round(min(col(c)), 6).as(s"${c}_min"),
+          round(max(col(c)), 6).as(s"${c}_max"),
+          round(avg(col(c)), 6).as(s"${c}_avg"))
+      }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(ProfileCols.map(c => struct(
+          lit(c).as("col_name"),
+          col(s"${c}_n").as("n_nonnull"),
+          col(s"${c}_ndv").as("ndv"),
+          col(s"${c}_min").as("min_v"),
+          col(s"${c}_max").as("max_v"),
+          col(s"${c}_avg").as("avg_v"))): _*)).as("p"))
+        .select(col("p.*"))
+        .orderBy("col_name")
+    }),
+
+    // Robust outlier detection: per event type, median + MAD (median
+    // absolute deviation) and the count of values beyond the 3-sigma-
+    // equivalent robust z-score. Medians are EXACT percentiles snapped to
+    // 9 decimals before reuse so the two engines' interpolation agrees
+    // bit-for-bit downstream; the deviation compare then runs on
+    // identical doubles in both engines. Two grouped percentile passes +
+    // one count — all shuffles on event_type.
+    "q107_mad_outliers" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events").select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 9).as("med"))
+      val dev = ev.join(med, "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type", "med")
+        .agg(round(expr("percentile(adev, 0.5)"), 9).as("mad"))
+      dev.drop("med").join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("adev") > lit(OutlierK * MadConsistency) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .select(col("event_type"), col("n"),
+          round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+          col("n_outliers"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q101_pivot_events" -> {
+      val cols = EventTypes.map(t =>
+        s"round(sum(CASE WHEN event_type = '$t' THEN value END), 6) AS \"$t\"")
+      s"""SELECT user_id % 10 AS segment,
+         |       ${cols.mkString(",\n       ")}
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q102_cube_docs" ->
+      """SELECT lang, source,
+        |       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY CUBE(lang, source)""".stripMargin,
+
+    "q104_profile" -> ProfileCols.map(c =>
+      s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+         |  round(min($c), 6) AS min_v, round(max($c), 6) AS max_v,
+         |  round(avg($c), 6) AS avg_v FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n"),
+
+    "q107_mad_outliers" ->
+      s"""WITH med AS (
+         |  SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+         |  FROM events GROUP BY 1),
+         |dev AS (
+         |  SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+         |  FROM events e JOIN med m USING (event_type)),
+         |mad AS (
+         |  SELECT event_type, med, round(quantile_cont(adev, 0.5), 9) AS mad
+         |  FROM dev GROUP BY 1, 2)
+         |SELECT d.event_type, count(*) AS n,
+         |       round(m.med, 6) AS med, round(m.mad, 6) AS mad,
+         |       CAST(sum(CASE WHEN d.adev > $OutlierK * $MadConsistency * m.mad
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM dev d JOIN mad m USING (event_type)
+         |GROUP BY 1, m.med, m.mad ORDER BY 1""".stripMargin
+  )
+}

@@ -305,4 +305,30 @@ object CorpusOps {
       .withColumn("cum_before", col("_off") + col("_cum_in") - col("_v"))
       .drop("_blk", "_v", "_cum_in", "_off")
   }
+
+  /** Snapshot upsert-merge — the corpus-refresh MERGE a crawl pipeline runs
+    * per snapshot: new content wins, and every key is labeled with what
+    * happened to it (`insert` new-only, `update` both-but-changed, `carry`
+    * both-and-identical, `retire` old-only). Returns one row per key:
+    * (keyCol, action, content_hash) where content_hash is the md5 of the
+    * SURVIVING content (the new side except for retire rows).
+    *
+    * Scale shape: both sides are reduced to (key, md5) BEFORE the join, so
+    * the full-outer shuffle carries 16-byte hashes, never document bodies —
+    * the same never-shuffle-raw-text rule the dedup family follows. One
+    * shuffle per side + the join. Callers that need the merged BODIES join
+    * this ledger back to the new snapshot by key (hash-equi join, AQE
+    * decides broadcast). */
+  def upsertSnapshot(oldDf: DataFrame, newDf: DataFrame,
+                     keyCol: String, contentCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("_k"), md5(col(contentCol)).as("_oh"))
+    val n = newDf.select(col(keyCol).as("_k"), md5(col(contentCol)).as("_nh"))
+    o.join(n, Seq("_k"), "full_outer")
+      .select(col("_k").as(keyCol),
+        when(col("_oh").isNull, lit("insert"))
+          .when(col("_nh").isNull, lit("retire"))
+          .when(col("_oh") === col("_nh"), lit("carry"))
+          .otherwise(lit("update")).as("action"),
+        coalesce(col("_nh"), col("_oh")).as("content_hash"))
+  }
 }

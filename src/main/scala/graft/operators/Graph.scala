@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge-list DataFrames.
+  *
+  * The interesting design problem is not the recurrence — it is making an
+  * ITERATIVE distributed computation (a) reproducible across engines and
+  * partitionings and (b) survivable at scale:
+  *
+  *  - **Fixed-point arithmetic.** Ranks are carried as BIGINT nano-units
+  *    (1e9 = rank 1.0) and contributions use integer division. Integer
+  *    addition is associative, so the per-node contribution sum is
+  *    IDENTICAL no matter how Spark partitions the shuffle or in what
+  *    order DuckDB's aggregate sees rows — float summation order, the
+  *    classic cross-engine flake in iterative jobs, never enters the
+  *    computation. The sub-nano floor loss per edge is bounded by
+  *    iters * max_indegree ulps — irrelevant at 1e9 resolution.
+  *  - **Lineage truncation.** Each iteration's plan embeds the previous
+  *    one; after a few dozen iterations the plan tree (and its codegen)
+  *    dominates runtime and a lost executor replays the whole chain. With
+  *    `checkpointEvery > 0`, every k-th rank table is localCheckpoint-ed,
+  *    cutting the lineage to one iteration. Tests and the oracle-checked
+  *    contract query run with checkpointing off so the plan stays pure.
+  */
+object Graph {
+
+  /** 1.0 of rank in fixed-point units. */
+  val Unit: Long = 1000000000L
+
+  /** Damped PageRank, fixed iteration count, dangling mass dropped (the
+    * simplified formulation: r'(v) = (1-d)/n + d * Σ_{u→v} r(u)/deg(u)).
+    * `edges` must be a deduplicated (src, dst) list; self-loops allowed
+    * but conventionally removed by the caller. Damping is expressed as a
+    * percent so the damped term stays in integer arithmetic.
+    *
+    * Returns (v, rank_fp BIGINT, rank DOUBLE): rank = rank_fp / 1e9.
+    *
+    * Scale shape per iteration: one shuffle join ranks×edges on src, one
+    * aggregation shuffle on dst, one left join back to the node set —
+    * all equi-joins on the node id. The node set and out-degree table are
+    * computed once, outside the loop. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingPct: Int = 85,
+               checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // base teleport share (1-d)/n, in fixed point, floor division. The
+    // numerator is precomputed in Scala: spelled as `15 * 1000000000` it
+    // would be INT32 arithmetic in both engines (silent wrap in Spark's
+    // non-ANSI mode, overflow error in DuckDB); the out-of-int-range
+    // literal parses as BIGINT everywhere.
+    val teleportNum = (100L - dampingPct) * Unit
+    val base = expr(s"$teleportNum DIV (100 * n)")
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("v"), expr(s"$Unit DIV n").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e.join(ranks, e("src") === ranks("v"))
+        .join(deg, "src")
+        .select(col("dst").as("v"), expr("r DIV deg").as("c"))
+      val inbound = contrib.groupBy("v").agg(sum(col("c")).as("in_fp"))
+      ranks = nodes.join(inbound, Seq("v"), "left")
+        .crossJoin(nRow)
+        .select(col("v"),
+          (base + expr(s"($dampingPct * coalesce(in_fp, CAST(0 AS BIGINT))) DIV 100")).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("v"), col("r").as("rank_fp"),
+      round(col("r").cast("double") / Unit.toDouble, 6).as("rank"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.sources.Tables
+
+/** Corpus lifecycle: snapshot-over-snapshot upsert merges and the
+  * deterministic interleaved training order a mixed-source corpus is
+  * served in.
+  */
+object LifecyclePack extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Snapshot MERGE: the previous snapshot is simulated from the same
+    // table (two-thirds of the docs, every fifth of those with older
+    // content, plus phantom docs that vanished from the new crawl), so
+    // every action class has members and both engines derive the identical
+    // old side. The merge itself shuffles only (key, md5) — see
+    // CorpusOps.upsertSnapshot.
+    "q108_snapshot_merge" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      val old = docs.filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(lit("OLD:"), col("text")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      CorpusOps.upsertSnapshot(old, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Interleaved training order: round-robin across sources (rank-within-
+    // source is the major key), realized WITHOUT a single-partition global
+    // window — the global position comes from CorpusOps.blockedPrefixSum
+    // (per-block aggregate + tiny offset table), the same scale-safe prefix
+    // sum sequence packing uses. Per-source ranks partition by source;
+    // block sizes cap at the source count.
+    "q110_interleave" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "source")
+      val wSrc = Window.partitionBy("source").orderBy("doc_id")
+      val ranked = docs.withColumn("rn", row_number().over(wSrc))
+      CorpusOps.blockedPrefixSum(ranked, col("rn"),
+          Seq(col("source"), col("doc_id")), lit(1L))
+        .select(col("doc_id"), col("source"), col("rn"),
+          (col("cum_before") + 1L).as("pos"))
+        .orderBy("pos")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "q108_snapshot_merge" ->
+      """WITH old AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN 'OLD:' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 <> 2
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |o AS (SELECT doc_id, md5(text) AS oh FROM old),
+        |n AS (SELECT doc_id, md5(text) AS nh FROM documents)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |       CASE WHEN o.oh IS NULL THEN 'insert'
+        |            WHEN n.nh IS NULL THEN 'retire'
+        |            WHEN o.oh = n.nh THEN 'carry'
+        |            ELSE 'update' END AS action,
+        |       coalesce(n.nh, o.oh) AS content_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q110_interleave" ->
+      """SELECT doc_id, source, CAST(rn AS INT) AS rn,
+        |       CAST(row_number() OVER (ORDER BY rn, source, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id, source,
+        |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |ORDER BY pos""".stripMargin
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Unit behavior of Graph.pageRank and the vector retrieval/pooling
+  * queries; cross-engine exactness is covered by the pack oracles. */
+class GraphVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: symmetric 2-cycle converges to equal ranks, mass bounded") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 10)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._1).toSeq === Seq(1L, 2L))
+    assert(r(0)._2 === r(1)._2) // exact fixed-point equality, not approx
+    // total fixed-point mass never exceeds 1.0 (floor losses only shrink it)
+    assert(r.map(_._2).sum <= Graph.Unit)
+    assert(math.abs(r(0)._3 - 0.5) < 0.01)
+  }
+
+  test("pageRank: hub of a star graph outranks the spokes") {
+    val e = (2L to 6L).flatMap(s => Seq((s, 1L), (1L, s))).toDF("src", "dst")
+    val r = Graph.pageRank(e, "src", "dst", iters = 8)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val hub = r.find(_._1 == 1L).get._3
+    r.filter(_._1 != 1L).foreach(s => assert(hub > s._3))
+  }
+
+  test("pageRank: checkpointed lineage produces the identical fixed point") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val plain = Graph.pageRank(e, "src", "dst", iters = 6)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val ck = Graph.pageRank(e, "src", "dst", iters = 6, checkpointEvery = 2)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(plain === ck)
+  }
+
+  test("q103 transitions: per-prev probabilities sum to ~1") {
+    val probs = SparkEntry.queries("q103_event_transitions")(spark, sf0)
+      .groupBy("prev").agg(sum("prob").as("p")).as[(String, Double)].collect()
+    probs.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-4) }
+  }
+
+  test("maxsim: a doc containing the query's own vectors is its best match") {
+    // query 0 = vectors {a, b}; doc 10 holds exactly {a, b}; doc 20 holds
+    // unrelated orthogonal vectors → doc 10 must score 2.0 (cos 1 + cos 1)
+    val a = Array(1.0, 0.0, 0.0); val b = Array(0.0, 1.0, 0.0)
+    val c = Array(0.0, 0.0, 1.0)
+    val q = Seq((0L, 0L, a), (0L, 1L, b))
+      .toDF("query_id", "qv_id", "qe")
+    val d = Seq((10L, a), (10L, b), (20L, c))
+      .toDF("doc_id", "de")
+    val den = graft.functions.VectorFunctions.l2Norm(col("qe")) *
+      graft.functions.VectorFunctions.l2Norm(col("de"))
+    val best = d.crossJoin(broadcast(q))
+      .select(col("query_id"), col("qv_id"), col("doc_id"),
+        (graft.functions.VectorFunctions.dot(col("qe"), col("de")) / den).as("sim"))
+      .groupBy("query_id", "qv_id", "doc_id").agg(max("sim").as("m"))
+      .groupBy("query_id", "doc_id").agg(round(sum("m"), 6).as("maxsim"))
+      .orderBy(desc("maxsim")).as[(Long, Long, Double)].head()
+    assert(best._2 === 10L && math.abs(best._3 - 2.0) < 1e-9)
+  }
+
+  test("q109 pooled vectors: truncated prefix is unit-norm-consistent") {
+    val rows = SparkEntry.queries("q109_vec_pool")(spark, sf0).collect()
+    assert(rows.length === graft.operators.VectorPack.PoolGroups)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("full_norm") > 0.0)
+      val partial = Seq("c1", "c2", "c3", "c4")
+        .map(c => math.pow(r.getAs[Double](c), 2)).sum
+      // four components of a 16-dim unit vector: within (0, 1]
+      assert(partial > 0.0 && partial <= 1.0 + 1e-6)
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -32,6 +33,9 @@ object AuditPack extends QueryPack {
     * consistency constant; 3-sigma-equivalent robust z-score). */
   val OutlierK = 3.0
   val MadConsistency = 1.4826
+
+  /** Trailing-window length for the rolling anomaly score. */
+  val RollN = 20
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -86,6 +90,41 @@ object AuditPack extends QueryPack {
         .orderBy("col_name")
     }),
 
+    // Rolling-window anomaly detection: per event type, each value is
+    // z-scored against the trailing 20 events (mean + sample stddev over a
+    // ROWS frame that EXCLUDES the current row). The moment arithmetic
+    // runs on integer cents — value snapped to 1e-2 fixed point — so the
+    // windowed sums are exact integers in both engines regardless of how
+    // the frame is accumulated (Spark iterates the frame, DuckDB uses a
+    // segment tree: float sums would differ in the last ulp, integer sums
+    // cannot). One window per type partition; output is one audit row per
+    // type.
+    "q112_rolling_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-RollN, -1)
+      val stats = Tables.table(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"), col("value"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+        .withColumn("n_w", count(col("cents")).over(w))
+        .withColumn("s_w", sum(col("cents")).over(w))
+        .withColumn("ss_w", sum(col("cents") * col("cents")).over(w))
+        .filter(col("n_w") === RollN)
+        .withColumn("mean_w", col("s_w").cast("double") / (RollN * 100.0))
+        .withColumn("var_c",
+          (col("ss_w").cast("double") -
+            col("s_w").cast("double") * col("s_w").cast("double") / RollN)
+            / (RollN - 1))
+        .withColumn("sd_w", sqrt(col("var_c")) / 100.0)
+        .withColumn("z",
+          when(col("sd_w") === 0.0, lit(null))
+            .otherwise((col("value") - col("mean_w")) / col("sd_w")))
+      stats.groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("event_type")
+    }),
+
     // Robust outlier detection: per event type, median + MAD (median
     // absolute deviation) and the count of values beyond the 3-sigma-
     // equivalent robust z-score. Medians are EXACT percentiles snapped to
@@ -136,6 +175,35 @@ object AuditPack extends QueryPack {
          |  round(min($c), 6) AS min_v, round(max($c), 6) AS max_v,
          |  round(avg($c), 6) AS avg_v FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n"),
+
+    "q112_rolling_anomaly" ->
+      s"""WITH c AS (
+         |  SELECT event_type, ts, event_id, value,
+         |         CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |w AS (
+         |  SELECT event_type, value,
+         |         count(cents) OVER fr AS n_w,
+         |         CAST(sum(cents) OVER fr AS BIGINT) AS s_w,
+         |         CAST(sum(cents * cents) OVER fr AS BIGINT) AS ss_w
+         |  FROM c
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY ts, event_id
+         |                ROWS BETWEEN $RollN PRECEDING AND 1 PRECEDING)),
+         |z AS (
+         |  SELECT event_type, value,
+         |         CAST(s_w AS DOUBLE) / ($RollN * 100.0) AS mean_w,
+         |         sqrt((CAST(ss_w AS DOUBLE) -
+         |               CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / $RollN)
+         |              / ($RollN - 1)) / 100.0 AS sd_w
+         |  FROM w WHERE n_w = $RollN)
+         |SELECT event_type, count(*) AS n_windows,
+         |       CAST(sum(CASE WHEN sd_w <> 0.0
+         |                      AND abs((value - mean_w) / sd_w) > 3.0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+         |       round(max(CASE WHEN sd_w = 0.0 THEN NULL
+         |                      ELSE abs((value - mean_w) / sd_w) END), 6)
+         |         AS max_abs_z
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q107_mad_outliers" ->
       s"""WITH med AS (

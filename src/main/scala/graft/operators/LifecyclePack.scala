@@ -33,6 +33,30 @@ object LifecyclePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Per-source percentile calibration — the data-mixing fairness step:
+    // raw quality scores are NOT comparable across sources (a clean wiki
+    // dump and a raw crawl have different score distributions), so each
+    // source is ranked against ITSELF and the keep rule is "top 20% of
+    // every source" (percent_rank >= 0.8). Scores are snapped to 6
+    // decimals before ranking — the engine's score and the oracle's SQL
+    // twin agree exactly at that precision (q21's invariant), and
+    // percent_rank over (score6, doc_id) is then a pure integer-ratio
+    // computation in both engines. One window + one aggregation, both
+    // partitioned by source — no global shuffle.
+    "q111_source_calibration" -> ((s, dir) => {
+      val scored = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          round(graft.functions.TextFunctions.qualityScore(col("text"),
+            TextPack.stopwords), 6).as("q6"))
+      val w = Window.partitionBy("source").orderBy(col("q6"), col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pr") >= 0.8, 1L).otherwise(0L)).as("n_kept"),
+          min(when(col("pr") >= 0.8, col("q6"))).as("min_kept_q"))
+        .orderBy("source")
+    }),
+
     // Interleaved training order: round-robin across sources (rank-within-
     // source is the major key), realized WITHOUT a single-partition global
     // window — the global position comes from CorpusOps.blockedPrefixSum
@@ -71,6 +95,24 @@ object LifecyclePack extends QueryPack {
         |       coalesce(n.nh, o.oh) AS content_hash
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q111_source_calibration" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text, ${TextPack.toksSql("text")} AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |         round(${graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords)}, 6) AS q6
+         |  FROM t),
+         |r AS (
+         |  SELECT source, q6,
+         |         percent_rank() OVER (PARTITION BY source
+         |                              ORDER BY q6, doc_id) AS pr
+         |  FROM s)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(count(*) FILTER (WHERE pr >= 0.8) AS BIGINT) AS n_kept,
+         |       min(CASE WHEN pr >= 0.8 THEN q6 END) AS min_kept_q
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q110_interleave" ->
       """SELECT doc_id, source, CAST(rn AS INT) AS rn,

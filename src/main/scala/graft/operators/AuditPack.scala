@@ -90,6 +90,29 @@ object AuditPack extends QueryPack {
         .orderBy("col_name")
     }),
 
+    // Per-source vocabulary audit: Shannon entropy of the token
+    // distribution + type-token ratio — the templated-content detector (a
+    // boilerplate-heavy source has low entropy and low TTR for its size).
+    // Two aggregations on (source, token) then source; probabilities are
+    // exact long/long ratios, so only the ~vocabulary-sized entropy sum
+    // carries float error (1e-16 against a 1e-6 output grid).
+    "q115_source_entropy" -> ((s, dir) => {
+      val tf = Tables.table(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+      val tot = tf.groupBy("source")
+        .agg(sum(col("cnt")).as("n_tokens"), count(lit(1)).as("n_types"))
+      tf.join(tot, "source")
+        .withColumn("p", col("cnt").cast("double") / col("n_tokens"))
+        .groupBy("source", "n_tokens", "n_types")
+        .agg(round(-sum(col("p") * log(col("p"))), 6).as("entropy"))
+        .withColumn("ttr",
+          round(col("n_types").cast("double") / col("n_tokens"), 6))
+        .select("source", "n_tokens", "n_types", "entropy", "ttr")
+        .orderBy("source")
+    }),
+
     // Rolling-window anomaly detection: per event type, each value is
     // z-scored against the trailing 20 events (mean + sample stddev over a
     // ROWS frame that EXCLUDES the current row). The moment arithmetic
@@ -175,6 +198,22 @@ object AuditPack extends QueryPack {
          |  round(min($c), 6) AS min_v, round(max($c), 6) AS max_v,
          |  round(avg($c), 6) AS avg_v FROM lineitem""".stripMargin)
       .mkString("\nUNION ALL\n"),
+
+    "q115_source_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${TextPack.toksSql("text")}) AS tok
+         |  FROM documents),
+         |tf AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |         count(*) AS n_types
+         |  FROM tf GROUP BY 1)
+         |SELECT tf.source, tot.n_tokens, tot.n_types,
+         |       round(-sum((CAST(cnt AS DOUBLE) / n_tokens)
+         |                  * ln(CAST(cnt AS DOUBLE) / n_tokens)), 6) AS entropy,
+         |       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+         |FROM tf JOIN tot USING (source)
+         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "q112_rolling_anomaly" ->
       s"""WITH c AS (

@@ -45,6 +45,36 @@ object DedupPack extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LSH recall audit: the banded-MinHash pipeline measured against the
+    // exact shared-shingle Jaccard ground truth on the SAME frame and
+    // shingle table. Verified-LSH pairs are a subset of the exact pairs by
+    // construction, so the numbers that matter are recall (pairs whose
+    // bands never collided) and candidate precision (how much the verify
+    // stage pruned). Every output is an integer count or an exact ratio of
+    // two counts — no float-order hazard. The ground-truth side is the
+    // Σ df(shingle)² self-join, affordable at audit-sample scale (at
+    // 100 TB you run this audit on a stratified sample, not the corpus —
+    // the operator composes with CorpusOps.stratifiedSample unchanged).
+    "q116_dedup_recall_audit" -> ((s, dir) => {
+      val sh = Dedup.shingles(withCopies(s, dir, mod = 2), 3)
+        .localCheckpoint(false) // four consumers below share one pipeline
+      val cand = Dedup.lshCandidates(
+        Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 16, 4))
+        .localCheckpoint(false) // consumed by n_cand AND the verify join
+      val lsh = Dedup.jaccard(cand, sh).filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b").localCheckpoint(false)
+      val exact = Dedup.allPairsJaccard(sh).filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b").localCheckpoint(false)
+      val m = cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(lsh.join(exact, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_both")))
+      m.select(col("n_cand"), col("n_lsh"), col("n_exact"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_exact"), 6).as("recall"),
+        round(col("n_lsh").cast("double") / col("n_cand"), 6).as("cand_precision"))
+    }),
+
     // Per-document 16-bit SimHash.
     "q32_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.table(s, dir, "documents"), bits = 16)
@@ -282,6 +312,31 @@ object DedupPack extends QueryPack {
          |sh AS (${shinglesSql("docs")}),
          |${minhashCandCtes()},
          |${jaccardTailSql(0.5)}""".stripMargin,
+
+    "q116_dedup_recall_audit" ->
+      s"""WITH docs AS (${withCopiesSql(2)}),
+         |sh AS (${shinglesSql("docs")}),
+         |${minhashCandCtes()},
+         |$countsSharedCtes,
+         |lsh AS (SELECT doc_a, doc_b FROM shared
+         |        JOIN counts ca ON ca.doc_id = doc_a
+         |        JOIN counts cb ON cb.doc_id = doc_b
+         |        WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= 0.5),
+         |sharedx AS (SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS n_shared
+         |            FROM sh sa JOIN sh sb ON sb.sh = sa.sh AND sa.doc_id < sb.doc_id
+         |            GROUP BY 1, 2),
+         |exact AS (SELECT doc_a, doc_b FROM sharedx
+         |          JOIN counts ca ON ca.doc_id = doc_a
+         |          JOIN counts cb ON cb.doc_id = doc_b
+         |          WHERE CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared) >= 0.5),
+         |m AS (SELECT (SELECT count(*) FROM cand) AS n_cand,
+         |             (SELECT count(*) FROM lsh) AS n_lsh,
+         |             (SELECT count(*) FROM exact) AS n_exact,
+         |             (SELECT count(*) FROM lsh JOIN exact USING (doc_a, doc_b)) AS n_both)
+         |SELECT n_cand, n_lsh, n_exact, n_both,
+         |       round(CAST(n_both AS DOUBLE) / n_exact, 6) AS recall,
+         |       round(CAST(n_lsh AS DOUBLE) / n_cand, 6) AS cand_precision
+         |FROM m""".stripMargin,
 
     "q32_simhash" -> {
       val sums = (0 until 16).map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Search surface: BM25 lexical top-k and reciprocal-rank-fusion hybrid
+  * retrieval (sparse BM25 + dense cosine), the two-tower shape of a
+  * retrieval-augmented data pipeline.
+  */
+object SearchPack extends QueryPack {
+
+  /** The fixed search query (terms exist in the synthetic corpus with
+    * varied document frequencies). */
+  val Terms = Seq("hash", "join", "vector")
+  val TopK = 10
+  /** Candidate-list depth fused by RRF: ranks are computed over the TOP-C
+    * of each ranker, never the full corpus, so the rank windows run on a
+    * bounded, already-limited set (TakeOrdered + 100-row window), not a
+    * single-partition global sort. */
+  val TopC = 100
+  val RrfK = 60
+
+  private def rankTop(df: DataFrame, scoreCol: String, n: Int,
+                      rankName: String): DataFrame = {
+    val top = df.orderBy(col(scoreCol).desc, col("id")).limit(n)
+    val w = Window.orderBy(col(scoreCol).desc, col("id"))
+    top.withColumn(rankName, row_number().over(w))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 top-10: postings restricted to the query terms in the scan
+    // stage, O(|query|) broadcast sides, top-k via TakeOrdered — the
+    // ranking window only ever sees the 10 survivors.
+    "q113_bm25" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      rankTop(Search.bm25(docs, "doc_id", "text", Terms), "score", TopK, "rank")
+        .select(col("rank"), col("id").as("doc_id"), col("score"))
+        .orderBy("rank")
+    }),
+
+    // Hybrid retrieval: BM25 candidates ∪ dense-cosine candidates, fused
+    // by reciprocal rank (1/(60+r), the parameter-free fusion that wins
+    // most TREC hybrid tracks). The fusion sum is TWO terms written in
+    // fixed order — no aggregation, so no float-order hazard. A doc
+    // missing from one list contributes 0 from that side.
+    "q114_hybrid_rrf" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      val lex = rankTop(Search.bm25(docs, "doc_id", "text", Terms),
+        "score", TopC, "lex_rank").select(col("id"), col("lex_rank"))
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      val qv = broadcast(emb.filter(col("id") === 0).select(col("v").as("qv")))
+      val den = VectorFunctions.l2Norm(col("v")) * VectorFunctions.l2Norm(col("qv"))
+      val sims = emb.crossJoin(qv)
+        .select(col("id"),
+          round(when(den === 0.0, lit(null))
+            .otherwise(VectorFunctions.dot(col("v"), col("qv")) / den), 6).as("sim"))
+      val dense = rankTop(sims, "sim", TopC, "dense_rank")
+        .select(col("id"), col("dense_rank"))
+      val fused = lex.join(dense, Seq("id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0)), 6))
+      val top = fused.orderBy(col("rrf").desc, col("id")).limit(TopK)
+      val w = Window.orderBy(col("rrf").desc, col("id"))
+      // nullable ranks ride as DOUBLE: a nullable INT column round-trips
+      // through pandas as Int32 on one reader and float64 on the other —
+      // DOUBLE + NaN is the one representation both agree on
+      top.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("id").as("doc_id"),
+          col("lex_rank").cast("double").as("lex_rank"),
+          col("dense_rank").cast("double").as("dense_rank"), col("rrf"))
+        .orderBy("rank")
+    })
+  )
+
+  // ---- DuckDB twins --------------------------------------------------------
+
+  /** Shared BM25 CTE chain ending in `sc(id, score)`. The arithmetic is
+    * written with the same association as [[Search.bm25]]'s Column tree. */
+  private def bm25Ctes: String = {
+    val termList = Terms.map(t => s"'$t'").mkString(", ")
+    s"""t AS (SELECT doc_id AS id, ${TextPack.toksSql("text")} AS toks FROM documents),
+       |dl AS (SELECT id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       |tf AS (
+       |  SELECT id, tok AS term, count(*) AS tf
+       |  FROM (SELECT id, unnest(toks) AS tok FROM t)
+       |  WHERE tok IN ($termList) GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |wt AS (
+       |  SELECT tf.id,
+       |         ln(1.0 + (CAST(st.n_docs AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5))
+       |           * (tf.tf * (${Search.K1} + 1.0))
+       |           / (tf.tf + ${Search.K1} * (1.0 - ${Search.B} + ${Search.B} * dl.dl
+       |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS w
+       |  FROM tf JOIN dl USING (id) CROSS JOIN st JOIN dft USING (term)),
+       |sc AS (SELECT id, round(sum(w), 6) AS score FROM wt GROUP BY 1)""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    "q113_bm25" ->
+      s"""WITH $bm25Ctes,
+         |r AS (
+         |  SELECT id, score,
+         |         row_number() OVER (ORDER BY score DESC, id) AS rank
+         |  FROM sc)
+         |SELECT CAST(rank AS INT) AS rank, id AS doc_id, score
+         |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin,
+
+    "q114_hybrid_rrf" ->
+      s"""WITH $bm25Ctes,
+         |lex AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+         |           AS lex_rank
+         |  FROM sc ORDER BY score DESC, id LIMIT $TopC),
+         |qv AS (
+         |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+         |  FROM embeddings WHERE vec_id = 0),
+         |ds AS (
+         |  SELECT vec_id AS id,
+         |         round(CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         |               * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> q[i] * q[i])))) = 0.0 THEN NULL
+         |           ELSE list_sum(list_transform(generate_series(1, 64),
+         |                 i -> CAST(embedding[i] AS DOUBLE) * q[i]))
+         |             / (sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+         |               * sqrt(list_sum(list_transform(generate_series(1, 64),
+         |                 i -> q[i] * q[i])))) END, 6) AS sim
+         |  FROM embeddings CROSS JOIN qv),
+         |den AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INT)
+         |           AS dense_rank
+         |  FROM ds ORDER BY sim DESC, id LIMIT $TopC),
+         |f AS (
+         |  SELECT coalesce(lex.id, den.id) AS id, lex.lex_rank, den.dense_rank,
+         |         round(coalesce(1.0 / ($RrfK + lex.lex_rank), 0.0)
+         |             + coalesce(1.0 / ($RrfK + den.dense_rank), 0.0), 6) AS rrf
+         |  FROM lex FULL OUTER JOIN den ON lex.id = den.id),
+         |r AS (
+         |  SELECT id, lex_rank, dense_rank, rrf,
+         |         row_number() OVER (ORDER BY rrf DESC, id) AS rank
+         |  FROM f)
+         |SELECT CAST(rank AS INT) AS rank, id AS doc_id,
+         |       CAST(lex_rank AS DOUBLE) AS lex_rank,
+         |       CAST(dense_rank AS DOUBLE) AS dense_rank, rrf
+         |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin
+  )
+}

@@ -75,6 +75,30 @@ object DedupPack extends QueryPack {
         round(col("n_lsh").cast("double") / col("n_cand"), 6).as("cand_precision"))
     }),
 
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 5-gram shingles they share, normalized by the smaller
+    // source's shingle set (the containment direction that catches a
+    // small source embedded in a big one). The self-join runs on DISTINCT
+    // (source, shingle) rows — Σ_sh (#sources carrying sh)² ≤ 400 per
+    // shingle — never on documents, so the matrix costs the same as one
+    // vocabulary aggregation regardless of corpus size.
+    "q117_source_overlap" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select(col("source"), col("text"))
+      val sh = Dedup.shingles(docs, 5, id = "source").localCheckpoint(false)
+      val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val pairs = sh.select(col("source").as("src_a"), col("sh"))
+        .join(sh.select(col("source").as("src_b"), col("sh")), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(counts.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
+        .join(counts.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+          round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+            .as("overlap"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Per-document 16-bit SimHash.
     "q32_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.table(s, dir, "documents"), bits = 16)
@@ -337,6 +361,21 @@ object DedupPack extends QueryPack {
          |       round(CAST(n_both AS DOUBLE) / n_exact, 6) AS recall,
          |       round(CAST(n_lsh AS DOUBLE) / n_cand, 6) AS cand_precision
          |FROM m""".stripMargin,
+
+    "q117_source_overlap" ->
+      s"""WITH docs AS (SELECT source AS doc_id, text FROM documents),
+         |shs AS (SELECT doc_id AS source, sh FROM (${shinglesSql("docs", 5)})),
+         |counts AS (SELECT source, count(*) AS n_sh FROM shs GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+         |      FROM shs a JOIN shs b ON b.sh = a.sh AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_shared,
+         |       ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |       round(CAST(n_shared AS DOUBLE) / least(ca.n_sh, cb.n_sh), 6)
+         |         AS overlap
+         |FROM p JOIN counts ca ON ca.source = src_a
+         |       JOIN counts cb ON cb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
 
     "q32_simhash" -> {
       val sums = (0 until 16).map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS s$b")

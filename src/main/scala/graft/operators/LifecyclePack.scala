@@ -57,6 +57,36 @@ object LifecyclePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // Token-budget pareto curve: rank the corpus by quality, cut it into
+    // deciles, and report how many tokens each additional decile buys —
+    // the planning table behind "how far down the quality ladder must we
+    // reach for N tokens". The GLOBAL rank comes from
+    // CorpusOps.blockedPrefixSum over (-q6, doc_id) — per-score-block
+    // aggregates + a tiny offset table, not a single-partition window;
+    // only the final 10-row decile table sees an unpartitioned window.
+    "q118_budget_curve" -> ((s, dir) => {
+      val scored = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          round(graft.functions.TextFunctions.qualityScore(col("text"),
+            TextPack.stopwords), 6).as("q6"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_toks"))
+      val ranked = CorpusOps.blockedPrefixSum(scored, -col("q6"),
+          Seq(col("doc_id")), lit(1L))
+        .withColumn("rank", col("cum_before") + 1L)
+      val n = broadcast(scored.agg(count(lit(1)).as("n")))
+      val byDecile = ranked.crossJoin(n)
+        .withColumn("decile", expr("CAST(((rank - 1) * 10) DIV n AS BIGINT)"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+          round(avg(col("q6")), 6).as("avg_q"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDecile.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select("decile", "n_docs", "n_tokens", "cum_tokens", "avg_q")
+        .orderBy("decile")
+    }),
+
     // Interleaved training order: round-robin across sources (rank-within-
     // source is the major key), realized WITHOUT a single-partition global
     // window — the global position comes from CorpusOps.blockedPrefixSum
@@ -113,6 +143,32 @@ object LifecyclePack extends QueryPack {
          |       CAST(count(*) FILTER (WHERE pr >= 0.8) AS BIGINT) AS n_kept,
          |       min(CASE WHEN pr >= 0.8 THEN q6 END) AS min_kept_q
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "q118_budget_curve" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, ${TextPack.toksSql("text")} AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |         round(${graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords)}, 6) AS q6,
+         |         CAST(len(toks) AS BIGINT) AS n_toks
+         |  FROM t),
+         |r AS (
+         |  SELECT q6, n_toks,
+         |         row_number() OVER (ORDER BY q6 DESC, doc_id) AS rank,
+         |         count(*) OVER () AS n
+         |  FROM s),
+         |g AS (
+         |  SELECT CAST(((rank - 1) * 10) // n AS BIGINT) AS decile,
+         |         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |         round(avg(q6), 6) AS avg_q
+         |  FROM r GROUP BY 1)
+         |SELECT decile, n_docs, n_tokens,
+         |       CAST(sum(n_tokens) OVER (ORDER BY decile
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            AS BIGINT) AS cum_tokens,
+         |       avg_q
+         |FROM g ORDER BY decile""".stripMargin,
 
     "q110_interleave" ->
       """SELECT doc_id, source, CAST(rn AS INT) AS rn,

@@ -61,6 +61,27 @@ class AuditSpec extends SparkSpec {
     assert(out(1)._3 === out.find(_._1 == 2L).get._3)
   }
 
+  test("q117 overlap matrix: containment-normalized and bounded") {
+    SparkEntry.queries("q117_source_overlap")(spark, sf0).collect().foreach { r =>
+      val shared = r.getAs[Long]("n_shared")
+      assert(shared <= math.min(r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))
+      val ov = r.getAs[Double]("overlap")
+      assert(ov > 0.0 && ov <= 1.0)
+    }
+  }
+
+  test("q118 budget curve: full partition, monotone tokens, non-increasing quality") {
+    val rows = SparkEntry.queries("q118_budget_curve")(spark, sf0)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq === (0L to 9L))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 500L)
+    val cums = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b > a })
+    assert(cums.last === rows.map(_.getAs[Long]("n_tokens")).sum)
+    val qs = rows.map(_.getAs[Double]("avg_q"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q110 interleave: pos is a permutation and respects per-source order") {
     val rows = SparkEntry.queries("q110_interleave")(spark, sf0)
       .select("pos", "source", "doc_id")

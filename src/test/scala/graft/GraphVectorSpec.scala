@@ -37,6 +37,28 @@ class GraphVectorSpec extends SparkSpec {
     assert(plain === ck)
   }
 
+  test("pageRank property: positive bounded ranks on random graphs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = Gen.listOfN(12,
+        Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 5L)))
+      .map(_.filter(p => p._1 != p._2).distinct)
+    (0 until 5).foreach { i =>
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(1000L + i))
+      if (edges.nonEmpty) {
+        val r = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+          .as[(Long, Long, Double)].collect()
+        // every node keeps at least the teleport share; floor losses only
+        // ever shrink total mass below 1.0
+        assert(r.forall(_._2 > 0L), s"graph $i: nonpositive rank")
+        assert(r.map(_._2).sum <= Graph.Unit, s"graph $i: mass exceeds 1")
+        val n = r.length
+        assert(r.forall(_._2 >= (15L * Graph.Unit) / (100L * n) - 1),
+          s"graph $i: below teleport floor")
+      }
+    }
+  }
+
   test("q103 transitions: per-prev probabilities sum to ~1") {
     val probs = SparkEntry.queries("q103_event_transitions")(spark, sf0)
       .groupBy("prev").agg(sum("prob").as("p")).as[(String, Double)].collect()

@@ -11,6 +11,7 @@ import graft.streaming.{ModelConsumer, ServingStore}
   * libsvm, text, recursive enumeration, the streaming file source feeding
   * the serve loop, and the overwrite text sink. */
 class SourcesSpec extends SparkSpec {
+  import spark.implicits._
 
   private def tmpDir(prefix: String) = {
     val d = Files.createTempDirectory(prefix).toFile
@@ -93,6 +94,26 @@ class SourcesSpec extends SparkSpec {
       val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
       assert(ids === Set(1L, 2L, 4L), s"got $ids")
     } finally q.stop()
+  }
+
+  test("columnar/semi-structured sinks round-trip: ORC and JSON-lines") {
+    val src = Tables.table(spark, sf1, "documents")
+      .select("doc_id", "source", "n_chars").orderBy("doc_id").limit(50)
+    val want = src.as[(Long, String, Long)].collect().toSeq
+
+    val orcDir = tmpDir("orc") + "/docs.orc"
+    src.write.mode("overwrite").orc(orcDir)
+    val orc = spark.read.orc(orcDir).orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(orc === want)
+
+    // JSON-lines: schema supplied on read (schema inference is a full
+    // pre-scan of the input — never acceptable at corpus scale)
+    val jsonDir = tmpDir("json") + "/docs.json"
+    src.write.mode("overwrite").json(jsonDir)
+    val json = spark.read.schema(src.schema).json(jsonDir).orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(json === want)
   }
 
   test("S6: streaming file source feeds the serve loop (SGD.java dir poll)") {

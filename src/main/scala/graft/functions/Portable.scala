@@ -47,6 +47,24 @@ object Portable {
   /** DuckDB: the j-th factor component, 1-based. */
   def factorSql(id: String, j: Int): String = lcgUnitSql(id, j)
 
+  // ---- deterministic decimal snap ----------------------------------------
+
+  /** 6-decimal snap with NO tie semantics: floor(x·1e6)/1e6. ROUND(x, 6)
+    * diverges across engines when x·1e6 sits on a .5 boundary — Spark
+    * rounds the exact decimal expansion of the double (BigDecimal
+    * HALF_UP) while DuckDB rounds the ×1e6-scaled double half-away, and
+    * the two see DIFFERENT ties (observed: quality 0.4284375 at sf0.1 →
+    * 0.428437 vs 0.428438). floor has no tie: both engines floor the
+    * SAME scaled double (identical expression tree → identical IEEE
+    * multiply), so the snap agrees bit-for-bit always. Use for outputs
+    * derived from dense float formulas (scores); integer-ratio outputs
+    * can keep ROUND (their doubles are identical anyway). */
+  def snap6(c: Column): Column =
+    floor(c * lit(1e6)).cast("double") / lit(1e6)
+
+  def snap6Sql(x: String): String =
+    s"(floor(($x) * 1000000.0) / 1000000.0)"
+
   // ---- portable 32-bit string hash (md5 prefix) --------------------------
 
   /** Unsigned 32-bit hash of a string: first 8 hex chars of md5.

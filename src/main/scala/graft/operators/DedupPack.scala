@@ -209,7 +209,7 @@ object DedupPack extends QueryPack {
           TextPack.stopwords).as("q"))
       Selection.bestOfGroup(comps, scored, "doc_id", "q")
         .select(col("component"), col("size"), col("keeper_id"),
-          round(col("keeper_score"), 6).as("keeper_q"))
+          Portable.snap6(col("keeper_score")).as("keeper_q"))
         .orderBy("component")
     }),
 
@@ -496,7 +496,7 @@ object DedupPack extends QueryPack {
          |        COUNT(*) OVER (PARTITION BY component) AS size
          |      FROM j)
          |SELECT component, CAST(size AS BIGINT) AS size, id AS keeper_id,
-         |       ROUND(q, 6) AS keeper_q
+         |       ${Portable.snap6Sql("q")} AS keeper_q
          |FROM r WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "q84_simhash_dedup" -> {

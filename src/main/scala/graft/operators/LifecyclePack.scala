@@ -46,8 +46,9 @@ object LifecyclePack extends QueryPack {
     "q111_source_calibration" -> ((s, dir) => {
       val scored = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
-          round(graft.functions.TextFunctions.qualityScore(col("text"),
-            TextPack.stopwords), 6).as("q6"))
+          graft.functions.Portable.snap6(
+            graft.functions.TextFunctions.qualityScore(col("text"),
+              TextPack.stopwords)).as("q6"))
       val w = Window.partitionBy("source").orderBy(col("q6"), col("doc_id"))
       scored.withColumn("pr", percent_rank().over(w))
         .groupBy("source")
@@ -67,8 +68,9 @@ object LifecyclePack extends QueryPack {
     "q118_budget_curve" -> ((s, dir) => {
       val scored = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
-          round(graft.functions.TextFunctions.qualityScore(col("text"),
-            TextPack.stopwords), 6).as("q6"),
+          graft.functions.Portable.snap6(
+            graft.functions.TextFunctions.qualityScore(col("text"),
+              TextPack.stopwords)).as("q6"),
           size(graft.functions.TextFunctions.tokens(col("text")))
             .cast("long").as("n_toks"))
       val ranked = CorpusOps.blockedPrefixSum(scored, -col("q6"),
@@ -79,7 +81,7 @@ object LifecyclePack extends QueryPack {
         .withColumn("decile", expr("CAST(((rank - 1) * 10) DIV n AS BIGINT)"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-          round(avg(col("q6")), 6).as("avg_q"))
+          graft.functions.Portable.snap6(avg(col("q6"))).as("avg_q"))
       val w = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       byDecile.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -132,7 +134,7 @@ object LifecyclePack extends QueryPack {
          |  FROM documents),
          |s AS (
          |  SELECT doc_id, source,
-         |         round(${graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords)}, 6) AS q6
+         |         ${graft.functions.Portable.snap6Sql(graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))} AS q6
          |  FROM t),
          |r AS (
          |  SELECT source, q6,
@@ -150,7 +152,7 @@ object LifecyclePack extends QueryPack {
          |  FROM documents),
          |s AS (
          |  SELECT doc_id,
-         |         round(${graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords)}, 6) AS q6,
+         |         ${graft.functions.Portable.snap6Sql(graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))} AS q6,
          |         CAST(len(toks) AS BIGINT) AS n_toks
          |  FROM t),
          |r AS (
@@ -161,7 +163,7 @@ object LifecyclePack extends QueryPack {
          |g AS (
          |  SELECT CAST(((rank - 1) * 10) // n AS BIGINT) AS decile,
          |         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-         |         round(avg(q6), 6) AS avg_q
+         |         ${graft.functions.Portable.snap6Sql("avg(q6)")} AS avg_q
          |  FROM r GROUP BY 1)
          |SELECT decile, n_docs, n_tokens,
          |       CAST(sum(n_tokens) OVER (ORDER BY decile

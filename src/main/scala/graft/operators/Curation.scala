@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{TextFunctions => T}
+import graft.functions.{Portable, TextFunctions => T}
 
 /** The end-to-end corpus-curation pipeline — the composition a
   * training-data run executes: language filter → quality floor → exact
@@ -94,6 +94,6 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(T.tokenStats(col("text")).getField("ws_tokens"))
           .cast("long").as("total_tokens"),
-        round(avg(col("q")), 6).as("avg_quality"))
+        Portable.snap6(avg(col("q"))).as("avg_quality"))
       .orderBy("source")
 }

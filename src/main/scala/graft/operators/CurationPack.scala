@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
-import graft.functions.{TextFunctions => T}
+import graft.functions.{Portable, TextFunctions => T}
 import graft.sources.Tables
 
 /** The end-to-end corpus-curation pipeline — the composition a training-data
@@ -76,7 +76,7 @@ object CurationPack extends QueryPack {
          |curated AS (SELECT * FROM exact_keep WHERE doc_id NOT IN (SELECT doc_b FROM neardup))
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |       CAST(SUM(len($toks)) AS BIGINT) AS total_tokens,
-         |       ROUND(AVG(q), 6) AS avg_quality
+         |       ${Portable.snap6Sql("AVG(q)")} AS avg_quality
          |FROM curated GROUP BY source ORDER BY source""".stripMargin)
   }
 }

@@ -13,6 +13,12 @@ import graft.sources.Tables
   */
 object LifecyclePack extends QueryPack {
 
+  /** Offset for q108's phantom old-snapshot docs. Far above any real
+    * doc_id at every scale factor (the DedupPack.CopyOffset convention) —
+    * a colliding offset would silently put duplicate keys in the old side
+    * and break upsertSnapshot's one-row-per-key contract. */
+  val PhantomOffset = 1000000L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Snapshot MERGE: the previous snapshot is simulated from the same
@@ -28,7 +34,7 @@ object LifecyclePack extends QueryPack {
           when(col("doc_id") % 5 === 0, concat(lit("OLD:"), col("text")))
             .otherwise(col("text")).as("text"))
         .unionAll(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+          .select((col("doc_id") + PhantomOffset).as("doc_id"), col("text")))
       CorpusOps.upsertSnapshot(old, docs, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -76,12 +82,25 @@ object LifecyclePack extends QueryPack {
       val ranked = CorpusOps.blockedPrefixSum(scored, -col("q6"),
           Seq(col("doc_id")), lit(1L))
         .withColumn("rank", col("cum_before") + 1L)
-      val n = broadcast(scored.agg(count(lit(1)).as("n")))
+      // count-only scan: deriving n from `scored` would tokenize and
+      // score the whole corpus a second time just to count rows
+      val n = broadcast(Tables.table(s, dir, "documents")
+        .agg(count(lit(1)).as("n")))
+      // avg_q in integer micro-units: q6 sits on the 1e-6 grid, so a
+      // decile's exact average can land ON the snap6 floor boundary
+      // (observed: 0.778982 exactly at sf0.001) — a float-order ulp then
+      // flips the floor. Summing the exact micro-longs first makes the
+      // average one deterministic division.
       val byDecile = ranked.crossJoin(n)
         .withColumn("decile", expr("CAST(((rank - 1) * 10) DIV n AS BIGINT)"))
+        .withColumn("q_micro", round(col("q6") * 1e6, 0).cast("long"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
-          graft.functions.Portable.snap6(avg(col("q6"))).as("avg_q"))
+          sum(col("q_micro")).as("q_micro_sum"))
+        .withColumn("avg_q",
+          graft.functions.Portable.snap6(col("q_micro_sum").cast("double") /
+            (col("n_docs").cast("double") * 1e6)))
+        .drop("q_micro_sum")
       val w = Window.orderBy("decile")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       byDecile.withColumn("cum_tokens", sum(col("n_tokens")).over(w))
@@ -115,7 +134,7 @@ object LifecyclePack extends QueryPack {
         |         CASE WHEN doc_id % 5 = 0 THEN 'OLD:' || text ELSE text END AS text
         |  FROM documents WHERE doc_id % 3 <> 2
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text
+        |  SELECT doc_id + 1000000 AS doc_id, text
         |  FROM documents WHERE doc_id % 7 = 0),
         |o AS (SELECT doc_id, md5(text) AS oh FROM old),
         |n AS (SELECT doc_id, md5(text) AS nh FROM documents)
@@ -163,7 +182,9 @@ object LifecyclePack extends QueryPack {
          |g AS (
          |  SELECT CAST(((rank - 1) * 10) // n AS BIGINT) AS decile,
          |         count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-         |         ${graft.functions.Portable.snap6Sql("avg(q6)")} AS avg_q
+         |         ${graft.functions.Portable.snap6Sql(
+                     "CAST(sum(CAST(round(q6 * 1000000.0) AS BIGINT)) AS DOUBLE)" +
+                     " / (CAST(count(*) AS DOUBLE) * 1000000.0)")} AS avg_q
          |  FROM r GROUP BY 1)
          |SELECT decile, n_docs, n_tokens,
          |       CAST(sum(n_tokens) OVER (ORDER BY decile

@@ -50,8 +50,13 @@ object Search {
       (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5))
     val w = idf * (col("tf") * (lit(k1) + lit(1.0))) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    // per-term weight → micro-long → integer Σ: round-to-integer of the
+    // identical scaled double agrees across engines, and the long sum is
+    // associative — the per-doc score is deterministic under any grouping
+    // order (a raw float Σ would be last-ulp order-sensitive)
     tf.join(dl, "id").crossJoin(stats).join(dfT, "term")
-      .withColumn("w", w)
-      .groupBy("id").agg(round(sum(col("w")), 6).as("score"))
+      .withColumn("w_micro", round(w * lit(1e6), 0).cast("long"))
+      .groupBy("id")
+      .agg((sum(col("w_micro")).cast("double") / lit(1e6)).as("score"))
   }
 }

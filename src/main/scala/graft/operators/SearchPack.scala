@@ -57,11 +57,9 @@ object SearchPack extends QueryPack {
         .select(col("vec_id").as("id"),
           VectorFunctions.toDoubleArray(col("embedding")).as("v"))
       val qv = broadcast(emb.filter(col("id") === 0).select(col("v").as("qv")))
-      val den = VectorFunctions.l2Norm(col("v")) * VectorFunctions.l2Norm(col("qv"))
       val sims = emb.crossJoin(qv)
-        .select(col("id"),
-          round(when(den === 0.0, lit(null))
-            .otherwise(VectorFunctions.dot(col("v"), col("qv")) / den), 6).as("sim"))
+        .select(col("id"), graft.functions.Portable.snap6(
+          VectorFunctions.cosineOrNull(col("v"), col("qv"))).as("sim"))
       val dense = rankTop(sims, "sim", TopC, "dense_rank")
         .select(col("id"), col("dense_rank"))
       val fused = lex.join(dense, Seq("id"), "full_outer")
@@ -102,7 +100,10 @@ object SearchPack extends QueryPack {
        |           / (tf.tf + ${Search.K1} * (1.0 - ${Search.B} + ${Search.B} * dl.dl
        |                / (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS w
        |  FROM tf JOIN dl USING (id) CROSS JOIN st JOIN dft USING (term)),
-       |sc AS (SELECT id, round(sum(w), 6) AS score FROM wt GROUP BY 1)""".stripMargin
+       |sc AS (SELECT id,
+       |         CAST(sum(CAST(round(w * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |           / 1000000.0 AS score
+       |       FROM wt GROUP BY 1)""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(
@@ -125,19 +126,15 @@ object SearchPack extends QueryPack {
          |qv AS (
          |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
          |  FROM embeddings WHERE vec_id = 0),
-         |ds AS (
+         |ev AS (
          |  SELECT vec_id AS id,
-         |         round(CASE WHEN (sqrt(list_sum(list_transform(generate_series(1, 64),
-         |                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-         |               * sqrt(list_sum(list_transform(generate_series(1, 64),
-         |                 i -> q[i] * q[i])))) = 0.0 THEN NULL
-         |           ELSE list_sum(list_transform(generate_series(1, 64),
-         |                 i -> CAST(embedding[i] AS DOUBLE) * q[i]))
-         |             / (sqrt(list_sum(list_transform(generate_series(1, 64),
-         |                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
-         |               * sqrt(list_sum(list_transform(generate_series(1, 64),
-         |                 i -> q[i] * q[i])))) END, 6) AS sim
-         |  FROM embeddings CROSS JOIN qv),
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |ds AS (
+         |  SELECT id,
+         |         ${graft.functions.Portable.snap6Sql(
+                     graft.functions.VectorFunctions.cosineOrNullSql("e", "q", 64))} AS sim
+         |  FROM ev CROSS JOIN qv),
          |den AS (
          |  SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INT)
          |           AS dense_rank

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
-import graft.functions.{TextFunctions => T}
+import graft.functions.{Portable, TextFunctions => T}
 import graft.sources.Tables
 
 /** Driver-contract queries for the data-selection operators ([[Selection]],
@@ -94,7 +94,7 @@ object SelectionPack extends QueryPack {
       Selection.domainCap(scored, "source",
           Seq(col("q").desc, col("doc_id")), CapPerSource)
         .select(col("source"), col("rank"), col("doc_id"),
-          round(col("q"), 6).as("q"))
+          Portable.snap6(col("q")).as("q"))
         .orderBy("source", "rank")
     }),
 
@@ -146,7 +146,7 @@ object SelectionPack extends QueryPack {
       Selection.budgetSelect(docs(s, dir), "doc_id", "text",
           T.qualityScore(col("text"), TextPack.stopwords),
           budget = TokenBudget, scoreBlocks = 64)
-        .select(col("id").as("doc_id"), round(col("score"), 6).as("q"),
+        .select(col("id").as("doc_id"), Portable.snap6(col("score")).as("q"),
           col("n_toks"), col("cum_before"))
         .orderBy("doc_id")
     }),
@@ -290,7 +290,7 @@ object SelectionPack extends QueryPack {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
          |                                   ORDER BY q DESC, doc_id) AS rank
          |      FROM s)
-         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, ROUND(q, 6) AS q
+         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, ${Portable.snap6Sql("q")} AS q
          |FROM r WHERE rank <= $CapPerSource ORDER BY source, rank""".stripMargin,
 
     "q72_cross_dedup" ->
@@ -356,7 +356,7 @@ object SelectionPack extends QueryPack {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
          |          AS cum_before
          |      FROM s)
-         |SELECT doc_id, ROUND(q, 6) AS q, CAST(n_toks AS BIGINT) AS n_toks,
+         |SELECT doc_id, ${Portable.snap6Sql("q")} AS q, CAST(n_toks AS BIGINT) AS n_toks,
          |       CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before + n_toks <= $TokenBudget
          |ORDER BY doc_id""".stripMargin,

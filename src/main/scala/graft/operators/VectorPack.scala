@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,27 +45,26 @@ object VectorPack extends QueryPack {
     // vectors — broadcast against the document-token corpus (at 100 TB the
     // document side would first be cut by an ANN candidate stage, e.g.
     // Similarity.ivfTopK over pooled vectors; the MaxSim rerank here is the
-    // exact final stage of that cascade). Per-token maxes are snapped to
-    // 6 decimals before the Σ so the small sum is over exact multiples of
-    // 1e-6 — cross-engine deterministic.
+    // exact final stage of that cascade). Per-token maxes become 1e-6
+    // micro-longs before the Σ — see the inline note on why that makes
+    // the score order-independent.
     "q105_maxsim" -> ((s, dir) => {
       val qv = emb(s, dir).filter(col("vec_id") < QueryVecs)
         .select((col("vec_id") % QueryCount).as("query_id"),
           col("vec_id").as("qv_id"), col("v").as("qe"))
       val dv = emb(s, dir).filter(col("vec_id") >= QueryVecs)
         .select((col("vec_id") % DocCount).as("doc_id"), col("v").as("de"))
-      // zero-norm guard: x/0 is NaN in Spark (and NaN sorts ABOVE every
-      // real under max), while the SQL twin yields NULL — emit NULL here
-      // too so both engines skip degenerate vectors identically
-      val den = VectorFunctions.l2Norm(col("qe")) * VectorFunctions.l2Norm(col("de"))
       val sims = dv.crossJoin(broadcast(qv))
         .select(col("query_id"), col("qv_id"), col("doc_id"),
-          when(den === 0.0, lit(null))
-            .otherwise(VectorFunctions.dot(col("qe"), col("de")) / den).as("sim"))
+          VectorFunctions.cosineOrNull(col("qe"), col("de")).as("sim"))
+      // per-token max → micro-long → integer Σ: max is order-free on
+      // identical doubles, round-to-INTEGER agrees across engines (no
+      // scaled re-round), and the long sum is associative — the maxsim
+      // total is deterministic under any partitioning
       val best = sims.groupBy("query_id", "qv_id", "doc_id")
-        .agg(round(max(col("sim")), 6).as("m"))
+        .agg(round(max(col("sim")) * lit(1e6), 0).cast("long").as("m_micro"))
       val scores = best.groupBy("query_id", "doc_id")
-        .agg(round(sum(col("m")), 6).as("maxsim"))
+        .agg((sum(col("m_micro")).cast("double") / lit(1e6)).as("maxsim"))
       val w = Window.partitionBy("query_id")
         .orderBy(col("maxsim").desc, col("doc_id"))
       scores.withColumn("rank", row_number().over(w))
@@ -93,30 +92,30 @@ object VectorPack extends QueryPack {
         .agg(max(col("n")).as("n_vecs"),
           array_sort(collect_list(struct(col("i"), col("mv")))).as("pairs"))
         .withColumn("mvec", transform(col("pairs"), p => p.getField("mv")))
+      // squared-norm sums in 1e-12 fixed point: each mv is deterministic
+      // (exact integer division), but Spark folds the array in index order
+      // while the SQL twin sums GROUP BY rows in arbitrary order — snapping
+      // each mv² to a micro-long first makes the Σ associative and the
+      // norms bit-identical under any order
+      def sqSumFp(c: Column): Column =
+        aggregate(c, lit(0L),
+          (a, e) => a + round(e * e * lit(1e12), 0).cast("long"))
+          .cast("double") / lit(1e12)
       val t = slice(col("mvec"), 1, TruncDim)
-      val tnorm = sqrt(aggregate(t, lit(0.0), (a, e) => a + e * e))
+      val tnorm = sqrt(sqSumFp(t))
+      val P = graft.functions.Portable
       arr.select(col("g"), col("n_vecs"),
-          round(sqrt(aggregate(col("mvec"), lit(0.0), (a, e) => a + e * e)), 6)
-            .as("full_norm"),
-          round(element_at(t, 1) / tnorm, 6).as("c1"),
-          round(element_at(t, 2) / tnorm, 6).as("c2"),
-          round(element_at(t, 3) / tnorm, 6).as("c3"),
-          round(element_at(t, 4) / tnorm, 6).as("c4"))
+          P.snap6(sqrt(sqSumFp(col("mvec")))).as("full_norm"),
+          P.snap6(element_at(t, 1) / tnorm).as("c1"),
+          P.snap6(element_at(t, 2) / tnorm).as("c2"),
+          P.snap6(element_at(t, 3) / tnorm).as("c3"),
+          P.snap6(element_at(t, 4) / tnorm).as("c4"))
         .orderBy("g")
     })
   )
 
   // ---- DuckDB twins --------------------------------------------------------
 
-  /** Unrounded cosine over FLOAT[] columns cast to DOUBLE, zero-norm → NULL
-    * (same guard as the engine's cosine; list order is preserved by
-    * list_transform + list_sum, matching Spark's sequential array fold). */
-  private def cosSql(a: String, b: String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(generate_series(1, $Dim), i -> $x[i] * $y[i]))"
-    val denom = s"(sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-    s"CASE WHEN $denom = 0.0 THEN NULL ELSE ${dot(a, b)} / $denom END"
-  }
 
   def oracles: Map[String, String] = Map(
 
@@ -131,10 +130,11 @@ object VectorPack extends QueryPack {
          |  FROM embeddings WHERE vec_id >= $QueryVecs),
          |pm AS (
          |  SELECT query_id, qv_id, doc_id,
-         |         round(max(${cosSql("qe", "de")}), 6) AS m
+         |         CAST(round(max(${VectorFunctions.cosineOrNullSql("qe", "de", Dim)}) * 1000000.0) AS BIGINT) AS m_micro
          |  FROM q CROSS JOIN d GROUP BY 1, 2, 3),
          |sc AS (
-         |  SELECT query_id, doc_id, round(sum(m), 6) AS maxsim
+         |  SELECT query_id, doc_id,
+         |         CAST(sum(m_micro) AS DOUBLE) / 1000000.0 AS maxsim
          |  FROM pm GROUP BY 1, 2),
          |r AS (
          |  SELECT query_id, doc_id, maxsim,
@@ -158,19 +158,22 @@ object VectorPack extends QueryPack {
          |  FROM x GROUP BY 1, 2),
          |a AS (
          |  SELECT g, max(n) AS n_vecs,
-         |         sum(mv * mv) AS sq_full,
-         |         sum(CASE WHEN i <= $TruncDim THEN mv * mv END) AS sq_t,
+         |         CAST(sum(CAST(round(mv * mv * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+         |           / 1000000000000.0 AS sq_full,
+         |         CAST(sum(CASE WHEN i <= $TruncDim
+         |                  THEN CAST(round(mv * mv * 1000000000000.0) AS BIGINT) END) AS DOUBLE)
+         |           / 1000000000000.0 AS sq_t,
          |         max(CASE WHEN i = 1 THEN mv END) AS m1,
          |         max(CASE WHEN i = 2 THEN mv END) AS m2,
          |         max(CASE WHEN i = 3 THEN mv END) AS m3,
          |         max(CASE WHEN i = 4 THEN mv END) AS m4
          |  FROM m GROUP BY 1)
          |SELECT g, CAST(n_vecs AS BIGINT) AS n_vecs,
-         |       round(sqrt(sq_full), 6) AS full_norm,
-         |       round(m1 / sqrt(sq_t), 6) AS c1,
-         |       round(m2 / sqrt(sq_t), 6) AS c2,
-         |       round(m3 / sqrt(sq_t), 6) AS c3,
-         |       round(m4 / sqrt(sq_t), 6) AS c4
+         |       ${graft.functions.Portable.snap6Sql("sqrt(sq_full)")} AS full_norm,
+         |       ${graft.functions.Portable.snap6Sql("m1 / sqrt(sq_t)")} AS c1,
+         |       ${graft.functions.Portable.snap6Sql("m2 / sqrt(sq_t)")} AS c2,
+         |       ${graft.functions.Portable.snap6Sql("m3 / sqrt(sq_t)")} AS c3,
+         |       ${graft.functions.Portable.snap6Sql("m4 / sqrt(sq_t)")} AS c4
          |FROM a ORDER BY g""".stripMargin
   )
 }

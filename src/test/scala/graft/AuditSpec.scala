@@ -16,7 +16,7 @@ class AuditSpec extends SparkSpec {
       .agg(round(sum(col("value")), 6).as("click"))
     val j = piv.select("segment", "click").join(manual, Seq("segment"), "full_outer")
     assert(j.count() === 10)
-    assert(j.filter(piv("click") =!= manual("click")).count() === 0)
+    assert(j.filter(!(piv("click") <=> manual("click"))).count() === 0)
   }
 
   test("q102 cube: exactly one grand-total row and consistent partial sums") {

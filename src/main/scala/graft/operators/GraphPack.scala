@@ -46,6 +46,56 @@ object GraphPack extends QueryPack {
         .orderBy("prev", "cur")
     }),
 
+    // Ordered funnel: view → click-after-view → purchase-after-click, the
+    // sequential-pattern conversion report. Each stage is one grouped min
+    // over the stage's events joined to the previous stage's first-hit
+    // time — three aggregations and two equi-joins on user_id, no window.
+    // All outputs are integer counts and exact count ratios.
+    "q119_funnel" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select("user_id", "event_type", "ts")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("tv"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("tv"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("tc"))
+        .groupBy("user_id").agg(min(col("ts")).as("tp"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast("double") / col("n_view"), 6)
+            .as("view_to_click"),
+          round(col("n_purchase").cast("double") / col("n_click"), 6)
+            .as("click_to_purchase"))
+    }),
+
+    // Retention cohorts: users grouped by first-activity date, activity
+    // counted per (cohort, day offset). Two aggregations (first-touch per
+    // user, distinct active days) + one equi-join on user_id; the matrix
+    // is O(days²) rows regardless of event volume. Retention is an exact
+    // ratio against the day-0 cohort size.
+    "q120_cohorts" -> ((s, dir) => {
+      // Tables.events, not .table: the raw parquet ts is TIMESTAMP(NANOS)
+      // read as long; date bucketing needs the real timestamp conversion
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      val active = ev.distinct()
+      val cells = active.join(first, "user_id")
+        .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = first.groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+      cells.join(sizes, "cohort")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_active"), col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+        .orderBy("cohort", "day_offset")
+    }),
+
     // Damped PageRank over the deduplicated (user→event) residue graph,
     // 5 fixed iterations in BIGINT fixed-point (see [[Graph.pageRank]] for
     // why integer arithmetic is the only summation that reproduces across
@@ -73,6 +123,41 @@ object GraphPack extends QueryPack {
         |       round(CAST(cnt AS DOUBLE) /
         |             sum(cnt) OVER (PARTITION BY prev), 6) AS prob
         |FROM cnt ORDER BY prev, cur""".stripMargin,
+
+    "q119_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS tc
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS tp
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase,
+        |       round(CAST((SELECT count(*) FROM c) AS DOUBLE)
+        |           / (SELECT count(*) FROM v), 6) AS view_to_click,
+        |       round(CAST((SELECT count(*) FROM p) AS DOUBLE)
+        |           / (SELECT count(*) FROM c), 6) AS click_to_purchase""".stripMargin,
+
+    "q120_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY 1),
+        |cells AS (
+        |  SELECT f.cohort, CAST(ev.d - f.cohort AS INT) AS day_offset,
+        |         count(*) AS n_active
+        |  FROM ev JOIN f ON f.user_id = ev.user_id GROUP BY 1, 2),
+        |sizes AS (SELECT cohort, count(*) AS cohort_size FROM f GROUP BY 1)
+        |SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.day_offset,
+        |       c.n_active, s.cohort_size,
+        |       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM cells c JOIN sizes s ON s.cohort = c.cohort
+        |ORDER BY cohort, day_offset""".stripMargin,
 
     "q106_pagerank" -> {
       val unit = Graph.Unit

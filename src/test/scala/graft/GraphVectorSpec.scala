@@ -59,10 +59,40 @@ class GraphVectorSpec extends SparkSpec {
     }
   }
 
+  test("pageRank is partitioning-invariant (fixed-point sums)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (2L, 4L))
+      .toDF("src", "dst")
+    val one = Graph.pageRank(edges.repartition(1), "src", "dst", iters = 5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val many = Graph.pageRank(edges.repartition(7), "src", "dst", iters = 5)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(one === many) // bit-exact: integer contributions are associative
+  }
+
   test("q103 transitions: per-prev probabilities sum to ~1") {
     val probs = SparkEntry.queries("q103_event_transitions")(spark, sf0)
       .groupBy("prev").agg(sum("prob").as("p")).as[(String, Double)].collect()
     probs.foreach { case (_, p) => assert(math.abs(p - 1.0) < 1e-4) }
+  }
+
+  test("q119 funnel: stages shrink monotonically, conversions in (0, 1]") {
+    val r = SparkEntry.queries("q119_funnel")(spark, sf0).head()
+    val (v, c, p) = (r.getAs[Long]("n_view"), r.getAs[Long]("n_click"),
+      r.getAs[Long]("n_purchase"))
+    assert(v >= c && c >= p && v > 0)
+    assert(r.getAs[Double]("view_to_click") <= 1.0)
+    assert(r.getAs[Double]("click_to_purchase") <= 1.0)
+  }
+
+  test("q120 cohorts: day-0 retention is 1.0 and cells never exceed cohort size") {
+    val rows = SparkEntry.queries("q120_cohorts")(spark, sf0).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") <= r.getAs[Long]("cohort_size"))
+      if (r.getAs[Int]("day_offset") == 0)
+        assert(r.getAs[Double]("retention") === 1.0) // everyone active on day 0
+      assert(r.getAs[Int]("day_offset") >= 0)
+    }
   }
 
   test("maxsim: a doc containing the query's own vectors is its best match") {

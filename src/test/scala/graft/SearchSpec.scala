@@ -33,6 +33,16 @@ class SearchSpec extends SparkSpec {
     assert(sc(1L) - commonOnly > commonOnly)
   }
 
+  test("bm25 scores are partitioning-invariant (micro-unit sums)") {
+    val docs = graft.sources.Tables.table(spark, sf1, "documents")
+      .select("doc_id", "text")
+    val one = Search.bm25(docs.repartition(1), "doc_id", "text",
+      graft.operators.SearchPack.Terms).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val many = Search.bm25(docs.repartition(13), "doc_id", "text",
+      graft.operators.SearchPack.Terms).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one === many) // bit-exact, not approx: integer sums are associative
+  }
+
   test("q114 hybrid: ranks are a permutation and rrf is consistent with the parts") {
     val rows = SparkEntry.queries("q114_hybrid_rrf")(spark, sf0).collect()
     assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to rows.length))

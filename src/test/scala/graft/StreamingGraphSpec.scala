@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingTransitions, TransitionEvent}
+import graft.streaming.{StreamingFunnel, StreamingTransitions, TransitionEvent}
 
 /** Streaming/batch parity of the q103 transition miner: the stateful
   * stream (one LastEvent per user, pairs chained ACROSS micro-batches)
@@ -44,6 +44,32 @@ class StreamingGraphSpec extends SparkSpec {
 
       assert(streamed === batch)
       assert(streamed.size === 4) // 2 transitions per user
+    } finally q.stop()
+  }
+
+  test("streaming funnel advances across micro-batches and matches batch stage logic") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 completes the funnel but the click+purchase arrive in batch 2;
+    // user 2's purchase PRECEDES its click, so it must stall at stage 2;
+    // user 3 has a click before any view — ignored, stage ends at 1
+    val batch1 = Seq(ev(1, 10, 1, "view"),
+      ev(2, 10, 2, "view"), ev(2, 30, 3, "purchase"),
+      ev(3, 5, 4, "click"))
+    val batch2 = Seq(ev(1, 20, 5, "click"), ev(1, 30, 6, "purchase"),
+      ev(2, 40, 7, "click"),
+      ev(3, 10, 8, "view"))
+    val in = MemoryStream[TransitionEvent]
+    val q = StreamingFunnel.progress(in.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      // latest emission per user wins (update semantics)
+      val stages = spark.table("funnel")
+        .groupBy("user_id").agg(max("stage").as("stage"))
+        .as[(Long, Int)].collect().toMap
+      assert(stages === Map(1L -> 3, 2L -> 2, 3L -> 1))
     } finally q.stop()
   }
 

@@ -44,7 +44,30 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampingPct: Int = 85,
                checkpointEvery: Int = 0,
-               materialize: Boolean = true): DataFrame = {
+               materialize: Boolean = true): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iters, dampingPct,
+      checkpointEvery, materialize, seeds = Nil)
+
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed set
+    * (uniformly), so ranks measure proximity to the seeds instead of
+    * global importance — the "related items" / topic-conditioned variant.
+    * Same fixed-point arithmetic and iteration shape as [[pageRank]];
+    * non-seed nodes start (and teleport) at zero. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iters: Int,
+                           dampingPct: Int = 85,
+                           checkpointEvery: Int = 0,
+                           materialize: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a seed set")
+    pageRankImpl(edges, srcCol, dstCol, iters, dampingPct,
+      checkpointEvery, materialize, seeds)
+  }
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, dampingPct: Int,
+                           checkpointEvery: Int,
+                           materialize: Boolean,
+                           seeds: Seq[Long]): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     // The loop-invariant tables (edges, node set, out-degrees) are
     // referenced by EVERY iteration; left as plain plans they re-derive
@@ -67,9 +90,19 @@ object Graph {
     // non-ANSI mode, overflow error in DuckDB); the out-of-int-range
     // literal parses as BIGINT everywhere.
     val teleportNum = (100L - dampingPct) * Unit
-    val base = expr(s"$teleportNum DIV (100 * n)")
+    // personalized: teleport (and the initial distribution) is uniform
+    // over the SEED SET only; the seed predicate is a literal IN list
+    // (the seed set is a query parameter, O(|query|), never data-sized)
+    val isSeed =
+      if (seeds.isEmpty) lit(true) else col("v").isInCollection(seeds)
+    val base =
+      if (seeds.isEmpty) expr(s"$teleportNum DIV (100 * n)")
+      else when(isSeed, lit(teleportNum / (100L * seeds.size))).otherwise(0L)
+    val init =
+      if (seeds.isEmpty) expr(s"$Unit DIV n")
+      else when(isSeed, lit(Unit / seeds.size)).otherwise(0L)
     var ranks = nodes.crossJoin(nRow)
-      .select(col("v"), expr(s"$Unit DIV n").as("r"))
+      .select(col("v"), init.as("r"))
     for (i <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("v"))
         .join(deg, "src")

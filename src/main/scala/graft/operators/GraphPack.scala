@@ -18,6 +18,8 @@ object GraphPack extends QueryPack {
   val Nodes = 40
   val Iters = 5
   val DampingPct = 85
+  /** Seed set for the personalized variant (q121). */
+  val PprSeeds = Seq(0L, 1L, 2L)
 
   private def edges(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "events")
@@ -106,6 +108,17 @@ object GraphPack extends QueryPack {
       Graph.pageRank(edges(s, dir), "src", "dst", Iters, DampingPct)
         .select(col("v").as("node"), col("rank_fp"), col("rank"))
         .orderBy("node")
+    }),
+
+    // Personalized PageRank: teleport restricted to a 3-node seed set —
+    // ranks become proximity-to-seeds, the "related items" query. Same
+    // fixed-point recurrence; the seed predicate is an O(|query|) literal
+    // IN list evaluated in the scan stage.
+    "q121_personalized_pagerank" -> ((s, dir) => {
+      Graph.personalizedPageRank(edges(s, dir), "src", "dst",
+          PprSeeds, Iters, DampingPct)
+        .select(col("v").as("node"), col("rank_fp"), col("rank"))
+        .orderBy("node")
     })
   )
 
@@ -158,6 +171,39 @@ object GraphPack extends QueryPack {
         |       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM cells c JOIN sizes s ON s.cohort = c.cohort
         |ORDER BY cohort, day_offset""".stripMargin,
+
+    "q121_personalized_pagerank" -> {
+      val unit = Graph.Unit
+      // the SAME Scala integer divisions the operator performs, so the
+      // literals cannot drift from Graph.personalizedPageRank's arithmetic
+      val seedBase = (100L - DampingPct) * unit / (100L * PprSeeds.size)
+      val seedInit = unit / PprSeeds.size
+      val inList = PprSeeds.mkString(", ")
+      val iterCtes = (1 to Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT nodes.v,
+           |         CASE WHEN nodes.v IN ($inList) THEN $seedBase ELSE 0 END +
+           |         ($DampingPct * coalesce(s.inb, 0)) // 100 AS r
+           |  FROM nodes
+           |  LEFT JOIN (
+           |    SELECT e.dst AS v, CAST(sum(r${k - 1}.r // deg.deg) AS BIGINT) AS inb
+           |    FROM e
+           |    JOIN r${k - 1} ON r${k - 1}.v = e.src
+           |    JOIN deg ON deg.src = e.src
+           |    GROUP BY 1) s ON s.v = nodes.v)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % $Nodes AS src, event_id % $Nodes AS dst
+         |  FROM events WHERE user_id % $Nodes <> event_id % $Nodes),
+         |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT v, CASE WHEN v IN ($inList) THEN $seedInit ELSE 0 END AS r
+         |       FROM nodes),
+         |$iterCtes
+         |SELECT v AS node, r AS rank_fp,
+         |       round(CAST(r AS DOUBLE) / $unit.0, 6) AS rank
+         |FROM r$Iters ORDER BY node""".stripMargin
+    },
 
     "q106_pagerank" -> {
       val unit = Graph.Unit

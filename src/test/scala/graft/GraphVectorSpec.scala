@@ -59,6 +59,17 @@ class GraphVectorSpec extends SparkSpec {
     }
   }
 
+  test("personalized pageRank: mass stays near seeds, unreachable nodes get zero") {
+    // 1 -> 2 -> 3; 4 -> 5 is a separate component never touched by seed 1
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val r = Graph.personalizedPageRank(e, "src", "dst", Seq(1L), iters = 6)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x._2).toMap
+    assert(r(1L) > 0L) // seed keeps its teleport share
+    assert(r(2L) > 0L && r(3L) > 0L) // reachable from the seed
+    assert(r(4L) === 0L && r(5L) === 0L) // disconnected: no mass ever
+    assert(r.values.sum <= Graph.Unit)
+  }
+
   test("pageRank is partitioning-invariant (fixed-point sums)") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L), (2L, 4L))
       .toDF("src", "dst")

@@ -63,6 +63,53 @@ object Graph {
       checkpointEvery, materialize, seeds)
   }
 
+  /** Fixed-point unit for HITS scores: smaller than [[Unit]] because the
+    * un-normalized sums are rescaled by `* HitsUnit DIV max` each half-step
+    * — with 1e9 units a Σ over a large in-degree times the scale factor
+    * would overflow BIGINT; at 1e6 the product stays ≤ ~1e13 for degrees
+    * up to 1e7. */
+  val HitsUnit: Long = 1000000L
+
+  /** HITS hubs & authorities, fixed iterations, max-normalized each
+    * half-step in BIGINT fixed point (authority = Σ hub of in-neighbors,
+    * hub = Σ authority of out-neighbors; the max-rescale replaces the
+    * usual L2 normalization — same fixed point ordering, integer-exact).
+    * Same determinism argument as [[pageRank]]: integer sums are
+    * associative and max is order-free, so results reproduce across
+    * engines and partitionings. Returns (v, hub_fp, auth_fp, hub, auth)
+    * with the doubles = fp / HitsUnit. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int, materialize: Boolean = true): DataFrame = {
+    require(iters >= 1)
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
+    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = pin(e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct())
+    var hubs = nodes.select(col("v"), lit(HitsUnit).as("h"))
+    var auths = nodes.select(col("v"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("v"))
+        .groupBy(col("dst").as("v2")).agg(sum(col("h")).as("raw"))
+        .select(col("v2").as("v"), col("raw"))
+      val aMax = broadcast(aRaw.agg(max(col("raw")).as("mx")))
+      auths = nodes.join(aRaw, Seq("v"), "left").crossJoin(aMax)
+        .select(col("v"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("a"))
+      val hRaw = e.join(auths, e("dst") === auths("v"))
+        .groupBy(col("src").as("v2")).agg(sum(col("a")).as("raw"))
+        .select(col("v2").as("v"), col("raw"))
+      val hMax = broadcast(hRaw.agg(max(col("raw")).as("mx")))
+      hubs = nodes.join(hRaw, Seq("v"), "left").crossJoin(hMax)
+        .select(col("v"),
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("h"))
+    }
+    nodes.join(hubs, "v").join(auths, "v")
+      .select(col("v"), col("h").as("hub_fp"), col("a").as("auth_fp"),
+        round(col("h").cast("double") / HitsUnit.toDouble, 6).as("hub"),
+        round(col("a").cast("double") / HitsUnit.toDouble, 6).as("auth"))
+  }
+
   private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, dampingPct: Int,
                            checkpointEvery: Int,

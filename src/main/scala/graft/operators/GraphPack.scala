@@ -20,6 +20,8 @@ object GraphPack extends QueryPack {
   val DampingPct = 85
   /** Seed set for the personalized variant (q121). */
   val PprSeeds = Seq(0L, 1L, 2L)
+  /** HITS iteration count (q123). */
+  val HitsIters = 3
 
   private def edges(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "events")
@@ -110,6 +112,44 @@ object GraphPack extends QueryPack {
         .orderBy("node")
     }),
 
+    // Graph-structure audit: node/edge counts, degree extremes, dangling
+    // and source-only nodes, and edge reciprocity (the share of edges
+    // whose reverse also exists — a crawl-graph health signal). Degrees
+    // via two aggregations + a full outer join on the node id; the
+    // reciprocity check is a self-equi-join on (dst, src). All-integer
+    // outputs plus one exact ratio.
+    "q122_degree_audit" -> ((s, dir) => {
+      val e = edges(s, dir).localCheckpoint(false) // five consumers below
+      val outD = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+      val inD = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+      val deg = outD.join(inD, Seq("v"), "full_outer")
+        .select(col("v"), coalesce(col("out_deg"), lit(0L)).as("o"),
+          coalesce(col("in_deg"), lit(0L)).as("i"))
+      val recip = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          sum(col("o")).as("n_edges"),
+          sum(when(col("o") === 0, 1L).otherwise(0L)).as("n_dangling"),
+          sum(when(col("i") === 0, 1L).otherwise(0L)).as("n_source_only"),
+          max(col("o")).as("max_out"), max(col("i")).as("max_in"))
+        .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+        .select(col("n_nodes"), col("n_edges"), col("n_dangling"),
+          col("n_source_only"), col("max_out"), col("max_in"), col("n_recip"),
+          round(col("n_recip").cast("double") / col("n_edges"), 6)
+            .as("reciprocity"))
+    }),
+
+    // HITS hubs & authorities: 3 fixed iterations, max-normalized each
+    // half-step in BIGINT fixed point (Graph.hits) — the second classic
+    // iterative ranking, sharing PageRank's determinism argument.
+    "q123_hits" -> ((s, dir) => {
+      Graph.hits(edges(s, dir), "src", "dst", HitsIters)
+        .select(col("v").as("node"), col("hub_fp"), col("auth_fp"),
+          col("hub"), col("auth"))
+        .orderBy("node")
+    }),
+
     // Personalized PageRank: teleport restricted to a 3-node seed set —
     // ranks become proximity-to-seeds, the "related items" query. Same
     // fixed-point recurrence; the seed predicate is an O(|query|) literal
@@ -171,6 +211,62 @@ object GraphPack extends QueryPack {
         |       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM cells c JOIN sizes s ON s.cohort = c.cohort
         |ORDER BY cohort, day_offset""".stripMargin,
+
+    "q122_degree_audit" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % $Nodes AS src, event_id % $Nodes AS dst
+         |  FROM events WHERE user_id % $Nodes <> event_id % $Nodes),
+         |o AS (SELECT src AS v, count(*) AS o FROM e GROUP BY 1),
+         |i AS (SELECT dst AS v, count(*) AS i FROM e GROUP BY 1),
+         |deg AS (
+         |  SELECT coalesce(o.v, i.v) AS v,
+         |         coalesce(o.o, 0) AS o, coalesce(i.i, 0) AS i
+         |  FROM o FULL OUTER JOIN i ON o.v = i.v),
+         |r AS (SELECT count(*) AS n_recip
+         |      FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src)
+         |SELECT count(*) AS n_nodes,
+         |       CAST(sum(o) AS BIGINT) AS n_edges,
+         |       CAST(sum(CASE WHEN o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dangling,
+         |       CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_source_only,
+         |       CAST(max(o) AS BIGINT) AS max_out,
+         |       CAST(max(i) AS BIGINT) AS max_in,
+         |       (SELECT n_recip FROM r) AS n_recip,
+         |       round(CAST((SELECT n_recip FROM r) AS DOUBLE)
+         |           / CAST(sum(o) AS BIGINT), 6) AS reciprocity
+         |FROM deg""".stripMargin,
+
+    "q123_hits" -> {
+      val u = Graph.HitsUnit
+      // two CTE pairs per iteration, mirroring Graph.hits' half-steps
+      val iterCtes = (1 to HitsIters).map { k =>
+        s"""ar$k AS (SELECT e.dst AS v, CAST(sum(h${k - 1}.h) AS BIGINT) AS raw
+           |          FROM e JOIN h${k - 1} ON h${k - 1}.v = e.src GROUP BY 1),
+           |a$k AS (SELECT nodes.v,
+           |          (coalesce(ar$k.raw, 0) * $u) // (SELECT max(raw) FROM ar$k) AS a
+           |        FROM nodes LEFT JOIN ar$k ON ar$k.v = nodes.v),
+           |hr$k AS (SELECT e.src AS v, CAST(sum(a$k.a) AS BIGINT) AS raw
+           |          FROM e JOIN a$k ON a$k.v = e.dst GROUP BY 1),
+           |h$k AS (SELECT nodes.v,
+           |          (coalesce(hr$k.raw, 0) * $u) // (SELECT max(raw) FROM hr$k) AS h
+           |        FROM nodes LEFT JOIN hr$k ON hr$k.v = nodes.v)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % $Nodes AS src, event_id % $Nodes AS dst
+         |  FROM events WHERE user_id % $Nodes <> event_id % $Nodes),
+         |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT v, CAST($u AS BIGINT) AS h FROM nodes),
+         |$iterCtes
+         |SELECT nodes.v AS node,
+         |       h$HitsIters.h AS hub_fp, a$HitsIters.a AS auth_fp,
+         |       round(CAST(h$HitsIters.h AS DOUBLE) / $u.0, 6) AS hub,
+         |       round(CAST(a$HitsIters.a AS DOUBLE) / $u.0, 6) AS auth
+         |FROM nodes
+         |JOIN h$HitsIters ON h$HitsIters.v = nodes.v
+         |JOIN a$HitsIters ON a$HitsIters.v = nodes.v
+         |ORDER BY node""".stripMargin
+    },
 
     "q121_personalized_pagerank" -> {
       val unit = Graph.Unit

@@ -59,6 +59,30 @@ class GraphVectorSpec extends SparkSpec {
     }
   }
 
+  test("hits: max-normalized scores peak at exactly one unit; star hub dominates") {
+    // node 1 points at every spoke → maximal hub; spokes point at 1 → 1 is
+    // also the sole authority target of all spokes
+    val e = (2L to 6L).flatMap(s => Seq((1L, s), (s, 1L))).toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 3)
+      .as[(Long, Long, Long, Double, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r.values.map(_._2).max === Graph.HitsUnit) // hub_fp normalized
+    assert(r.values.map(_._3).max === Graph.HitsUnit) // auth_fp normalized
+    assert(r(1L)._2 === Graph.HitsUnit && r(1L)._3 === Graph.HitsUnit)
+    r.values.foreach { x =>
+      assert(x._2 >= 0L && x._2 <= Graph.HitsUnit)
+      assert(x._3 >= 0L && x._3 <= Graph.HitsUnit)
+    }
+  }
+
+  test("q122 degree audit: counts reconcile") {
+    val r = SparkEntry.queries("q122_degree_audit")(spark, sf0).head()
+    assert(r.getAs[Long]("n_edges") > 0)
+    assert(r.getAs[Long]("n_recip") <= r.getAs[Long]("n_edges"))
+    assert(r.getAs[Long]("n_dangling") + r.getAs[Long]("n_source_only")
+      <= r.getAs[Long]("n_nodes"))
+    assert(r.getAs[Long]("max_out") <= r.getAs[Long]("n_nodes") - 1)
+  }
+
   test("personalized pageRank: mass stays near seeds, unreachable nodes get zero") {
     // 1 -> 2 -> 3; 4 -> 5 is a separate component never touched by seed 1
     val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")

@@ -140,6 +140,33 @@ object GraphPack extends QueryPack {
             .as("reciprocity"))
     }),
 
+    // Triangle count + global clustering coefficient over the
+    // UNDIRECTED residue graph. Triangles via the ordered-wedge join
+    // (a<b<c, two equi-joins — cost Σ deg², the standard distributed
+    // shape); wedges in closed form from undirected degrees. Integer
+    // counts and one exact ratio.
+    "q124_triangles" -> ((s, dir) => {
+      val und = edges(s, dir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(false) // three consumers below
+      val wedge = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      val tri = wedge.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = und.select(col("a").as("v"))
+        .unionAll(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val wedges = deg.agg(sum(col("d") * (col("d") - 1) / 2)
+        .cast("long").as("n_wedges"))
+      und.agg(count(lit(1)).as("n_und_edges"))
+        .crossJoin(broadcast(tri))
+        .crossJoin(broadcast(wedges))
+        .select(col("n_und_edges"), col("n_triangles"), col("n_wedges"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering"))
+    }),
+
     // HITS hubs & authorities: 3 fixed iterations, max-normalized each
     // half-step in BIGINT fixed point (Graph.hits) — the second classic
     // iterative ranking, sharing PageRank's determinism argument.
@@ -236,6 +263,25 @@ object GraphPack extends QueryPack {
          |       round(CAST((SELECT n_recip FROM r) AS DOUBLE)
          |           / CAST(sum(o) AS BIGINT), 6) AS reciprocity
          |FROM deg""".stripMargin,
+
+    "q124_triangles" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % $Nodes AS src, event_id % $Nodes AS dst
+         |  FROM events WHERE user_id % $Nodes <> event_id % $Nodes),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e),
+         |tri AS (SELECT count(*) AS n_triangles
+         |        FROM und e1
+         |        JOIN und e2 ON e2.a = e1.b
+         |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |deg AS (SELECT v, count(*) AS d
+         |        FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+         |        GROUP BY 1),
+         |w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg)
+         |SELECT (SELECT count(*) FROM und) AS n_und_edges,
+         |       tri.n_triangles, w.n_wedges,
+         |       round(3.0 * tri.n_triangles / w.n_wedges, 6) AS clustering
+         |FROM tri CROSS JOIN w""".stripMargin,
 
     "q123_hits" -> {
       val u = Graph.HitsUnit

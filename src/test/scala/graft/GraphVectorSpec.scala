@@ -74,6 +74,19 @@ class GraphVectorSpec extends SparkSpec {
     }
   }
 
+  test("triangle count: a known 4-clique has exactly 4 triangles, clustering 1") {
+    // K4 has C(4,3)=4 triangles and every wedge closes
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val und = k4.select(least($"src", $"dst").as("a"),
+      greatest($"src", $"dst").as("b")).distinct()
+    val wedge = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = wedge.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))
+      .count()
+    assert(tri === 4L)
+  }
+
   test("q122 degree audit: counts reconcile") {
     val r = SparkEntry.queries("q122_degree_audit")(spark, sf0).head()
     assert(r.getAs[Long]("n_edges") > 0)

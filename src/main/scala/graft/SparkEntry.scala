@@ -18,7 +18,8 @@ object SparkEntry {
     AlsPack, ModelCodec, SvmPack, ServePack, GeneratorPack, TrainPack,
     AnalyticsPack, TextPack, DedupPack, SimilarityPack, MultimodalPack,
     CurationPack, PipelinePack, SelectionPack,
-    AuditPack, GraphPack, VectorPack, LifecyclePack, SearchPack)
+    AuditPack, GraphPack, VectorPack, LifecyclePack, SearchPack, TemporalPack,
+    FuzzyPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end capability in one plan: rating fact ⋈

@@ -37,6 +37,13 @@ object AuditPack extends QueryPack {
   /** Trailing-window length for the rolling anomaly score. */
   val RollN = 20
 
+  /** Winsorization clip quantiles (q128). */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** Equi-depth bin count for the curriculum binning audit (q129). */
+  val NBins = 10
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cross-tab: per user segment, total event value by type. The pivot is
@@ -172,6 +179,52 @@ object AuditPack extends QueryPack {
           round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
           col("n_outliers"))
         .orderBy("event_type")
+    }),
+
+    // Winsorized mean: per market segment, account balances clipped to
+    // the segment's [p5, p95] before averaging — the robust central
+    // tendency a profiler reports next to the raw mean. Quantiles are
+    // exact-interpolated and snapped to 9 decimals before reuse (the
+    // q107 convention); the clipped mean then runs on integer cents so
+    // the grouped sum is order-exact.
+    "q128_winsorize" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "customer")
+        .select("c_mktsegment", "c_acctbal")
+      val cuts = c.groupBy("c_mktsegment")
+        .agg(round(expr(s"percentile(c_acctbal, $WinsorLo)"), 9).as("lo"),
+          round(expr(s"percentile(c_acctbal, $WinsorHi)"), 9).as("hi"))
+      c.join(cuts, "c_mktsegment")
+        .withColumn("w", least(greatest(col("c_acctbal"), col("lo")), col("hi")))
+        .groupBy("c_mktsegment", "lo", "hi")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("c_acctbal") < col("lo") or
+            col("c_acctbal") > col("hi"), 1L).otherwise(0L)).as("n_clipped"),
+          sum(round(col("w") * 100, 0).cast("long")).as("cents"))
+        .select(col("c_mktsegment"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          col("n"), col("n_clipped"),
+          round(col("cents").cast("double") / (col("n") * 100), 6)
+            .as("wmean"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Equi-depth curriculum binning: documents ranked by length into 10
+    // ntile buckets (total order tie-broken by doc_id, so both engines
+    // assign identical bins), per-bin count and char-mass. This is the
+    // "sort corpus by difficulty proxy, feed in bins" curriculum step;
+    // the single global window is the documented tradeoff — at cluster
+    // scale the same binning runs via quantile cutpoints (q66) instead
+    // of a total sort.
+    "q129_quantile_bins" -> ((s, dir) => {
+      val w = Window.orderBy(col("n_chars"), col("doc_id"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("bin", ntile(NBins).over(w).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          sum("n_chars").as("chars"))
+        .orderBy("bin")
     })
   )
 
@@ -259,6 +312,34 @@ object AuditPack extends QueryPack {
          |       CAST(sum(CASE WHEN d.adev > $OutlierK * $MadConsistency * m.mad
          |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
          |FROM dev d JOIN mad m USING (event_type)
-         |GROUP BY 1, m.med, m.mad ORDER BY 1""".stripMargin
+         |GROUP BY 1, m.med, m.mad ORDER BY 1""".stripMargin,
+
+    "q128_winsorize" ->
+      s"""WITH cuts AS (
+         |  SELECT c_mktsegment,
+         |         round(quantile_cont(c_acctbal, $WinsorLo), 9) AS lo,
+         |         round(quantile_cont(c_acctbal, $WinsorHi), 9) AS hi
+         |  FROM customer GROUP BY 1)
+         |SELECT c.c_mktsegment,
+         |       round(t.lo, 6) AS lo, round(t.hi, 6) AS hi,
+         |       count(*) AS n,
+         |       CAST(sum(CASE WHEN c.c_acctbal < t.lo OR c.c_acctbal > t.hi
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+         |       round(CAST(sum(CAST(round(
+         |                 least(greatest(c.c_acctbal, t.lo), t.hi) * 100)
+         |               AS BIGINT)) AS DOUBLE) / (count(*) * 100), 6) AS wmean
+         |FROM customer c JOIN cuts t USING (c_mktsegment)
+         |GROUP BY 1, t.lo, t.hi ORDER BY 1""".stripMargin,
+
+    "q129_quantile_bins" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars,
+         |         ntile($NBins) OVER (ORDER BY n_chars, doc_id) AS bin
+         |  FROM documents)
+         |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+         |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+         |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** Unit behavior of the time-series operators; cross-engine exactness is
+  * covered by the TemporalPack oracles (q125/q126). */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val series = Seq(
+    ("a", ts("2024-01-01 00:10:00"), 100L),
+    ("a", ts("2024-01-01 00:20:00"), 50L),
+    // a: hour 01 and 02 are gaps
+    ("a", ts("2024-01-01 03:05:00"), 7L),
+    ("b", ts("2024-01-01 02:00:00"), 9L)
+  ).toDF("k", "t", "c")
+
+  test("gapFill: grid covers the global range for every key, gaps carry last sum") {
+    val out = Temporal.gapFill(series, "k", "t", col("c"), "hour")
+      .select("k", "bucket", "n", "v_filled", "is_gap")
+      .as[(String, Timestamp, Long, Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2.getTime))
+
+    // global range 00:00..03:00 -> 4 buckets per key, 2 keys
+    assert(out.length === 8)
+    val a = out.filter(_._1 == "a").map(r => (r._3, r._4, r._5)).toSeq
+    assert(a === Seq((2L, 150L, false), (0L, 150L, true),
+      (0L, 150L, true), (1L, 7L, false)))
+    // key b: gaps BEFORE its first observation fill with 0
+    val b = out.filter(_._1 == "b").map(r => (r._3, r._4, r._5)).toSeq
+    assert(b === Seq((0L, 0L, true), (0L, 0L, true),
+      (1L, 9L, false), (0L, 9L, true)))
+  }
+
+  test("slidingByTime: RANGE frame is inclusive and second-granular") {
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1L),
+      ("a", ts("2024-01-01 00:00:10"), 2L),
+      ("a", ts("2024-01-01 00:00:10"), 4L), // peer second: shares the window
+      ("a", ts("2024-01-01 00:00:31"), 8L)  // 31s after t0: t0 outside 30s
+    ).toDF("k", "t", "c")
+    val out = Temporal.slidingByTime(ev, "k", "t", col("c"), windowSec = 30L)
+      .select("c", "w_n", "w_cents").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L),
+      (2L, 3L, 7L),  // peers at :10 see each other regardless of row order
+      (4L, 3L, 7L),
+      (8L, 3L, 14L)) // 1 dropped (31 > 30), peers at :10 still in
+    )
+  }
+
+  test("gapFill: single observation yields a 1-bucket grid, no gaps") {
+    val one = Seq(("x", ts("2024-02-02 10:30:00"), 5L)).toDF("k", "t", "c")
+    val out = Temporal.gapFill(one, "k", "t", col("c"), "hour")
+      .select("n", "v_filled", "is_gap").as[(Long, Long, Boolean)].collect()
+    assert(out.toSeq === Seq((1L, 5L, false)))
+  }
+}

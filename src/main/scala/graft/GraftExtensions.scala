@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -85,6 +85,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_bloom_probe takes exactly 2 arguments")
         BloomProbe(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_fold_accents"),
+      new ExpressionInfo(classOf[FoldAccents].getName, "graft_fold_accents"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_fold_accents takes exactly 1 argument")
+        FoldAccents(args.head)
       }),
     (FunctionIdentifier("graft_vocab_hits"),
       new ExpressionInfo(classOf[VocabHits].getName, "graft_vocab_hits"),

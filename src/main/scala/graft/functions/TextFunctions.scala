@@ -44,6 +44,11 @@ object TextFunctions {
   def cmsProbe(sketch: Column, item: Column): Column =
     column(expressions.CmsLookup(expression(sketch), expression(item)))
 
+  /** Unicode canonicalization: NFC + combining-mark strip — see
+    * [[graft.functions.expressions.FoldAccents]]. */
+  def foldAccents(text: Column): Column =
+    column(expressions.FoldAccents(expression(text)))
+
   /** Character n-gram shingles of the raw string. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Augment
+
+/** Unit semantics of the training-example construction operators and the
+  * Unicode fold kernel; cross-engine exactness is covered by the
+  * AugmentPack oracles (q130/q131). */
+class AugmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BPE ----------------------------------------------------------------
+
+  test("bpeLearn: classic merge sequence on a crafted corpus") {
+    // vocab: aaab ×2 -> [a,a,a,b,</w>], ab ×1 -> [a,b,</w>]
+    // round 1: (a,a) freq 4   round 2: (a,b) freq 3 beats (b,</w>) on tie
+    // round 3: (ab,</w>) freq 3
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val m = Augment.bpeLearn(docs, "text", rounds = 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(m === Seq(
+      (1, "a", "a", "aa", 4L),
+      (2, "a", "b", "ab", 3L),
+      (3, "ab", "</w>", "ab</w>", 3L)))
+  }
+
+  test("bpeLearn: greedy merge is non-overlapping left-to-right") {
+    // [a,a,a,</w>] carries TWO (a,a) pair occurrences (freq counts
+    // overlaps: 2 words × 2 = 4) but the merge rewrites each word
+    // greedily left-to-right to [aa,a,</w>] — NOT [aa,aa,</w>]. Round 2
+    // then sees (aa,a) and (a,</w>) tied at 2; the lexicographic
+    // tie-break picks (a,</w>) ("a" < "aa"). An overlapping merge would
+    // surface (aa,aa)/(aa,</w>) here instead.
+    val docs = Seq("aaa aaa").toDF("text")
+    val m = Augment.bpeLearn(docs, "text", rounds = 2)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(m.head === ((1, "a", "a", "aa", 4L)))
+    assert(m(1) === ((2, "a", "</w>", "a</w>", 2L)))
+  }
+
+  test("bpeLearn: stops early when no pairs remain") {
+    // single char + marker: one pair each round until fully merged
+    val docs = Seq("x").toDF("text")
+    val m = Augment.bpeLearn(docs, "text", rounds = 10)
+      .as[(Int, String, String, String, Long)].collect()
+    assert(m.length === 1) // (x,</w>) merges; merged word has no pairs left
+    assert(m.head._4 === "x</w>")
+  }
+
+  // ---- MLM masking --------------------------------------------------------
+
+  test("mlmMask: deterministic, bounded, and reassembles the token stream") {
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs")).toDF("id", "text")
+    val out = Augment.mlmMask(docs, "id", "text", frac = 0.5)
+      .select("id", "n_toks", "n_masked", "masked_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+
+    out.foreach { case (_, nToks, nMasked, masked) =>
+      assert(masked.split(" ").length.toLong === nToks)
+      assert(masked.split(" ").count(_ == "<MASK>").toLong === nMasked)
+      assert(nMasked <= nToks)
+    }
+    // deterministic: a second run produces the identical masked corpus
+    val again = Augment.mlmMask(docs, "id", "text", frac = 0.5)
+      .select("id", "n_toks", "n_masked", "masked_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("mlmMask: frac 0 masks nothing, frac 1 masks everything") {
+    val docs = Seq((7L, "a b c")).toDF("id", "text")
+    val none = Augment.mlmMask(docs, "id", "text", frac = 0.0)
+      .select("n_masked").as[Long].head()
+    val all = Augment.mlmMask(docs, "id", "text", frac = 1.0)
+      .select("masked_text").as[String].head()
+    assert(none === 0L)
+    assert(all === "<MASK> <MASK> <MASK>")
+  }
+
+  // ---- FoldAccents --------------------------------------------------------
+
+  test("foldAccents: composed and decomposed forms fold to the same ASCII") {
+    val df = Seq("Café", "Café", "über", "niño", "plain")
+      .toDF("s")
+    val out = df.select(TextFunctions.foldAccents(col("s")).as("f"))
+      .as[String].collect().toSeq
+    assert(out === Seq("Cafe", "Cafe", "uber", "nino", "plain"))
+  }
+
+  test("foldAccents: available from SQL and null-safe") {
+    GraftExtensions.prepareSession(spark)
+    val r = spark.sql(
+      "SELECT graft_fold_accents('áéõ'), graft_fold_accents(NULL)")
+      .collect().head
+    assert(r.getString(0) === "aeo")
+    assert(r.isNullAt(1))
+  }
+}

@@ -146,6 +146,26 @@ object AnalyticsPack extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
+    // Skew-safe two-stage aggregation: 3-ish return flags over the whole
+    // lineitem fact is the textbook hot-reducer shape; the salted
+    // partial stage spreads each flag over 16 buckets, the final stage
+    // re-sums 16 rows per flag. Money/quantity run in integer cents so
+    // the two-stage re-association is exact, and the result equals the
+    // plain one-stage GROUP BY bit-for-bit (the oracle IS the one-stage
+    // form).
+    "q133_salted_agg" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_quantity") * 100, 0).cast("long").as("qty_cents"),
+          round(col("l_extendedprice") * 100, 0).cast("long")
+            .as("price_cents"))
+      ScaleJoins.saltedAgg(li, "l_returnflag",
+          Map("qty_cents" -> col("qty_cents"),
+            "price_cents" -> col("price_cents")),
+          buckets = 16)
+        .orderBy("l_returnflag")
+    }),
+
     // Z-order clustering key: the Morton interleave of (l_partkey,
     // l_suppkey) plus its coarse layout cell — the multi-dimension
     // data-skipping layout (ZOrder.layoutWrite / boxScan prune on the
@@ -358,6 +378,14 @@ object AnalyticsPack extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE c_custkey < 150
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q133_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS BIGINT) AS price_cents,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |            AS BIGINT) AS qty_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q89_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

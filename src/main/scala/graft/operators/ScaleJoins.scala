@@ -42,6 +42,39 @@ object ScaleJoins {
     salted.join(replicated, Seq(key, saltCol)).drop(saltCol)
   }
 
+  /** Skew-safe two-stage aggregation: SUM/COUNT on `keyCol` where one key
+    * dominates (the grouped twin of [[saltedJoin]]). Stage 1 groups on
+    * (key, salt-of-row) — the hot key's rows spread over `buckets`
+    * reducers; stage 2 re-sums the per-bucket partials on the key alone,
+    * a `keys × buckets`-row input no matter how skewed the data. Only
+    * re-aggregable partials (sums, counts) are legal here, which is why
+    * the API takes named sum columns instead of arbitrary expressions;
+    * exactness under re-association is the caller's job (use integer
+    * fixed-point for floats). Results equal the plain one-stage groupBy
+    * exactly. NOTE Spark's partial aggregation already does map-side
+    * combining per TASK; the salt stage matters when a single REDUCER
+    * key is still too hot after it (billions of identical keys at 100 TB).
+    */
+  def saltedAgg(df: DataFrame, keyCol: String, sums: Map[String, Column],
+                buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val saltCol = "__graft_agg_salt"
+    require(!df.columns.contains(saltCol),
+      s"input must not already have a $saltCol column")
+    val hashCols = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val partial = df
+      .withColumn(saltCol, pmod(hash(struct(hashCols: _*)), lit(buckets)))
+      .groupBy(col(keyCol), col(saltCol))
+      .agg(count(lit(1)).as("__n"),
+        sums.toSeq.sortBy(_._1).map { case (n, c) => sum(c).as(n) }: _*)
+    partial
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n"),
+        sums.keys.toSeq.sorted.map(n => sum(col(n)).as(n)): _*)
+  }
+
   /** Write `df` bucketed+sorted by `key` into the session catalog as
     * `table`, so subsequent equi-joins on `key` between co-bucketed tables
     * need no shuffle (both sides already hash-distributed identically). */

@@ -249,6 +249,28 @@ object Selection {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Exact-k stratified simple random sample: per stratum, EXACTLY
+    * min(k, |stratum|) rows, chosen by ranking the stratum's rows on a
+    * salted md5 of the id (a deterministic uniform permutation — same
+    * family as hashSplit, so the pick reproduces across engines, runs,
+    * and partitionings). Fractional sampling (stratifiedSample) can't
+    * promise a sample SIZE; evaluation sets and human-review batches
+    * need one.
+    *
+    * Scale shape: one shuffle on the stratum for the rank window. For
+    * k ≪ stratum this is the window-rank form; if a stratum is a
+    * monster partition, the same semantics run as a per-stratum top-k
+    * (TakeOrdered) — see weightedSample's heap note. */
+  def exactKSample(df: DataFrame, idCol: String, stratumCol: String, k: Int,
+                   salt: String = "srs"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(key, col(idCol)) // full-md5 order; id tiebreak for safety
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Crawl-snapshot diff: full-outer join of two snapshots on the id,
     * comparing normalized content hashes — (id, status) with status in
     * added / removed / changed / unchanged. The incremental-ingestion

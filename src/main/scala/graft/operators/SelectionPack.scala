@@ -37,6 +37,9 @@ object SelectionPack extends QueryPack {
   val TokenBudget = 6000L
   /** Weighted-sample draw size + snapshot-delta added-id offset. */
   val SampleK = 50
+
+  /** Per-stratum exact sample size (q134). */
+  val ExactK = 20
   val DeltaOffset = 400000L
   /** q100 capstone knobs: re-crawl copy offset/period, per-source cap,
     * token budget (binds at every sf: ~120 docs fit of 300 capped). */
@@ -161,6 +164,16 @@ object SelectionPack extends QueryPack {
         .select(col("rank"), col("doc_id"), round(col("es_key"), 6).as("es_key"),
           round(col("w") - 0.01, 6).as("q"))
         .orderBy("rank")
+    }),
+
+    // Exact-k stratified SRS: exactly 20 docs per source, chosen by the
+    // salted-md5 permutation — the fixed-size eval-set draw fractional
+    // sampling can't provide. Reproduces across engines/partitionings.
+    "q134_exact_k_sample" -> ((s, dir) => {
+      Selection.exactKSample(docs(s, dir).select("doc_id", "source"),
+          "doc_id", "source", k = ExactK)
+        .select(col("source"), col("rank"), col("doc_id"))
+        .orderBy("source", "rank")
     }),
 
     // Crawl-snapshot diff: the second snapshot drops every 17th doc,
@@ -360,6 +373,16 @@ object SelectionPack extends QueryPack {
          |       CAST(cum_before AS BIGINT) AS cum_before
          |FROM c WHERE cum_before + n_toks <= $TokenBudget
          |ORDER BY doc_id""".stripMargin,
+
+    "q134_exact_k_sample" ->
+      s"""SELECT source,
+         |       CAST(row_number() OVER (PARTITION BY source
+         |         ORDER BY md5('srs:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |         AS BIGINT) AS rank,
+         |       doc_id
+         |FROM documents
+         |QUALIFY rank <= $ExactK
+         |ORDER BY source, rank""".stripMargin,
 
     "q82_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),

@@ -71,7 +71,14 @@ object Augment {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(chars(col("w")).as("syms"), col("cnt"))
       .cache()
-    vocab.count() // materialize once; rounds re-read the cached vocabulary
+    // one job per round: the argmax collect ALSO materializes the round's
+    // vocabulary cache (built from the previous round's still-live cache),
+    // after which the previous cache can drop
+    var prev: DataFrame = null
+    def retire(): Unit = {
+      if (prev != null) prev.unpersist()
+      prev = vocab
+    }
 
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     try {
@@ -89,6 +96,7 @@ object Augment {
           .limit(1)
           .as[(String, String, Long)]
           .collect()
+        retire()
         if (top.isEmpty) exhausted = true
         else {
           val (a, b, freq) = top.head
@@ -102,14 +110,14 @@ object Augment {
                 element_at(acc, -1) === lit(a) && x === lit(b),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
                 .otherwise(concat(acc, array(x))))
-          val next = vocab.select(mergedSyms.as("syms"), col("cnt")).cache()
-          next.count()
-          vocab.unpersist()
-          vocab = next
+          vocab = vocab.select(mergedSyms.as("syms"), col("cnt")).cache()
           r += 1
         }
       }
-    } finally vocab.unpersist()
+    } finally {
+      if (prev != null) prev.unpersist()
+      vocab.unpersist()
+    }
 
     merges.result().toDF("rank", "left", "right", "merged", "freq")
   }

@@ -78,6 +78,46 @@ object Graph {
     * associative and max is order-free, so results reproduce across
     * engines and partitionings. Returns (v, hub_fp, auth_fp, hub, auth)
     * with the doubles = fp / HitsUnit. */
+  /** Synchronous label propagation — community detection for corpus
+    * curation (domain clusters, link farms, boilerplate families). The
+    * graph is symmetrized (edges made undirected, deduplicated); every
+    * node starts labeled with its own id and each iteration adopts the
+    * label most frequent among its neighbors, ties broken by SMALLEST
+    * label. Both the tie-break and the synchronous schedule make the
+    * result a pure function of (edges, iters) — no randomness, so the
+    * q135 oracle replays the identical fixed point (sync LPA can
+    * oscillate on bipartite-ish structures; a FIXED iteration count makes
+    * even that reproducible).
+    *
+    * Returns (v, lab). Scale shape per iteration: one join labels×edges
+    * on the node id + one (node, label) count + one rank-1 window on the
+    * node — all shuffles on node ids, same as pageRank; the symmetrized
+    * edge set is checkpointed once outside the loop. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int, materialize: Boolean = true): DataFrame = {
+    require(iters >= 1)
+    import org.apache.spark.sql.expressions.Window
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val und = pin(dir
+      .union(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val nodes = pin(und.select(col("src").as("v")).distinct())
+    var labels = nodes.select(col("v"), col("v").as("lab"))
+    for (_ <- 1 to iters) {
+      val counts = und.join(labels, und("dst") === labels("v"))
+        .groupBy(und("src"), col("lab")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("src").orderBy(desc("c"), asc("lab"))
+      val best = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("v"), col("lab"))
+      labels = nodes.join(best, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
+    }
+    labels
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int, materialize: Boolean = true): DataFrame = {
     require(iters >= 1)

@@ -23,6 +23,9 @@ object GraphPack extends QueryPack {
   /** HITS iteration count (q123). */
   val HitsIters = 3
 
+  /** Label-propagation iteration count (q135). */
+  val LpaIters = 4
+
   private def edges(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "events")
       .select((col("user_id") % Nodes).as("src"), (col("event_id") % Nodes).as("dst"))
@@ -118,6 +121,35 @@ object GraphPack extends QueryPack {
     // via two aggregations + a full outer join on the node id; the
     // reciprocity check is a self-equi-join on (dst, src). All-integer
     // outputs plus one exact ratio.
+    // Community detection by synchronous label propagation: 4 fixed
+    // iterations, min-label tie-break — deterministic, so the oracle
+    // replays the identical label fixed point via unrolled CTEs. The
+    // graph is 4 dense 10-node blocks plus exactly one bridge per block
+    // boundary (nodes 0-10, 10-20, 20-30, 30-0): connected components
+    // would merge everything into one blob; LPA's majority vote keeps
+    // the 4 dense communities — exactly why a curation pipeline uses it
+    // over components for domain-cluster / link-farm detection. The
+    // bridge set is a fixed TOPOLOGY (one edge per block boundary, not a
+    // data-thinned sample), so the census depends only on which user/
+    // event residues exist at the scale factor — tiny SFs simply
+    // materialize fewer blocks. Output is the community census (label,
+    // size, member id range).
+    "q135_label_prop" -> ((s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"))
+      val base = ev.select(expr("user_id % 40").as("src"),
+        expr("((user_id % 40) DIV 10) * 10 + event_id % 10").as("dst"))
+      val bridges = ev.filter(expr("(user_id % 40) % 10 = 0"))
+        .select(expr("user_id % 40").as("src"),
+          expr("(user_id % 40 + 10) % 40").as("dst"))
+      val g = base.unionAll(bridges).filter(col("src") =!= col("dst"))
+      Graph.labelPropagation(g, "src", "dst", LpaIters)
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("sz"), min("v").as("min_v"),
+          max("v").as("max_v"))
+        .orderBy("community")
+    }),
+
     "q122_degree_audit" -> ((s, dir) => {
       val e = edges(s, dir).localCheckpoint(false) // five consumers below
       val outD = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
@@ -238,6 +270,36 @@ object GraphPack extends QueryPack {
         |       round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM cells c JOIN sizes s ON s.cohort = c.cohort
         |ORDER BY cohort, day_offset""".stripMargin,
+
+    "q135_label_prop" -> {
+      val iterCtes = (1 to LpaIters).map { k =>
+        s"""c$k AS (SELECT e.src AS v, l${k - 1}.lab, count(*) AS c
+           |       FROM e JOIN l${k - 1} ON l${k - 1}.v = e.dst GROUP BY 1, 2),
+           |b$k AS (SELECT v, lab FROM (
+           |         SELECT v, lab,
+           |                row_number() OVER (PARTITION BY v
+           |                  ORDER BY c DESC, lab) AS rn
+           |         FROM c$k) WHERE rn = 1),
+           |l$k AS (SELECT nodes.v, coalesce(b$k.lab, nodes.v) AS lab
+           |       FROM nodes LEFT JOIN b$k ON b$k.v = nodes.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (
+         |  SELECT user_id % 40 AS src,
+         |         ((user_id % 40) // 10) * 10 + event_id % 10 AS dst
+         |  FROM events
+         |  UNION ALL
+         |  SELECT user_id % 40 AS src, (user_id % 40 + 10) % 40 AS dst
+         |  FROM events WHERE (user_id % 40) % 10 = 0),
+         |e AS (SELECT DISTINCT src, dst FROM
+         |       (SELECT src, dst FROM d WHERE src <> dst
+         |        UNION ALL SELECT dst, src FROM d WHERE src <> dst)),
+         |nodes AS (SELECT DISTINCT src AS v FROM e),
+         |l0 AS (SELECT v, v AS lab FROM nodes),
+         |$iterCtes
+         |SELECT lab AS community, count(*) AS sz,
+         |       min(v) AS min_v, max(v) AS max_v
+         |FROM l$LpaIters GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q122_degree_audit" ->
       s"""WITH e AS (

@@ -174,4 +174,26 @@ class GraphVectorSpec extends SparkSpec {
       assert(partial > 0.0 && partial <= 1.0 + 1e-6)
     }
   }
+
+  test("labelPropagation: disjoint cliques resolve to their min labels") {
+    val tri = (a: Long, b: Long, c: Long) => Seq((a, b), (b, c), (a, c))
+    val e = (tri(1, 2, 3) ++ tri(10, 11, 12)).toDF("src", "dst")
+    val labs = Graph.labelPropagation(e, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).map(labs) === Seq(1L, 1L, 1L))
+    assert(Seq(10L, 11L, 12L).map(labs) === Seq(10L, 10L, 10L))
+  }
+
+  test("labelPropagation: a single bridge does NOT merge dense communities") {
+    // two 5-cliques {0..4} and {10..14} plus one bridge 0-10: connected
+    // components would report ONE component; LPA majority keeps two
+    val clique = (ids: Seq[Long]) =>
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val e = (clique(0L to 4L) ++ clique(10L to 14L) :+ (0L, 10L))
+      .toDF("src", "dst")
+    val labs = Graph.labelPropagation(e, "src", "dst", iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 4L).map(labs).toSet === Set(0L))
+    assert((10L to 14L).map(labs).toSet === Set(10L))
+  }
 }

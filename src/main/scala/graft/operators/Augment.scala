@@ -54,23 +54,43 @@ object Augment {
     * so the rule list is deterministic), merge it everywhere, repeat.
     * Returns (rank, left, right, merged, freq) with rank 1 = first merge.
     *
-    * The corpus is touched exactly once (tokenize + groupBy word); each
-    * round shuffles only the vocabulary table. The per-round 1-row
-    * collect is the argmax of the round — a learned scalar, not data
-    * movement. */
-  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    * The corpus is touched exactly once (tokenize + groupBy word — the
+    * only stage that sees 100 TB). The merge loop then runs on the
+    * (word, count) VOCABULARY, which is bounded by distinct-word count,
+    * not corpus size: when it fits the driver budget (`maxLocalVocab`)
+    * the loop runs in memory — exactly how production tokenizer trainers
+    * work (distributed count, local merge learning), and ~rounds× fewer
+    * scheduled jobs. An oversized vocabulary falls back to the
+    * distributed loop: one small shuffle + 1-row argmax collect per
+    * round. Both paths implement the identical greedy non-overlapping
+    * left-to-right merge and tie-break, so they return the same rules. */
+  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int,
+               maxLocalVocab: Long = 2000000L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
 
+    val counted = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
     val chars = (w: Column) =>
       concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
         array(lit("</w>")))
-    var vocab = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+    val nWords = counted.cache().count()
+    if (nWords <= maxLocalVocab) {
+      val words = counted.as[(String, Long)].collect()
+        .map { case (w, c) =>
+          (w.toCharArray.map(_.toString) :+ "</w>", c)
+        }
+      counted.unpersist()
+      return bpeLocal(spark, words, rounds)
+    }
+
+    var vocab = counted
       .select(chars(col("w")).as("syms"), col("cnt"))
       .cache()
+    counted.unpersist()
     // one job per round: the argmax collect ALSO materializes the round's
     // vocabulary cache (built from the previous round's still-live cache),
     // after which the previous cache can drop
@@ -119,6 +139,46 @@ object Augment {
       vocab.unpersist()
     }
 
+    merges.result().toDF("rank", "left", "right", "merged", "freq")
+  }
+
+  /** Driver-side merge loop over a collected (syms, count) vocabulary —
+    * same semantics as the distributed rounds (overlap-counted pair
+    * frequencies, greedy non-overlapping left-to-right merge,
+    * (freq desc, left, right) tie-break). */
+  private def bpeLocal(spark: org.apache.spark.sql.SparkSession,
+                       vocab: Array[(Array[String], Long)],
+                       rounds: Int): DataFrame = {
+    import spark.implicits._
+    var words = vocab
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(
+          v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((a, b), freq) =
+          counts.minBy { case ((x, y), f) => (-f, x, y) }
+        val m = a + b
+        merges += ((r, a, b, m, freq))
+        words = words.map { case (syms, c) =>
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += m; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+        r += 1
+      }
+    }
     merges.result().toDF("rank", "left", "right", "merged", "freq")
   }
 }

@@ -40,6 +40,17 @@ class AugmentSpec extends SparkSpec {
     assert(m(1) === ((2, "a", "</w>", "a</w>", 2L)))
   }
 
+  test("bpeLearn: local and distributed paths return identical rules") {
+    val docs = Seq("low lower lowest low low newest new")
+      .toDF("text")
+    val local = Augment.bpeLearn(docs, "text", rounds = 6)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val dist = Augment.bpeLearn(docs, "text", rounds = 6, maxLocalVocab = 0L)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(local === dist)
+    assert(local.size === 6)
+  }
+
   test("bpeLearn: stops early when no pairs remain") {
     // single char + marker: one pair each round until fully merged
     val docs = Seq("x").toDF("text")

@@ -24,4 +24,20 @@ object Layout {
     in.coalesce(targetFiles).write.mode("overwrite").parquet(outDir)
     (in.inputFiles.length, spark.read.parquet(outDir).inputFiles.length)
   }
+
+  /** Idempotent partition backfill: overwrite ONLY the hive-style
+    * partitions present in `df`, leaving every other partition of the
+    * table untouched (partitionOverwriteMode=dynamic; the default STATIC
+    * mode would truncate the whole table first). This is the
+    * reprocess-one-day / backfill-one-source write a 100 TB pipeline
+    * runs daily — rewriting the full table for a one-partition fix is a
+    * 1000× write amplification. Set per-write (a writer option), not
+    * session-wide, so concurrent writers keep their own semantics. */
+  def overwritePartitions(df: org.apache.spark.sql.DataFrame, path: String,
+                          partCol: String): Unit =
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy(partCol)
+      .parquet(path)
 }

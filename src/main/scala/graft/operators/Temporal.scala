@@ -51,6 +51,94 @@ object Temporal {
       .drop("_v")
   }
 
+  /** Complete (key, day_idx, cents) daily activity grid: day_idx counts
+    * from the GLOBAL min day, every key gets every day in [0, D), absent
+    * days are zero (a series, unlike [[gapFill]]'s last-observation
+    * semantics for metrics). The zero-filled grid is what correlation /
+    * distance math needs — missing days are real zeros of activity. */
+  def dailySeries(events: DataFrame, keyCol: String, tsCol: String,
+                  centsCol: Column): DataFrame = {
+    val b = events.select(col(keyCol).as("k"),
+      (unix_timestamp(date_trunc("day", col(tsCol))) / lit(86400L))
+        .cast("long").as("d"),
+      centsCol.cast("long").as("c"))
+    val agg = b.groupBy("k", "d").agg(sum("c").as("c"))
+    val bounds = b.agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = b.select("k").distinct().crossJoin(bounds)
+      .select(col("k"),
+        explode(sequence(lit(0L), col("d1") - col("d0"))).as("day_idx"),
+        col("d0"))
+    grid.join(agg, grid("k") === agg("k") &&
+        grid("day_idx") + grid("d0") === agg("d"), "left")
+      .select(grid("k").as("key"), col("day_idx"),
+        coalesce(col("c"), lit(0L)).as("cents"))
+  }
+
+  /** SAX-style coarse signature of a daily series: split the D days into
+    * `segments` equal spans, emit one bit per span — 1 iff the span's
+    * sum × segments ≥ the series total (above-average activity). Pure
+    * integer compares, so the signature is engine-exact. Used as the
+    * BLOCKING key for similarity search: only same-signature series are
+    * compared (the classic SAX lower-bound filter; recall is bounded by
+    * the blocking rule, which is therefore part of the contract). */
+  def saxSignature(daily: DataFrame, segments: Int): DataFrame = {
+    require(segments >= 1 && segments <= 32)
+    val withSeg = daily.crossJoin(
+      broadcast(daily.agg((max(col("day_idx")) + 1).as("nd"))))
+      .withColumn("seg", // integer DIV: float division could land a
+        // boundary day in the wrong span via ulp error
+        expr(s"CAST((day_idx * $segments) DIV nd AS INT)"))
+    withSeg.groupBy(col("key"), col("seg"))
+      .agg(sum(col("cents")).as("s"))
+      .withColumn("tot", sum(col("s")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")))
+      .groupBy("key")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("seg"),
+        when(col("s") * segments >= col("tot"), lit("1"))
+          .otherwise(lit("0")).as("bit")))), x => x.getField("bit")), "")
+        .as("sig"))
+  }
+
+  /** Top-k most correlated key pairs — time-series similarity search
+    * with SAX blocking (REPOSE/EDBT-style: coarse signature prunes the
+    * pair space; exact scoring runs only inside blocks, never all-pairs).
+    * Pearson over the complete zero-filled daily grid; every moment
+    * (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT in both engines, cast
+    * to double only for the final ratio — so the snapped correlation is
+    * engine-exact. Zero-variance series drop (NULL correlation).
+    *
+    * Scale shape: the pair join is an equi-join on (signature, day) —
+    * cost Σ_sig |block|² × D, bounded by the largest block; a skewed
+    * block salts like any hot join key. */
+  def correlatedPairs(events: DataFrame, keyCol: String, tsCol: String,
+                      centsCol: Column, segments: Int, k: Int): DataFrame = {
+    require(k >= 1)
+    val daily = dailySeries(events, keyCol, tsCol, centsCol)
+    val sig = saxSignature(daily, segments)
+    val d = daily.join(sig, "key")
+    val l = d.select(col("sig"), col("day_idx"), col("key").as("ka"),
+      col("cents").as("xa"))
+    val r = d.select(col("sig"), col("day_idx"), col("key").as("kb"),
+      col("cents").as("xb"))
+    val mom = l.join(r, Seq("sig", "day_idx"))
+      .filter(col("ka") < col("kb"))
+      .groupBy("ka", "kb")
+      .agg(count(lit(1)).as("n"),
+        sum("xa").as("sx"), sum("xb").as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val vx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val corr = graft.functions.Portable.snap6(
+      num / sqrt(vx * vy))
+    mom.withColumn("corr", when(vx > 0 && vy > 0, corr))
+      .filter(col("corr").isNotNull)
+      .orderBy(desc("corr"), col("ka"), col("kb"))
+      .limit(k)
+  }
+
   /** Trailing event-time window per row: for every event, the count and
     * exact cents-sum of all events of the same `keyCol` within the last
     * `windowSec` seconds (inclusive of the current second's peers — a

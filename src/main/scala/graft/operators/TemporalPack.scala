@@ -14,6 +14,10 @@ object TemporalPack extends QueryPack {
   /** Trailing window width for q126 (seconds). */
   val SlideSec = 900L
 
+  /** SAX signature segments and result size for q136. */
+  val CorrSegments = 4
+  val CorrK = 25
+
   // Tables.events, not .table: the raw parquet ts is TIMESTAMP(NANOS),
   // which Spark surfaces as BIGINT; the helper truncates to the micros
   // TIMESTAMP DuckDB also sees.
@@ -52,6 +56,18 @@ object TemporalPack extends QueryPack {
           min("w_cents").as("min_cents"),
           sum("w_n").as("sum_n"))
         .orderBy("event_type")
+    }),
+
+    // Time-series similarity search: top-25 most correlated user pairs
+    // by daily activity. SAX-signature blocking prunes the pair space
+    // (never all-pairs); Pearson moments are exact BIGINTs in both
+    // engines, double only in the final ratio, snapped to 6 decimals.
+    "q136_series_corr" -> ((s, dir) => {
+      Temporal.correlatedPairs(events(s, dir), "user_id", "ts", cents,
+          CorrSegments, CorrK)
+        .select(col("ka").as("user_a"), col("kb").as("user_b"),
+          col("n"), col("corr"))
+        .orderBy(desc("corr"), col("user_a"), col("user_b"))
     }),
   )
 
@@ -101,5 +117,60 @@ object TemporalPack extends QueryPack {
          |       CAST(min(w_cents) AS BIGINT) AS min_cents,
          |       CAST(sum(w_n) AS BIGINT) AS sum_n
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q136_series_corr" ->
+      s"""WITH b AS (
+         |  SELECT user_id AS k,
+         |         CAST(floor(epoch(date_trunc('day', ts)) / 86400)
+         |              AS BIGINT) AS d,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |agg AS (SELECT k, d, CAST(sum(c) AS BIGINT) AS c
+         |        FROM b GROUP BY 1, 2),
+         |bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM b),
+         |grid AS (
+         |  SELECT t.k, g.day_idx
+         |  FROM (SELECT DISTINCT k FROM b) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, d1 - d0))
+         |              AS day_idx FROM bounds) g),
+         |daily AS (
+         |  SELECT grid.k, grid.day_idx, coalesce(agg.c, 0) AS cents
+         |  FROM grid LEFT JOIN agg
+         |    ON agg.k = grid.k
+         |   AND agg.d = grid.day_idx + (SELECT d0 FROM bounds)),
+         |nd AS (SELECT max(day_idx) + 1 AS nd FROM daily),
+         |segsum AS (
+         |  SELECT k, CAST((day_idx * $CorrSegments) // (SELECT nd FROM nd)
+         |              AS INT) AS seg,
+         |         CAST(sum(cents) AS BIGINT) AS s
+         |  FROM daily GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT k, string_agg(CASE WHEN s * $CorrSegments >= tot
+         |                            THEN '1' ELSE '0' END, ''
+         |                       ORDER BY seg) AS sig
+         |  FROM (SELECT k, seg, s,
+         |               CAST(sum(s) OVER (PARTITION BY k) AS BIGINT) AS tot
+         |        FROM segsum) GROUP BY k),
+         |d AS (SELECT daily.k, sig.sig, daily.day_idx, daily.cents
+         |      FROM daily JOIN sig USING (k)),
+         |mom AS (
+         |  SELECT a.k AS ka, bb.k AS kb, count(*) AS n,
+         |         CAST(sum(a.cents) AS BIGINT) AS sx,
+         |         CAST(sum(bb.cents) AS BIGINT) AS sy,
+         |         CAST(sum(a.cents * bb.cents) AS BIGINT) AS sxy,
+         |         CAST(sum(a.cents * a.cents) AS BIGINT) AS sxx,
+         |         CAST(sum(bb.cents * bb.cents) AS BIGINT) AS syy
+         |  FROM d a JOIN d bb
+         |    ON a.sig = bb.sig AND a.day_idx = bb.day_idx AND a.k < bb.k
+         |  GROUP BY 1, 2)
+         |SELECT ka AS user_a, kb AS user_b, n,
+         |       floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+         |              sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+         |                   CAST(n * syy - sy * sy AS DOUBLE))) * 1000000.0)
+         |         / 1000000.0 AS corr
+         |FROM mom
+         |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |ORDER BY corr DESC, user_a, user_b
+         |LIMIT $CorrK""".stripMargin,
   )
 }

@@ -81,6 +81,28 @@ object Tables {
     table(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
 
+  /** Corrupt-tolerant typed CSV scan: rows that fail the schema land
+    * whole in a `_bad` column instead of killing the job (PERMISSIVE
+    * mode) — the posture a crawl-scale ingest needs, where a malformed
+    * line per million is certain and a fail-fast scan is a denial of
+    * service against the pipeline. Callers split on `_bad IS NULL` and
+    * route the quarantine rows to a dead-letter sink. NOTE Spark refuses
+    * a raw-scan query whose referenced columns reduce to ONLY the
+    * corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_
+    * COLUMN — column pruning would re-parse with a partial schema and
+    * change which rows count as corrupt): materialize the parse once
+    * (cache, or write the parsed batch) before splitting good/bad, which
+    * an ingest pipeline does anyway. */
+  def robustCsv(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType,
+                delimiter: String = ","): org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema(schema.add("_bad", "string"))
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(path)
+
   /** S1/S2: typed CSV scan; delimiter comma or tab, optional header skip. */
   def ratingsCsv(spark: SparkSession, path: String,
                  delimiter: String = ",", header: Boolean = false): DataFrame =

@@ -56,6 +56,25 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.table(spark, sibling, "documents") eq cachedSibling)
   }
 
+  test("robustCsv quarantines malformed rows instead of failing the scan") {
+    val dir = tmpDir("badcsv")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/r.csv"),
+      "1,2,3.5\nnot,a,number,extra\n4,5,1.0\ngarbage\n")
+    // materialize the parse before splitting (Spark disallows raw-scan
+    // queries that reference only the corrupt column; pruning would
+    // re-parse with a partial schema) — the documented ingest pattern
+    val df = Tables.robustCsv(spark, s"$dir/r.csv", Tables.ratingSchema)
+      .cache()
+    try {
+      val good = df.filter(col("_bad").isNull)
+      val bad = df.filter(col("_bad").isNotNull).select("_bad").as[String]
+      assert(good.count() === 2)
+      assert(good.select(sum("rating")).first().getDouble(0) === 4.5)
+      // the quarantine column carries the raw line for the dead-letter sink
+      assert(bad.collect().toSet === Set("not,a,number,extra", "garbage"))
+    } finally df.unpersist()
+  }
+
   test("S4/S5: recursive text scan enumerates nested dirs") {
     val dir = tmpDir("txt")
     Files.createDirectories(java.nio.file.Paths.get(s"$dir/nested/deep"))

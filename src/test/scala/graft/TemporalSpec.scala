@@ -56,6 +56,32 @@ class TemporalSpec extends SparkSpec {
     )
   }
 
+  test("correlatedPairs: identical activity patterns score corr 1.0") {
+    // users 1 and 2: same shape (2x scale). user 3: opposite-half
+    // activity -> different SAX signature -> never compared (the
+    // documented blocking tradeoff). n=4 days grid.
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L),
+      (1L, ts("2024-01-02 10:00:00"), 300L),
+      (2L, ts("2024-01-01 11:00:00"), 200L),
+      (2L, ts("2024-01-02 11:00:00"), 600L),
+      (3L, ts("2024-01-03 10:00:00"), 500L),
+      (3L, ts("2024-01-04 10:00:00"), 500L)
+    ).toDF("user_id", "t", "c")
+    val out = Temporal.correlatedPairs(ev, "user_id", "t", col("c"),
+        segments = 2, k = 10)
+      .select("ka", "kb", "corr").as[(Long, Long, Double)].collect().toSeq
+    assert(out === Seq((1L, 2L, 1.0))) // the 2x-scaled ratio is exact here
+  }
+
+  test("correlatedPairs: plan is an equi-join on (signature, day), no cartesian") {
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), 10L),
+      (2L, ts("2024-01-02 10:00:00"), 20L)).toDF("user_id", "t", "c")
+    val plan = Temporal.correlatedPairs(ev, "user_id", "t", col("c"), 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("gapFill: single observation yields a 1-bucket grid, no gaps") {
     val one = Seq(("x", ts("2024-02-02 10:30:00"), 5L)).toDF("k", "t", "c")
     val out = Temporal.gapFill(one, "k", "t", col("c"), "hour")

@@ -74,4 +74,20 @@ class ZOrderSpec extends SparkSpec {
     // full grid: all 64 cells
     assert(ZOrder.coveringCells(0, 255, 0, 255, 8, 3).length === 64)
   }
+
+  test("Layout.overwritePartitions backfills ONE partition, leaves the rest") {
+    val tmp = Files.createTempDirectory("dynpart").toString
+    Seq((1L, "a", "old-a"), (2L, "b", "old-b"), (3L, "c", "old-c"))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").parquet(s"$tmp/t")
+    // backfill day=b only; STATIC overwrite would truncate a and c too
+    operators.Layout.overwritePartitions(
+      Seq((20L, "b", "new-b"), (21L, "b", "new-b2")).toDF("id", "day", "v"),
+      s"$tmp/t", "day")
+    val after = spark.read.parquet(s"$tmp/t")
+      .select("id", "day", "v").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(after === Seq((1L, "a", "old-a"), (3L, "c", "old-c"),
+      (20L, "b", "new-b"), (21L, "b", "new-b2")))
+  }
 }

@@ -25,6 +25,9 @@ object SearchPack extends QueryPack {
   val TopC = 100
   val RrfK = 60
 
+  /** Global top-N size for the rank-equalization fusion audit (q137). */
+  val FuseN = 100
+
   private def rankTop(df: DataFrame, scoreCol: String, n: Int,
                       rankName: String): DataFrame = {
     val top = df.orderBy(col(scoreCol).desc, col("id")).limit(n)
@@ -76,6 +79,32 @@ object SearchPack extends QueryPack {
           col("lex_rank").cast("double").as("lex_rank"),
           col("dense_rank").cast("double").as("dense_rank"), col("rrf"))
         .orderBy("rank")
+    }),
+
+    // Cross-source score equalization: a raw global quality top-100 is
+    // dominated by whichever source's score distribution sits highest;
+    // rank-normalizing within source (percent_rank = histogram
+    // equalization) makes scores comparable across sources — the
+    // pre-fusion step for mixing ranked lists of different calibration.
+    // Output contrasts per-source membership of both top-100s; all
+    // counts, no float outputs (ranks are exact small rationals used
+    // only for ordering).
+    "q137_rank_fuse" -> ((s, dir) => {
+      val t = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions
+            .qualityScore(col("text"), TextPack.stopwords).as("q"))
+      val rawTop = t.orderBy(desc("q"), col("doc_id")).limit(FuseN)
+      val weq = Window.partitionBy("source").orderBy(col("q"), col("doc_id"))
+      val eqTop = t.withColumn("eq", percent_rank().over(weq))
+        .orderBy(desc("eq"), col("doc_id")).limit(FuseN)
+      rawTop.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(eqTop.groupBy("source").agg(count(lit(1)).as("n_eq")),
+          Seq("source"), "full_outer")
+        .select(col("source"),
+          coalesce(col("n_raw"), lit(0L)).as("n_raw"),
+          coalesce(col("n_eq"), lit(0L)).as("n_eq"))
+        .orderBy("source")
     })
   )
 
@@ -151,6 +180,28 @@ object SearchPack extends QueryPack {
          |SELECT CAST(rank AS INT) AS rank, id AS doc_id,
          |       CAST(lex_rank AS DOUBLE) AS lex_rank,
          |       CAST(dense_rank AS DOUBLE) AS dense_rank, rrf
-         |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin
+         |FROM r WHERE rank <= $TopK ORDER BY rank""".stripMargin,
+
+    "q137_rank_fuse" ->
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |            ${TextPack.toksSql("text")} AS toks FROM documents),
+         |s AS (SELECT doc_id, source,
+         |        ${graft.functions.TextFunctions
+                     .qualityScoreSql(TextPack.stopwords)} AS q FROM t),
+         |raw AS (SELECT doc_id, source FROM s
+         |        ORDER BY q DESC, doc_id LIMIT $FuseN),
+         |eq AS (SELECT doc_id, source,
+         |         percent_rank() OVER (PARTITION BY source
+         |           ORDER BY q, doc_id) AS eq
+         |       FROM s),
+         |eqt AS (SELECT doc_id, source FROM eq
+         |        ORDER BY eq DESC, doc_id LIMIT $FuseN),
+         |a AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY 1),
+         |b AS (SELECT source, count(*) AS n_eq FROM eqt GROUP BY 1)
+         |SELECT coalesce(a.source, b.source) AS source,
+         |       CAST(coalesce(n_raw, 0) AS BIGINT) AS n_raw,
+         |       CAST(coalesce(n_eq, 0) AS BIGINT) AS n_eq
+         |FROM a FULL JOIN b ON a.source = b.source
+         |ORDER BY source""".stripMargin
   )
 }

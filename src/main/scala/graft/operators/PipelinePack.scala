@@ -140,6 +140,33 @@ object PipelinePack extends QueryPack {
         .orderBy("source")
     }),
 
+    // Two-level sketch ROLLUP: per-source DataSketches HLL over word
+    // 3-grams, then the GLOBAL distinct estimated by unioning the
+    // per-source sketches — never rescanning the corpus. This is the
+    // property approx_count_distinct lacks (its partial is not a stored,
+    // re-aggregable artifact): at 100 TB the per-source sketch column IS
+    // the stored profile, and any ad-hoc grouping rolls up from it. The
+    // oracle pins the exact counts and the accuracy gates; the sum of
+    // per-source exacts vs the global exact exposes the cross-source
+    // overlap a naive sum would double-count.
+    "q138_hll_rollup" -> ((s, dir) => {
+      val grams = docs(s, dir)
+        .select(col("source"), explode(TextFunctions.wordNgrams(
+          TextFunctions.tokens(col("text")), 3)).as("g"))
+      val perSource = grams.groupBy("source")
+        .agg(count_distinct(col("g")).as("exact"),
+          expr("hll_sketch_agg(g, 12)").as("sk"))
+      val rolled = perSource.agg(
+        sum(col("exact")).as("sum_source_exact"),
+        expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exactG = grams.agg(count_distinct(col("g")).as("exact_global"))
+      rolled.crossJoin(broadcast(exactG))
+        .select(col("exact_global"), col("sum_source_exact"),
+          (abs(col("est") - col("exact_global")).cast("double")
+            / col("exact_global") <= 0.05).as("union_ok"),
+          (col("sum_source_exact") >= col("exact_global")).as("overlap_ok"))
+    }),
+
     // Small-file compaction: fragment the corpus into 64 tiny files, run
     // Layout.compact (coalesce — narrow, no shuffle), then gate on the
     // file listings and on LOSSLESSNESS via a relational full-outer
@@ -393,6 +420,24 @@ object PipelinePack extends QueryPack {
          |       CAST(count(DISTINCT tok) AS BIGINT) AS exact_toks,
          |       TRUE AS hll_ok
          |FROM t GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q138_hll_rollup" -> {
+      val toks = TextPack.toksSql("text")
+      val grams3 =
+        s"""CASE WHEN len(toks) >= 3
+           |     THEN list_transform(generate_series(1, len(toks) - 2),
+           |            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+           |     ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |g AS (SELECT source, unnest($grams3) AS g FROM t),
+         |per AS (SELECT source, count(DISTINCT g) AS exact
+         |        FROM g GROUP BY 1)
+         |SELECT (SELECT CAST(count(DISTINCT g) AS BIGINT) FROM g)
+         |         AS exact_global,
+         |       CAST(sum(exact) AS BIGINT) AS sum_source_exact,
+         |       TRUE AS union_ok, TRUE AS overlap_ok
+         |FROM per""".stripMargin
     },
 
     "q93_compact" ->

@@ -237,4 +237,21 @@ class PipelineSpec extends SparkSpec {
     val viaSql = Seq(varied).toDF("t").createOrReplaceTempView("zr_t")
     assert(spark.sql("SELECT graft_zratio(t) FROM zr_t").as[Double].head() === rows("v"))
   }
+
+  test("HLL sketch rollup: union of group sketches estimates the global set") {
+    // two groups with 50% overlap: union estimate must track the true
+    // 150-element union (small-N DataSketches HLL is near-exact), and
+    // the stored-sketch rollup must equal sketching the whole set
+    val df = ((1 to 100).map(i => ("a", s"x$i")) ++
+      (51 to 150).map(i => ("b", s"x$i"))).toDF("g", "v")
+    val per = df.groupBy("g").agg(expr("hll_sketch_agg(v, 12)").as("sk"))
+    val viaRollup = per
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("e"))
+      .as[Double].head()
+    val direct = df
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(v, 12))").as("e"))
+      .as[Double].head()
+    assert(viaRollup === direct) // rollup of stored sketches loses nothing
+    assert(math.abs(viaRollup - 150.0) / 150.0 < 0.05)
+  }
 }

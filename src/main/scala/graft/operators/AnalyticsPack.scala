@@ -103,6 +103,48 @@ object AnalyticsPack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING marketing touch (click/view) — the strictly-
+    // before window frame (UNBOUNDED..-1) is the point: a purchase
+    // arriving in the same instant as a touch must not credit it.
+    // One window over the user partition; revenue in integer cents.
+    "q139_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            col("event_type")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+        .orderBy("touch")
+    }),
+
+    // SCD2 interval build: collapse each user's event-type runs into
+    // validity intervals [valid_from, valid_to) — the slowly-changing-
+    // dimension history a warehouse derives from a change stream. Two
+    // windows over the user partition (lag to detect changes, lead on
+    // the COLLAPSED rows to close intervals); durations summed in exact
+    // integer microseconds; open intervals (the current state) counted
+    // separately.
+    "q140_scd2" -> ((s, dir) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(byU))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          expr("unix_micros(ts)").as("from_us"))
+      val iv = changes.withColumn("to_us", lead(col("from_us"), 1).over(byU))
+      iv.groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(when(col("to_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          sum(when(col("to_us").isNotNull, col("to_us") - col("from_us"))
+            .otherwise(0L)).as("dur_us"))
+        .orderBy("event_type")
+    }),
+
     // TPC-H Q5-shaped multi-join: fact chain customer ⋈ orders ⋈ lineitem
     // with the dimension chain supplier/nation/region riding BROADCASTS —
     // revenue per nation. The canonical star-join scale shape: the only
@@ -378,6 +420,42 @@ object AnalyticsPack extends QueryPack {
         |FROM events JOIN customer ON user_id = c_custkey
         |WHERE c_custkey < 150
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q139_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'none') AS touch, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q140_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         CAST(epoch_us(ts) AS BIGINT) AS from_us
+        |  FROM o WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (
+        |  SELECT event_type, from_us,
+        |         lead(from_us) OVER (PARTITION BY user_id
+        |                             ORDER BY ts, event_id) AS to_us
+        |  FROM c)
+        |SELECT event_type, count(*) AS n_intervals,
+        |       CAST(sum(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_open,
+        |       CAST(sum(CASE WHEN to_us IS NOT NULL THEN to_us - from_us
+        |                     ELSE 0 END) AS BIGINT) AS dur_us
+        |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q133_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,

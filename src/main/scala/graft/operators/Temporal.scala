@@ -106,6 +106,9 @@ object Temporal {
     * (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT in both engines, cast
     * to double only for the final ratio — so the snapped correlation is
     * engine-exact. Zero-variance series drop (NULL correlation).
+    * DOMAIN: |cents|·√days must stay under ~3e9 so n·Σx² fits int64 —
+    * Spark wraps silently on overflow where DuckDB errors; rescale the
+    * fixed-point unit for series hotter than that.
     *
     * Scale shape: the pair join is an equi-join on (signature, day) —
     * cost Σ_sig |block|² × D, bounded by the largest block; a skewed
@@ -154,6 +157,6 @@ object Temporal {
       .withColumn("_c", centsCol.cast("long"))
       .withColumn("w_n", count(lit(1)).over(w))
       .withColumn("w_cents", sum(col("_c")).over(w))
-      .drop("_c")
+      .drop("_c", "_ep")
   }
 }

@@ -94,6 +94,51 @@ object Dedup {
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
   }
 
+  /** Threshold Jaccard self-join via PREFIX FILTERING (Chaudhuri et al.
+    * ICDE'06 / Bayardo All-Pairs) — LOSSLESS candidate pruning, unlike
+    * MinHash/LSH: order every document's shingles by global rarity
+    * (document frequency, ties by the shingle text — any consistent
+    * total order preserves correctness; rarity minimizes candidates);
+    * any pair with J ≥ t must share at least one shingle inside each
+    * side's (n − ⌈t·n⌉ + 1)-prefix, so the candidate join runs on the
+    * rare prefix shingles only and exact verification runs on candidates
+    * only. The result set EQUALS the exact all-pairs threshold join —
+    * the q141 oracle is that exact join.
+    *
+    * Scale shape: candidate cost is Σ over PREFIX shingles of df², and
+    * prefixes are the rarest shingles, so hot shingles (stop-phrases)
+    * that blow up [[allPairsJaccard]]'s Σ df² are exactly the ones the
+    * prefix excludes for high-n documents. */
+  def prefixFilterJaccard(shIn: DataFrame, threshold: Double,
+                          id: String = "doc_id"): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val sh = shIn.localCheckpoint(false)
+    val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))
+    val prefixes = sh.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(w))
+      .join(counts, id)
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col(id), col("sh"))
+    val cand = prefixes.select(col(id).as("doc_a"), col("sh"))
+      .join(prefixes.select(col(id).as("doc_b"), col("sh")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = cand
+      .join(sh.select(col(id).as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col(id).as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(counts.select(col(id).as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col(id).as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("n_shared").cast("double")
+        / (col("n_a") + col("n_b") - col("n_shared")))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** All-pairs exact Jaccard WITHOUT materializing the pair cross product:
     * the shared-shingle counts come from a self-equi-join on the shingle —
     * only pairs that share at least one shingle ever exist, so the cost is

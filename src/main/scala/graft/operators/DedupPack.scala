@@ -16,6 +16,9 @@ object DedupPack extends QueryPack {
 
   val CopyOffset = 100000L
 
+  /** Jaccard threshold for the prefix-filtered join (q141). */
+  val PrefixT = 0.5
+
   /** documents ∪ shifted copy of documents. */
   def withCopies(spark: SparkSession, dir: String, mod: Int = 1): DataFrame = {
     val d = Tables.table(spark, dir, "documents").select(col("doc_id"), col("text"))
@@ -113,6 +116,20 @@ object DedupPack extends QueryPack {
       Dedup.allPairsJaccard(sh)
         .filter(col("jaccard") >= 0.3)
         .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Prefix-filtered threshold Jaccard: the LOSSLESS candidate pruner —
+    // the oracle is the EXACT all-pairs join at the same threshold, so a
+    // single missing or extra pair fails the hash. Candidates come only
+    // from each document's rarest (n − ⌈t·n⌉ + 1) shingles.
+    "q141_prefix_jaccard" -> ((s, dir) => {
+      val docs = withCopies(s, dir, mod = 5)
+      val sh = Dedup.shingles(docs, n = 3)
+      Dedup.prefixFilterJaccard(sh, threshold = PrefixT)
+        .select(col("doc_a"), col("doc_b"),
+          col("n_shared").cast("long").as("n_shared"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
@@ -395,6 +412,16 @@ object DedupPack extends QueryPack {
          |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |         FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
          |${jaccardTailSql(0.3, " CAST(n_shared AS BIGINT) AS n_shared,")}""".stripMargin,
+
+    // EXACT all-pairs join: equality with the Spark side's prefix-filtered
+    // result proves the pruning lossless
+    "q141_prefix_jaccard" ->
+      s"""WITH docs AS (${withCopiesSql(5)}),
+         |sh AS (${shinglesSql("docs")}),
+         |ids AS (SELECT DISTINCT doc_id FROM sh),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM ids a JOIN ids b ON a.doc_id < b.doc_id),
+         |${jaccardTailSql(PrefixT, " CAST(n_shared AS BIGINT) AS n_shared,")}""".stripMargin,
 
     "q56_contamination" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 9),

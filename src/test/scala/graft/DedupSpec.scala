@@ -117,4 +117,38 @@ class DedupSpec extends SparkSpec {
     val j = Dedup.jaccard(pairs, sh).head().getAs[Double]("jaccard")
     assert(math.abs(j - 1.0 / 3.0) < 1e-12) // 1 shared of 3 distinct
   }
+
+  test("prefixFilterJaccard equals the exact all-pairs threshold join") {
+    // near-dup pair, a partial overlap below threshold, and an unrelated
+    // doc sharing a STOP-shingle with everyone (the prefix should skip it)
+    val docs = Seq(
+      (1L, "the common run alpha beta gamma delta"),
+      (2L, "the common run alpha beta gamma echo"),
+      (3L, "the common run zulu yankee xray whiskey"),
+      (4L, "the common run only")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = Dedup.prefixFilterJaccard(sh, t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      val exact = Dedup.allPairsJaccard(sh)
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+      assert(fast === exact, s"threshold $t")
+    }
+  }
+
+  test("prefix filtering actually prunes: fewer candidates than shared-shingle pairs") {
+    // 10 docs all sharing one hot shingle; only 2 are near-dups
+    val docs = ((1L to 8L).map(i =>
+      (i, s"zz hot shingle unique$i tail$i more$i")) ++
+      Seq((20L, "aa bb cc dd ee ff"), (21L, "aa bb cc dd ee gg")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    val out = Dedup.prefixFilterJaccard(sh, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((20L, 21L)))
+  }
 }

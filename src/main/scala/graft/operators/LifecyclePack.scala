@@ -114,6 +114,34 @@ object LifecyclePack extends QueryPack {
     // (per-block aggregate + tiny offset table), the same scale-safe prefix
     // sum sequence packing uses. Per-source ranks partition by source;
     // block sizes cap at the source count.
+    // Deterministic range layout + manifest: shard boundaries are EXACT
+    // quartiles (snapped to 9 decimals, the q107 convention) rather than
+    // Spark's repartitionByRange reservoir sample — sampled boundaries
+    // change run to run, which poisons diffable exports and incremental
+    // reprocessing; explicit cutpoints are the 100 TB answer (compute
+    // once, reuse across runs). Output is the per-shard manifest (count,
+    // min, max) a range-pruning reader consumes: a scan for
+    // n_chars BETWEEN a AND b touches only shards whose [min,max]
+    // intersects.
+    "q143_range_layout" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val cuts = d.agg(
+        round(expr("percentile(n_chars, 0.25)"), 9).as("c1"),
+        round(expr("percentile(n_chars, 0.50)"), 9).as("c2"),
+        round(expr("percentile(n_chars, 0.75)"), 9).as("c3"))
+      d.crossJoin(broadcast(cuts))
+        .withColumn("shard",
+          when(col("n_chars") < col("c1"), 0L)
+            .when(col("n_chars") < col("c2"), 1L)
+            .when(col("n_chars") < col("c3"), 2L).otherwise(3L))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
+          sum("n_chars").as("chars"))
+        .orderBy("shard")
+    }),
+
     "q110_interleave" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents").select("doc_id", "source")
       val wSrc = Window.partitionBy("source").orderBy("doc_id")
@@ -192,6 +220,22 @@ object LifecyclePack extends QueryPack {
          |            AS BIGINT) AS cum_tokens,
          |       avg_q
          |FROM g ORDER BY decile""".stripMargin,
+
+    "q143_range_layout" ->
+      """WITH cuts AS (
+        |  SELECT round(quantile_cont(n_chars, 0.25), 9) AS c1,
+        |         round(quantile_cont(n_chars, 0.50), 9) AS c2,
+        |         round(quantile_cont(n_chars, 0.75), 9) AS c3
+        |  FROM documents)
+        |SELECT CASE WHEN n_chars < c1 THEN 0
+        |            WHEN n_chars < c2 THEN 1
+        |            WHEN n_chars < c3 THEN 2 ELSE 3 END AS shard,
+        |       count(*) AS n_docs,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents CROSS JOIN cuts
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q110_interleave" ->
       """SELECT doc_id, source, CAST(rn AS INT) AS rn,

@@ -28,6 +28,9 @@ object SearchPack extends QueryPack {
   /** Global top-N size for the rank-equalization fusion audit (q137). */
   val FuseN = 100
 
+  /** The exact phrase for positional search (q142) — adjacent tokens. */
+  val Phrase = Seq("hash", "join")
+
   private def rankTop(df: DataFrame, scoreCol: String, n: Int,
                       rankName: String): DataFrame = {
     val top = df.orderBy(col(scoreCol).desc, col("id")).limit(n)
@@ -105,6 +108,28 @@ object SearchPack extends QueryPack {
           coalesce(col("n_raw"), lit(0L)).as("n_raw"),
           coalesce(col("n_eq"), lit(0L)).as("n_eq"))
         .orderBy("source")
+    }),
+
+    // Exact phrase search over a POSITIONAL postings index: one posting
+    // (doc, term, pos) per occurrence, the phrase resolved by an
+    // adjacency equi-join (pos_2 = pos_1 + 1) — the scale path that
+    // never rescans full text (term filters push into the scan; the
+    // join runs on the two term posting lists only). The oracle is the
+    // naive full-text scan, so the postings semantics are pinned against
+    // "what the text actually contains".
+    "q142_phrase_search" -> ((s, dir) => {
+      val p = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val t1 = p.filter(col("tok") === Phrase(0))
+        .select(col("doc_id"), col("pos"))
+      val t2 = p.filter(col("tok") === Phrase(1))
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+      val hits = t1.join(t2, col("doc_id") === col("doc_id2") &&
+        col("pos2") === col("pos") + 1)
+      hits.agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
     })
   )
 
@@ -202,6 +227,20 @@ object SearchPack extends QueryPack {
          |       CAST(coalesce(n_raw, 0) AS BIGINT) AS n_raw,
          |       CAST(coalesce(n_eq, 0) AS BIGINT) AS n_eq
          |FROM a FULL JOIN b ON a.source = b.source
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    "q142_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(generate_series(1, len(toks) - 1),
+         |          i -> toks[i] = '${Phrase(0)}'
+         |           AND toks[i + 1] = '${Phrase(1)}')) AS occ
+         |      FROM t)
+         |SELECT CAST(sum(occ) AS BIGINT) AS n_occurrences,
+         |       CAST(count(*) FILTER (WHERE occ > 0) AS BIGINT) AS n_docs,
+         |       min(doc_id) FILTER (WHERE occ > 0) AS min_doc,
+         |       max(doc_id) FILTER (WHERE occ > 0) AS max_doc
+         |FROM h""".stripMargin
   )
 }

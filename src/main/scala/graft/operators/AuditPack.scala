@@ -44,6 +44,9 @@ object AuditPack extends QueryPack {
   /** Equi-depth bin count for the curriculum binning audit (q129). */
   val NBins = 10
 
+  /** Fixed-width histogram bins for the mergeable-quantile audit (q144). */
+  val HistBins = 32
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cross-tab: per user segment, total event value by type. The pivot is
@@ -225,6 +228,48 @@ object AuditPack extends QueryPack {
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
           sum("n_chars").as("chars"))
         .orderBy("bin")
+    }),
+
+    // Mergeable-histogram quantiles: per-group fixed-width integer
+    // histograms (the stored profile) summed into a global histogram —
+    // the MERGE an exact percentile cannot do without rescanning — then
+    // the median estimated by linear interpolation inside the covering
+    // bin. Every histogram count and bin edge is an exact integer, so
+    // the interpolated estimate is the identical double in both engines;
+    // the exact median rides along and the estimate must land within one
+    // bin width of it.
+    "q144_hist_quantiles" -> ((s, dir) => {
+      val li = Tables.table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      val bounds = li.agg(min("c").as("lo"), max("c").as("hi"))
+      val binned = li.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          expr(s"least(${HistBins - 1}, ((c - lo) * $HistBins) DIV (hi - lo + 1))"))
+      // per-group histograms, then the global merge (sum of counts)
+      val perGroup = binned.groupBy("l_returnflag", "bin")
+        .agg(count(lit(1)).as("n"))
+      val global = perGroup.groupBy("bin").agg(sum("n").as("n"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val est = global.crossJoin(broadcast(bounds))
+        .withColumn("cum_before", coalesce(sum("n").over(w), lit(0L)))
+        .crossJoin(broadcast(li.agg(count(lit(1)).as("total"),
+          round(expr("percentile(c, 0.5)"), 9).as("exact_med"))))
+        .withColumn("k", expr("(total + 1) DIV 2"))
+        .filter(col("cum_before") < col("k") &&
+          col("cum_before") + col("n") >= col("k"))
+        .withColumn("width",
+          (col("hi") - col("lo") + 1).cast("double") / HistBins)
+        .withColumn("est_med",
+          col("lo") + col("bin") * col("width") +
+            col("width") * (col("k") - col("cum_before")).cast("double")
+              / col("n"))
+      est.select(col("total").as("n"),
+        round(col("exact_med") / 100, 6).as("exact_median"),
+        round(col("est_med") / 100, 6).as("est_median"),
+        (abs(col("est_med") - col("exact_med")) <= col("width"))
+          .as("within_bin"))
     })
   )
 
@@ -330,6 +375,41 @@ object AuditPack extends QueryPack {
          |               AS BIGINT)) AS DOUBLE) / (count(*) * 100), 6) AS wmean
          |FROM customer c JOIN cuts t USING (c_mktsegment)
          |GROUP BY 1, t.lo, t.hi ORDER BY 1""".stripMargin,
+
+    "q144_hist_quantiles" ->
+      s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+         |             AS c FROM lineitem),
+         |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+         |binned AS (
+         |  SELECT least(${HistBins - 1},
+         |           ((c - lo) * $HistBins) // (hi - lo + 1)) AS bin
+         |  FROM c CROSS JOIN bounds),
+         |g AS (SELECT bin, count(*) AS n FROM binned GROUP BY 1),
+         |stats AS (SELECT count(*) AS total,
+         |                 round(quantile_cont(c, 0.5), 9) AS exact_med
+         |          FROM c),
+         |cum AS (
+         |  SELECT bin, n,
+         |         coalesce(sum(n) OVER (ORDER BY bin
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |           AS cum_before
+         |  FROM g),
+         |est AS (
+         |  SELECT cum.bin, cum.n, cum.cum_before,
+         |         bounds.lo, bounds.hi, stats.total, stats.exact_med,
+         |         (stats.total + 1) // 2 AS k,
+         |         CAST(bounds.hi - bounds.lo + 1 AS DOUBLE) / $HistBins
+         |           AS width
+         |  FROM cum CROSS JOIN bounds CROSS JOIN stats)
+         |SELECT CAST(total AS BIGINT) AS n,
+         |       round(exact_med / 100, 6) AS exact_median,
+         |       round((lo + bin * width
+         |              + width * CAST(k - cum_before AS DOUBLE) / n)
+         |             / 100, 6) AS est_median,
+         |       abs(lo + bin * width
+         |           + width * CAST(k - cum_before AS DOUBLE) / n
+         |           - exact_med) <= width AS within_bin
+         |FROM est WHERE cum_before < k AND cum_before + n >= k""".stripMargin,
 
     "q129_quantile_bins" ->
       s"""WITH b AS (

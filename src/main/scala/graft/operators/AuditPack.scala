@@ -270,6 +270,32 @@ object AuditPack extends QueryPack {
         round(col("est_med") / 100, 6).as("est_median"),
         (abs(col("est_med") - col("exact_med")) <= col("width"))
           .as("within_bin"))
+    }),
+
+    // Distribution drift between corpus snapshots: KL(current ‖ previous)
+    // and total variation over the source mix — the ingest monitor that
+    // pages when a crawl's composition shifts. The "previous" snapshot is
+    // derived deterministically (every 17th doc absent). Probabilities
+    // are exact count rationals; each KL/TV term is rounded to 1e-9
+    // units and summed as INTEGERS, so the grouped sums are order-exact
+    // (the established micro-unit pattern for float reductions).
+    "q145_mix_drift" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").select("doc_id", "source")
+      val cur = d.groupBy("source").agg(count(lit(1)).as("na"))
+      val prev = d.filter(col("doc_id") % 17 =!= 3)
+        .groupBy("source").agg(count(lit(1)).as("nb"))
+      val tot = cur.agg(sum("na").as("ta"))
+        .crossJoin(prev.agg(sum("nb").as("tb")))
+      val terms = cur.join(prev, "source").crossJoin(broadcast(tot))
+        .withColumn("p", col("na").cast("double") / col("ta"))
+        .withColumn("q", col("nb").cast("double") / col("tb"))
+        .withColumn("kl_u",
+          round(col("p") * log(col("p") / col("q")) * 1e9, 0).cast("long"))
+        .withColumn("tv_u",
+          round(abs(col("p") - col("q")) * 1e9, 0).cast("long"))
+      terms.agg(count(lit(1)).as("n_sources"),
+        round(sum(col("kl_u")).cast("double") / 1e9, 6).as("kl"),
+        round(sum(col("tv_u")).cast("double") / 2e9, 6).as("tv"))
     })
   )
 
@@ -375,6 +401,25 @@ object AuditPack extends QueryPack {
          |               AS BIGINT)) AS DOUBLE) / (count(*) * 100), 6) AS wmean
          |FROM customer c JOIN cuts t USING (c_mktsegment)
          |GROUP BY 1, t.lo, t.hi ORDER BY 1""".stripMargin,
+
+    "q145_mix_drift" ->
+      """WITH cur AS (SELECT source, count(*) AS na FROM documents GROUP BY 1),
+        |prev AS (SELECT source, count(*) AS nb FROM documents
+        |         WHERE doc_id % 17 <> 3 GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(na) FROM cur) AS ta,
+        |               (SELECT sum(nb) FROM prev) AS tb),
+        |terms AS (
+        |  SELECT CAST(round((na / CAST(ta AS DOUBLE))
+        |           * ln((na / CAST(ta AS DOUBLE))
+        |                / (nb / CAST(tb AS DOUBLE))) * 1e9) AS BIGINT) AS kl_u,
+        |         CAST(round(abs(na / CAST(ta AS DOUBLE)
+        |                        - nb / CAST(tb AS DOUBLE)) * 1e9) AS BIGINT)
+        |           AS tv_u
+        |  FROM cur JOIN prev USING (source) CROSS JOIN tot)
+        |SELECT count(*) AS n_sources,
+        |       round(CAST(sum(kl_u) AS DOUBLE) / 1e9, 6) AS kl,
+        |       round(CAST(sum(tv_u) AS DOUBLE) / 2e9, 6) AS tv
+        |FROM terms""".stripMargin,
 
     "q144_hist_quantiles" ->
       s"""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -142,6 +142,38 @@ object Augment {
     merges.result().toDF("rank", "left", "right", "merged", "freq")
   }
 
+  /** Apply learned BPE merge rules to the corpus — the ENCODE step that
+    * pairs with [[bpeLearn]]: every word splits to characters + `</w>`
+    * and each rule rewrites greedily left-to-right in rank order, the
+    * same semantics the learner used, so learn-then-encode of the
+    * training corpus reproduces the learner's final segmentation. Emits
+    * the input columns plus (n_words, n_subwords): the compression the
+    * vocabulary bought. Pure expression chain (one nested fold per
+    * rule) — scan-stage, no shuffle, no UDF; rule lists are small
+    * (30k-100k in practice), applied from the plan like any literal. */
+  def bpeEncode(docs: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    def chars(w: Column): Column =
+      concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+        array(lit("</w>")))
+    def encodeWord(w: Column): Column = merges.foldLeft(chars(w)) {
+      case (syms, (a, b)) =>
+        aggregate(syms, array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+    }
+    docs
+      .withColumn("n_words",
+        size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_subwords",
+        aggregate(
+          transform(split(col(textCol), " "), w => size(encodeWord(w))),
+          lit(0L), (s, x) => s + x.cast("long")))
+  }
+
   /** Driver-side merge loop over a collected (syms, count) vocabulary —
     * same semantics as the distributed rounds (overlap-counted pair
     * frequencies, greedy non-overlapping left-to-right merge,

@@ -60,6 +60,21 @@ class AugmentSpec extends SparkSpec {
     assert(m.head._4 === "x</w>")
   }
 
+  test("bpeEncode: learn-then-encode reproduces the learner's segmentation") {
+    val corpus = Seq("aaab aaab ab").toDF("text")
+    val merges = Augment.bpeLearn(corpus, "text", rounds = 3)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+      .map(m => (m._2, m._3)).toSeq // rank order: (a,a), (a,b), (ab,</w>)
+    val out = Augment.bpeEncode(corpus, "text", merges)
+      .select("n_words", "n_subwords").as[(Long, Long)].head()
+    // aaab -> [aa, ab</w>] (2), ab -> [ab</w>] (1): 2+2+1 = 5 subwords
+    assert(out === ((3L, 5L)))
+    // no merges: every char + the word marker survives
+    val raw = Augment.bpeEncode(corpus, "text", Seq.empty)
+      .select("n_subwords").as[Long].head()
+    assert(raw === (4 + 1) + (4 + 1) + (2 + 1))
+  }
+
   // ---- MLM masking --------------------------------------------------------
 
   test("mlmMask: deterministic, bounded, and reassembles the token stream") {

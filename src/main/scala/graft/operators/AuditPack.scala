@@ -47,6 +47,10 @@ object AuditPack extends QueryPack {
   /** Fixed-width histogram bins for the mergeable-quantile audit (q144). */
   val HistBins = 32
 
+  /** Coarse bins for the two-pass exact selection (q146) — pass 2 sorts
+    * only ~N/KthBins rows. */
+  val KthBins = 1024
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cross-tab: per user segment, total event value by type. The pivot is
@@ -296,6 +300,38 @@ object AuditPack extends QueryPack {
       terms.agg(count(lit(1)).as("n_sources"),
         round(sum(col("kl_u")).cast("double") / 1e9, 6).as("kl"),
         round(sum(col("tv_u")).cast("double") / 2e9, 6).as("tv"))
+    }),
+
+    // EXACT k-th element (lower median) by two-pass selection — the
+    // 100 TB exact-quantile algorithm: Spark's percentile() holds every
+    // group value in executor memory and a global sort shuffles the
+    // world; instead pass 1 builds a 1024-bin integer histogram (one
+    // agg), identifies the single bin containing rank k, and pass 2
+    // ranks only that bin's ~N/1024 rows. Fully relational (the
+    // covering-bin row rides a broadcast, no driver round-trip).
+    "q146_exact_kth" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      val bounds = c.agg(min("c").as("lo"), max("c").as("hi"))
+      val binned = c.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          expr(s"least(${KthBins - 1}, ((c - lo) * $KthBins) DIV (hi - lo + 1))"))
+        .select("c", "bin")
+      val wc = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val covering = binned.groupBy("bin").agg(count(lit(1)).as("n"))
+        .withColumn("cum_before", coalesce(sum("n").over(wc), lit(0L)))
+        .crossJoin(binned.agg(count(lit(1)).as("total")))
+        .withColumn("k", expr("(total + 1) DIV 2"))
+        .filter(col("cum_before") < col("k") &&
+          col("cum_before") + col("n") >= col("k"))
+        .select(col("bin").as("cover_bin"), col("cum_before"),
+          col("k"), col("total"))
+      val wr = Window.partitionBy("bin").orderBy("c")
+      binned.join(broadcast(covering), col("bin") === col("cover_bin"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === col("k") - col("cum_before"))
+        .select(col("total").as("n"), col("c").as("kth_cents"))
     })
   )
 
@@ -401,6 +437,13 @@ object AuditPack extends QueryPack {
          |               AS BIGINT)) AS DOUBLE) / (count(*) * 100), 6) AS wmean
          |FROM customer c JOIN cuts t USING (c_mktsegment)
          |GROUP BY 1, t.lo, t.hi ORDER BY 1""".stripMargin,
+
+    "q146_exact_kth" ->
+      """WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             AS c FROM lineitem)
+        |SELECT count(*) AS n,
+        |       CAST(quantile_disc(c, 0.5) AS BIGINT) AS kth_cents
+        |FROM c""".stripMargin,
 
     "q145_mix_drift" ->
       """WITH cur AS (SELECT source, count(*) AS na FROM documents GROUP BY 1),

@@ -309,6 +309,27 @@ object AnalyticsPack extends QueryPack {
         .orderBy("probe_id")
     }),
 
+    // Forward as-of with a match tolerance: for each probe, the EARLIEST
+    // event at-or-after it, but only within 1 hour — the "next reading
+    // after the incident, if timely" lookup (pandas merge_asof
+    // direction='forward' + tolerance). Same single-shuffle union
+    // timeline as q47, scanned on the negated axis.
+    "q147_asof_forward" -> ((s, dir) => {
+      val probes = Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey").as("probe_id"),
+          (col("o_custkey") % 150).as("user_id"),
+          expr("timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 2592000)").as("pts"))
+      val events = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      AsOfJoin.asOf(probes, events, key = "user_id", pts = "pts",
+          ts = "ts", ordCol = "event_id", payload = Seq("event_id", "value"),
+          forward = true, tolerance = Some(3600L * 1000000L))
+        .select(col("probe_id"), col("user_id"),
+          col("asof_event_id"), round(col("asof_value"), 4).as("asof_value"))
+        .orderBy("probe_id")
+    }),
+
     // Range join: events against deterministic 4-hour maintenance windows
     // (one per January day) via the binned equi-join — no nested-loop.
     "q48_range_join" -> ((s, dir) => {
@@ -386,6 +407,23 @@ object AnalyticsPack extends QueryPack {
         |                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
         |  FROM probes p LEFT JOIN events e
         |    ON e.user_id = p.user_id AND e.ts <= p.pts)
+        |SELECT probe_id, user_id,
+        |       event_id AS asof_event_id, ROUND(value, 4) AS asof_value
+        |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q147_asof_forward" ->
+      """WITH probes AS (
+        |  SELECT o_orderkey AS probe_id, o_custkey % 150 AS user_id,
+        |         TIMESTAMP '2024-01-01 00:00:00'
+        |           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS pts
+        |  FROM orders WHERE o_orderkey % 40 = 0),
+        |ranked AS (
+        |  SELECT p.probe_id, p.user_id, e.event_id, e.value,
+        |         ROW_NUMBER() OVER (PARTITION BY p.probe_id
+        |                            ORDER BY e.ts ASC, e.event_id DESC) AS rn
+        |  FROM probes p LEFT JOIN events e
+        |    ON e.user_id = p.user_id AND e.ts >= p.pts
+        |   AND epoch_us(e.ts) - epoch_us(p.pts) <= 3600000000)
         |SELECT probe_id, user_id,
         |       event_id AS asof_event_id, ROUND(value, 4) AS asof_value
         |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,

@@ -22,10 +22,21 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** probes(key, pts, extra...) asof events(key, ts, ordCol ∈ payload...)
-    * → one row per probe: (key, pts, extra..., asof_<payload>...). */
+    * → one row per probe: (key, pts, extra..., asof_<payload>...).
+    *
+    * `forward = true` flips the direction (earliest event with ts >= pts
+    * — the "next reading" lookup); `tolerance` bounds the match
+    * distance |pts - ts| in the timeline's long units (epoch MICROS for
+    * timestamp axes, the raw value otherwise) — a probe whose nearest
+    * event is farther keeps null payloads, pandas merge_asof semantics.
+    * Both reuse the
+    * same single-shuffle union timeline: forward runs the scan on the
+    * NEGATED timeline, tolerance post-filters on the matched event's
+    * own timestamp carried inside the payload struct. */
   def asOf(probes: DataFrame, events: DataFrame,
            key: String, pts: String, ts: String, ordCol: String,
-           payload: Seq[String]): DataFrame = {
+           payload: Seq[String], forward: Boolean = false,
+           tolerance: Option[Long] = None): DataFrame = {
     val probeExtra = probes.columns.filterNot(c => c == key || c == pts).toSeq
     def nullOf(df: DataFrame, c: String) = lit(null).cast(df.schema(c).dataType)
 
@@ -34,15 +45,31 @@ object AsOfJoin {
     // legitimately-NULL payload field on the newest event could get
     // back-filled from an OLDER event, mixing fields across events
     val payloadStructType = org.apache.spark.sql.types.StructType(
-      payload.map(c => events.schema(c).copy(name = c)))
+      org.apache.spark.sql.types.StructField("_et",
+        org.apache.spark.sql.types.LongType) +:
+        payload.map(c => events.schema(c).copy(name = c)))
+    // the timeline runs on a LONG axis so the forward direction is just
+    // a negation; TIMESTAMP axes map to epoch MICROS (a plain long cast
+    // would truncate to seconds and silently change tie semantics for
+    // sub-second data), numeric axes cast directly
+    val dir = if (forward) -1L else 1L
+    def toLong(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+    def axis(df: DataFrame, c: String) = toLong(df, c) * dir
     val evSide = events.select(
-      (Seq(col(key), col(ts).as("_t"), lit(0).as("_kind"),
-        col(ordCol).as("_ord"), struct(payload.map(col): _*).as("_p")) ++
+      (Seq(col(key), axis(events, ts).as("_t"), lit(0).as("_kind"),
+        col(ordCol).as("_ord"),
+        struct(toLong(events, ts).as("_et") +: payload.map(col): _*)
+          .as("_p"),
+        nullOf(probes, pts).as("_orig_pts")) ++
         probeExtra.map(c => nullOf(probes, c).as(s"_q_$c"))): _*)
     val prSide = probes.select(
-      (Seq(col(key), col(pts).as("_t"), lit(1).as("_kind"),
+      (Seq(col(key), axis(probes, pts).as("_t"), lit(1).as("_kind"),
         nullOf(events, ordCol).as("_ord"),
-        lit(null).cast(payloadStructType).as("_p")) ++
+        lit(null).cast(payloadStructType).as("_p"),
+        col(pts).as("_orig_pts")) ++
         probeExtra.map(c => col(c).as(s"_q_$c"))): _*)
 
     // events sort before probes at equal t (_kind 0 < 1); among events at
@@ -50,16 +77,22 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_kind"), col("_ord").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    evSide.unionByName(prSide)
+    val matched = evSide.unionByName(prSide)
       .select(
-        col(key) +: col("_t") +: col("_kind") +:
+        col(key) +: col("_t") +: col("_kind") +: col("_orig_pts") +:
           last(col("_p"), ignoreNulls = true).over(w).as("_pl") +:
           probeExtra.map(c => col(s"_q_$c").as(c)): _*)
       .filter(col("_kind") === 1)
+    val gated = tolerance match {
+      case Some(tol) => matched.withColumn("_pl",
+        when(abs(col("_t") * dir - col("_pl").getField("_et")) <= tol,
+          col("_pl")))
+      case None => matched
+    }
+    gated
       .select(
-        col(key) +: col("_t") +:
+        col(key) +: col("_orig_pts").as(pts) +:
           (payload.map(c => col("_pl").getField(c).as(s"asof_$c")) ++
             probeExtra.map(col)): _*)
-      .withColumnRenamed("_t", pts)
   }
 }

@@ -35,6 +35,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("other-key") === ((Some(500L), Some(5.0))))
   }
 
+  test("forward as-of picks the earliest event at-or-after") {
+    val events = Seq(
+      (1L, ts(10), 100L, 1.0),
+      (1L, ts(20), 200L, 2.0),
+      (1L, ts(20), 201L, 2.5)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts(20), "at"),    // event AT probe counts in both directions
+      (1L, ts(15), "mid"),   // next event is ts(20)
+      (1L, ts(25), "after-all")
+    ).toDF("user_id", "pts", "label")
+    val out = AsOfJoin.asOf(probes, events, "user_id", "pts", "ts",
+      "event_id", Seq("event_id"), forward = true)
+      .select("label", "asof_event_id")
+      .as[(String, Option[Long])].collect().toMap
+    assert(out("at") === Some(201L))
+    assert(out("mid") === Some(201L))
+    assert(out("after-all") === None)
+  }
+
+  test("tolerance nulls matches farther than the bound, in micros") {
+    val events = Seq((1L, ts(10), 100L, 1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq(
+      (1L, ts(11), "near"),  // 1 min = 60e6 micros away
+      (1L, ts(30), "far")    // 20 min away
+    ).toDF("user_id", "pts", "label")
+    val out = AsOfJoin.asOf(probes, events, "user_id", "pts", "ts",
+      "event_id", Seq("event_id"),
+      tolerance = Some(5L * 60L * 1000000L)) // 5 minutes
+      .select("label", "asof_event_id")
+      .as[(String, Option[Long])].collect().toMap
+    assert(out("near") === Some(100L))
+    assert(out("far") === None)
+  }
+
+  test("probe pts column keeps its original type and values") {
+    val events = Seq((1L, ts(1), 10L, 0.5))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((1L, ts(7), "x")).toDF("user_id", "pts", "label")
+    val out = AsOfJoin.asOf(probes, events, "user_id", "pts", "ts",
+      "event_id", Seq("event_id"))
+    assert(out.schema("pts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(out.select("pts").as[Timestamp].head() === ts(7))
+  }
+
   test("every probe survives exactly once (left semantics)") {
     val events = Seq((1L, ts(1), 10L, 0.5)).toDF("user_id", "ts", "event_id", "value")
     val probes = (1 to 50).map(i => (1L, ts(i), i)).toDF("user_id", "pts", "pid")

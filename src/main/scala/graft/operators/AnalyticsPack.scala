@@ -309,6 +309,53 @@ object AnalyticsPack extends QueryPack {
         .orderBy("probe_id")
     }),
 
+    // Sweep-line interval concurrency: each event opens an interval of
+    // `value` minutes; the maximum number of simultaneously-open
+    // intervals per event type falls out of ONE sort — explode each
+    // interval to (+1 at start, -1 at end), running-sum in time order.
+    // The classic O(n log n) answer to a question the naive
+    // interval-overlap self-join makes quadratic. Endpoint tie rule is
+    // part of the contract: at the same instant, ends close BEFORE
+    // starts open (delta ascending), so back-to-back intervals never
+    // double-count.
+    "q148_concurrency" -> ((s, dir) => {
+      val iv = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts)").as("s"),
+          (expr("unix_micros(ts)")
+            + (round(col("value") * 100, 0).cast("long") * 600000L)).as("e"),
+          col("event_id"))
+      val marks = iv.select(col("event_type"), col("s").as("t"),
+          lit(1).as("d"), col("event_id"))
+        .unionAll(iv.select(col("event_type"), col("e").as("t"),
+          lit(-1).as("d"), col("event_id")))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("t"), col("d"), col("event_id"))
+      marks.withColumn("open", sum(col("d")).over(w))
+        .groupBy("event_type")
+        .agg(max(col("open")).as("max_concurrent"),
+          count(lit(1)).as("n_endpoints"))
+        .orderBy("event_type")
+    }),
+
+    // Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITIES (min / difference of per-value counts) — the corner
+    // where the DISTINCT variants (q42) silently lie about duplicated
+    // data. Run over the deliberately-duplicated nationkey column.
+    "q149_setops_all" -> ((s, dir) => {
+      val a = Tables.table(s, dir, "customer")
+        .filter(col("c_custkey") % 2 === 0).select(col("c_nationkey"))
+      val b = Tables.table(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0).select(col("c_nationkey"))
+      val inter = a.intersectAll(b).withColumn("op", lit("intersect_all"))
+      val exc = a.exceptAll(b).withColumn("op", lit("except_all"))
+      inter.unionAll(exc)
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("c_nationkey")).as("n_distinct"))
+        .orderBy("op")
+    }),
+
     // Forward as-of with a match tolerance: for each probe, the EARLIEST
     // event at-or-after it, but only within 1 hour — the "next reading
     // after the incident, if timely" lookup (pandas merge_asof
@@ -410,6 +457,41 @@ object AnalyticsPack extends QueryPack {
         |SELECT probe_id, user_id,
         |       event_id AS asof_event_id, ROUND(value, 4) AS asof_value
         |FROM ranked WHERE rn = 1 ORDER BY probe_id""".stripMargin,
+
+    "q148_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS s,
+        |         CAST(epoch_us(ts) AS BIGINT)
+        |           + CAST(round(value * 100) AS BIGINT) * 600000 AS e,
+        |         event_id
+        |  FROM events),
+        |marks AS (
+        |  SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+        |  UNION ALL
+        |  SELECT event_type, e AS t, -1 AS d, event_id FROM iv),
+        |sweep AS (
+        |  SELECT event_type,
+        |         sum(d) OVER (PARTITION BY event_type
+        |                      ORDER BY t, d, event_id) AS open
+        |  FROM marks)
+        |SELECT event_type, CAST(max(open) AS BIGINT) AS max_concurrent,
+        |       count(*) AS n_endpoints
+        |FROM sweep GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q149_setops_all" ->
+      """WITH a AS (SELECT c_nationkey FROM customer WHERE c_custkey % 2 = 0),
+        |b AS (SELECT c_nationkey FROM customer WHERE c_custkey % 3 = 0),
+        |u AS (
+        |  SELECT 'intersect_all' AS op, c_nationkey
+        |  FROM (SELECT c_nationkey FROM a INTERSECT ALL
+        |        SELECT c_nationkey FROM b)
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, c_nationkey
+        |  FROM (SELECT c_nationkey FROM a EXCEPT ALL
+        |        SELECT c_nationkey FROM b))
+        |SELECT op, count(*) AS n,
+        |       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_distinct
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q147_asof_forward" ->
       """WITH probes AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -17,6 +18,10 @@ object TemporalPack extends QueryPack {
   /** SAX signature segments and result size for q136. */
   val CorrSegments = 4
   val CorrK = 25
+
+  /** Trailing window (hours) and z gate for the q150 capstone. */
+  val CapstoneRoll = 24
+  val CapstoneZ = 3.0
 
   // Tables.events, not .table: the raw parquet ts is TIMESTAMP(NANOS),
   // which Spark surfaces as BIGINT; the helper truncates to the micros
@@ -69,6 +74,54 @@ object TemporalPack extends QueryPack {
           col("n"), col("corr"))
         .orderBy(desc("corr"), col("user_a"), col("user_b"))
     }),
+
+    // Temporal capstone, one plan: the gap-filled hourly grid (q125's
+    // core) feeds BOTH an availability report — longest outage run per
+    // type via gaps-and-islands (the row_number-difference trick: equal
+    // (rn - rn_within_gap) ⇔ same consecutive run) — and a trailing-24h
+    // anomaly count on the filled integer-cents series (q112's exact
+    // moment arithmetic, here over the COMPLETE grid so quiet hours
+    // count as zeros instead of vanishing). The monitor a training-data
+    // ingest runs per source feed.
+    "q150_temporal_capstone" -> ((s, dir) => {
+      val grid = Temporal.gapFill(events(s, dir), "event_type", "ts",
+        cents, "hour")
+      val wAll = Window.partitionBy("event_type").orderBy("bucket")
+      val wGap = Window.partitionBy("event_type", "is_gap").orderBy("bucket")
+      val runs = grid
+        .withColumn("grp",
+          row_number().over(wAll) - row_number().over(wGap))
+        .filter(col("is_gap"))
+        .groupBy("event_type", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("event_type").agg(max("run").as("max_gap_run"))
+      val hourly = grid.withColumn("c",
+        when(col("n") === 0, 0L).otherwise(col("v_filled")))
+      val wRoll = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-CapstoneRoll, -1)
+      val anomalies = hourly
+        .withColumn("n_w", count(col("c")).over(wRoll))
+        .withColumn("s_w", sum(col("c")).over(wRoll))
+        .withColumn("ss_w", sum(col("c") * col("c")).over(wRoll))
+        .filter(col("n_w") === CapstoneRoll)
+        .withColumn("mean_w", col("s_w").cast("double") / CapstoneRoll)
+        .withColumn("var_w",
+          (col("ss_w").cast("double") -
+            col("s_w").cast("double") * col("s_w").cast("double")
+              / CapstoneRoll) / (CapstoneRoll - 1))
+        .withColumn("z", when(col("var_w") > 0,
+          (col("c").cast("double") - col("mean_w")) / sqrt(col("var_w"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(abs(col("z")) > CapstoneZ, 1L).otherwise(0L))
+            .as("n_anomalies"))
+      grid.groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("is_gap"), 1L).otherwise(0L)).as("n_gap_hours"))
+        .join(runs, Seq("event_type"), "left")
+        .withColumn("max_gap_run", coalesce(col("max_gap_run"), lit(0L)))
+        .join(anomalies, Seq("event_type"), "left")
+        .orderBy("event_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -117,6 +170,79 @@ object TemporalPack extends QueryPack {
          |       CAST(min(w_cents) AS BIGINT) AS min_cents,
          |       CAST(sum(w_n) AS BIGINT) AS sum_n
          |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q150_temporal_capstone" ->
+      s"""WITH b AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         |         CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |agg AS (
+         |  SELECT event_type, bucket, count(*) AS n, sum(c) AS v
+         |  FROM b GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT t.event_type, g.bucket
+         |  FROM (SELECT DISTINCT event_type FROM b) t
+         |  CROSS JOIN (
+         |    SELECT unnest(generate_series(min(bucket), max(bucket),
+         |                                  INTERVAL 1 HOUR)) AS bucket
+         |    FROM b) g),
+         |f AS (
+         |  SELECT grid.event_type, grid.bucket,
+         |         CAST(coalesce(agg.n, 0) AS BIGINT) AS n,
+         |         CAST(coalesce(agg.v, 0) AS BIGINT) AS c,
+         |         coalesce(agg.n, 0) = 0 AS is_gap
+         |  FROM grid LEFT JOIN agg
+         |    ON agg.event_type = grid.event_type
+         |   AND agg.bucket = grid.bucket),
+         |runs AS (
+         |  SELECT event_type, max(run) AS max_gap_run FROM (
+         |    SELECT event_type, grp, count(*) AS run FROM (
+         |      SELECT event_type, is_gap,
+         |             row_number() OVER (PARTITION BY event_type
+         |                                ORDER BY bucket)
+         |           - row_number() OVER (PARTITION BY event_type, is_gap
+         |                                ORDER BY bucket) AS grp
+         |      FROM f) g
+         |    WHERE is_gap GROUP BY 1, 2) r
+         |  GROUP BY 1),
+         |roll AS (
+         |  SELECT event_type, c,
+         |         count(c) OVER fr AS n_w,
+         |         CAST(sum(c) OVER fr AS BIGINT) AS s_w,
+         |         CAST(sum(c * c) OVER fr AS BIGINT) AS ss_w
+         |  FROM f
+         |  WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+         |                ROWS BETWEEN $CapstoneRoll PRECEDING
+         |                         AND 1 PRECEDING)),
+         |an AS (
+         |  SELECT event_type, count(*) AS n_windows,
+         |         CAST(sum(CASE WHEN abs(z) > $CapstoneZ
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+         |  FROM (
+         |    SELECT event_type,
+         |           CASE WHEN (CAST(ss_w AS DOUBLE)
+         |                      - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)
+         |                        / $CapstoneRoll) / (${CapstoneRoll - 1}) > 0
+         |                THEN (CAST(c AS DOUBLE)
+         |                      - CAST(s_w AS DOUBLE) / $CapstoneRoll)
+         |                     / sqrt((CAST(ss_w AS DOUBLE)
+         |                             - CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)
+         |                               / $CapstoneRoll) / (${CapstoneRoll - 1}))
+         |                END AS z
+         |    FROM roll WHERE n_w = $CapstoneRoll) zz
+         |  GROUP BY 1)
+         |SELECT f.event_type,
+         |       count(*) AS n_hours,
+         |       CAST(sum(CASE WHEN is_gap THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_gap_hours,
+         |       CAST(coalesce(any_value(runs.max_gap_run), 0) AS BIGINT)
+         |         AS max_gap_run,
+         |       any_value(an.n_windows) AS n_windows,
+         |       any_value(an.n_anomalies) AS n_anomalies
+         |FROM f
+         |LEFT JOIN runs ON runs.event_type = f.event_type
+         |LEFT JOIN an ON an.event_type = f.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q136_series_corr" ->
       s"""WITH b AS (

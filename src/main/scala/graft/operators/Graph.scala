@@ -129,20 +129,25 @@ object Graph {
     var hubs = nodes.select(col("v"), lit(HitsUnit).as("h"))
     var auths = nodes.select(col("v"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
-      val aRaw = e.join(hubs, e("src") === hubs("v"))
+      // pin every per-iteration frame: each raw table is consumed TWICE
+      // (its max + the normalize join) and each score table feeds both
+      // the next half-step and the final join — unpinned, the plan
+      // re-derives the whole upstream per reference, ~4× per iteration
+      // (q123 measured 6.8 s on a 40-node graph from plan size alone)
+      val aRaw = pin(e.join(hubs, e("src") === hubs("v"))
         .groupBy(col("dst").as("v2")).agg(sum(col("h")).as("raw"))
-        .select(col("v2").as("v"), col("raw"))
+        .select(col("v2").as("v"), col("raw")))
       val aMax = broadcast(aRaw.agg(max(col("raw")).as("mx")))
-      auths = nodes.join(aRaw, Seq("v"), "left").crossJoin(aMax)
+      auths = pin(nodes.join(aRaw, Seq("v"), "left").crossJoin(aMax)
         .select(col("v"),
-          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("a"))
-      val hRaw = e.join(auths, e("dst") === auths("v"))
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("a")))
+      val hRaw = pin(e.join(auths, e("dst") === auths("v"))
         .groupBy(col("src").as("v2")).agg(sum(col("a")).as("raw"))
-        .select(col("v2").as("v"), col("raw"))
+        .select(col("v2").as("v"), col("raw")))
       val hMax = broadcast(hRaw.agg(max(col("raw")).as("mx")))
-      hubs = nodes.join(hRaw, Seq("v"), "left").crossJoin(hMax)
+      hubs = pin(nodes.join(hRaw, Seq("v"), "left").crossJoin(hMax)
         .select(col("v"),
-          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("h"))
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("h")))
     }
     nodes.join(hubs, "v").join(auths, "v")
       .select(col("v"), col("h").as("hub_fp"), col("a").as("auth_fp"),

@@ -104,17 +104,27 @@ object AnalyticsPack extends QueryPack {
     }),
 
     // Last-touch attribution: each purchase credits the user's most
-    // recent PRECEDING marketing touch (click/view) — the strictly-
-    // before window frame (UNBOUNDED..-1) is the point: a purchase
-    // arriving in the same instant as a touch must not credit it.
-    // One window over the user partition; revenue in integer cents.
+    // recent STRICTLY-EARLIER marketing touch (click/view). The frame is
+    // RANGE over epoch micros ending at -1, not ROWS at -1: a ROWS frame
+    // would still include a touch sharing the purchase's exact timestamp
+    // (it is a preceding row), and a same-instant touch must not be
+    // credited. Because RANGE peers have no defined row order, the pick
+    // inside the frame is a MAX over an order-encoded key (zero-padded
+    // micros : event_id : type) — deterministic in any engine — rather
+    // than last(). One window over the user partition; integer cents.
     "q139_attribution" -> ((s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = Window.partitionBy("user_id")
+        .orderBy(expr("unix_micros(ts)"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val touchKey = concat(
+        lpad(expr("CAST(unix_micros(ts) AS STRING)"), 20, "0"), lit(":"),
+        lpad(col("event_id").cast("string"), 12, "0"), lit(":"),
+        col("event_type"))
       Tables.events(s, dir)
-        .withColumn("touch",
-          last(when(col("event_type").isin("click", "view"),
-            col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("tk",
+          max(when(col("event_type").isin("click", "view"), touchKey))
+            .over(w))
+        .withColumn("touch", element_at(split(col("tk"), ":"), 3))
         .filter(col("event_type") === "purchase")
         .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
         .agg(count(lit(1)).as("n"),
@@ -544,13 +554,16 @@ object AnalyticsPack extends QueryPack {
     "q139_attribution" ->
       """WITH t AS (
         |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
-        |         last_value(CASE WHEN event_type IN ('click', 'view')
-        |                         THEN event_type END IGNORE NULLS)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING
-        |                          AND 1 PRECEDING) AS touch
+        |         max(CASE WHEN event_type IN ('click', 'view')
+        |             THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |               || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')
+        |               || ':' || event_type END)
+        |           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                 RANGE BETWEEN UNBOUNDED PRECEDING
+        |                           AND 1 PRECEDING) AS tk
         |  FROM events)
-        |SELECT coalesce(touch, 'none') AS touch, count(*) AS n,
+        |SELECT coalesce(string_split(tk, ':')[3], 'none') AS touch,
+        |       count(*) AS n,
         |       CAST(sum(cents) AS BIGINT) AS cents
         |FROM t WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,

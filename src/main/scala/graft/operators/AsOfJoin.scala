@@ -44,18 +44,38 @@ object AsOfJoin {
     // per-column last() calls would each skip nulls independently, so a
     // legitimately-NULL payload field on the newest event could get
     // back-filled from an OLDER event, mixing fields across events
+    // _et carries the matched event's axis value for the tolerance gate;
+    // its type must track the axis family (double for fractional axes)
+    val etType: org.apache.spark.sql.types.DataType =
+      events.schema(ts).dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType |
+             (_: org.apache.spark.sql.types.DecimalType) =>
+          org.apache.spark.sql.types.DoubleType
+        case _ => org.apache.spark.sql.types.LongType
+      }
     val payloadStructType = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("_et",
-        org.apache.spark.sql.types.LongType) +:
+      org.apache.spark.sql.types.StructField("_et", etType) +:
         payload.map(c => events.schema(c).copy(name = c)))
-    // the timeline runs on a LONG axis so the forward direction is just
-    // a negation; TIMESTAMP axes map to epoch MICROS (a plain long cast
-    // would truncate to seconds and silently change tie semantics for
-    // sub-second data), numeric axes cast directly
+    // the timeline runs on a numeric axis so the forward direction is
+    // just a negation: TIMESTAMP → epoch MICROS (a plain long cast would
+    // truncate to seconds and silently change sub-second tie semantics),
+    // DATE → epoch days, integral → long, fractional/decimal → double
+    // (a long cast would truncate 1.9 to 1 and wrongly match a future
+    // event to a backward probe at 1.5)
     val dir = if (forward) -1L else 1L
-    def toLong(df: DataFrame, c: String) = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-      case _ => col(c).cast("long")
+    def toLong(df: DataFrame, c: String) = {
+      import org.apache.spark.sql.types._
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case DateType => unix_date(col(c)).cast("long")
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c).cast("long")
+        case FloatType | DoubleType | (_: DecimalType) =>
+          col(c).cast("double")
+        case t => throw new IllegalArgumentException(
+          s"as-of axis column $c has unsupported type ${t.simpleString}")
+      }
     }
     def axis(df: DataFrame, c: String) = toLong(df, c) * dir
     val evSide = events.select(

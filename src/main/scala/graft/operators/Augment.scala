@@ -47,6 +47,45 @@ object Augment {
       .drop("_toks", "_flags")
   }
 
+  /** Symbol split shared by learn and encode: CODE POINTS (matching
+    * Spark's substr/length character semantics — Java's toCharArray
+    * would split supplementary-plane characters into surrogate halves)
+    * plus the end-of-word marker. */
+  private def charsCol(w: Column): Column =
+    concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
+      array(lit("</w>")))
+
+  private def charsLocal(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp))) :+
+      "</w>"
+
+  /** Greedy non-overlapping left-to-right (a,b)→a+b rewrite — the ONE
+    * definition of the merge semantics, shared by the learner's rounds
+    * and the encoder. */
+  private def mergeFold(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** UTF-8 binary order (what Spark's asc() compares), NOT Java's UTF-16
+    * compareTo — they disagree when one symbol is in [U+E000, U+FFFF] and
+    * the other is supplementary-plane. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val ax = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ay = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ax.length, ay.length)
+    while (i < n) {
+      val c = (ax(i) & 0xff) - (ay(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    ax.length < ay.length
+  }
+
   /** Learn `rounds` BPE merge rules from the corpus: the classic loop —
     * split every distinct word into characters (plus the `</w>`
     * end-of-word marker), repeatedly take the adjacent symbol pair with
@@ -73,22 +112,16 @@ object Augment {
     val counted = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val chars = (w: Column) =>
-      concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
-        array(lit("</w>")))
-
     val nWords = counted.cache().count()
     if (nWords <= maxLocalVocab) {
       val words = counted.as[(String, Long)].collect()
-        .map { case (w, c) =>
-          (w.toCharArray.map(_.toString) :+ "</w>", c)
-        }
+        .map { case (w, c) => (charsLocal(w), c) }
       counted.unpersist()
       return bpeLocal(spark, words, rounds)
     }
 
     var vocab = counted
-      .select(chars(col("w")).as("syms"), col("cnt"))
+      .select(charsCol(col("w")).as("syms"), col("cnt"))
       .cache()
     counted.unpersist()
     // one job per round: the argmax collect ALSO materializes the round's
@@ -122,15 +155,9 @@ object Augment {
           val (a, b, freq) = top.head
           val m = a + b
           merges += ((r, a, b, m, freq))
-          // greedy non-overlapping left-to-right merge of (a, b) -> m
-          val mergedSyms = aggregate(col("syms"),
-            array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 &&
-                element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-                .otherwise(concat(acc, array(x))))
-          vocab = vocab.select(mergedSyms.as("syms"), col("cnt")).cache()
+          vocab = vocab
+            .select(mergeFold(col("syms"), a, b).as("syms"), col("cnt"))
+            .cache()
           r += 1
         }
       }
@@ -153,24 +180,18 @@ object Augment {
     * (30k-100k in practice), applied from the plan like any literal. */
   def bpeEncode(docs: DataFrame, textCol: String,
                 merges: Seq[(String, String)]): DataFrame = {
-    def chars(w: Column): Column =
-      concat(transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))),
-        array(lit("</w>")))
-    def encodeWord(w: Column): Column = merges.foldLeft(chars(w)) {
-      case (syms, (a, b)) =>
-        aggregate(syms, array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-              element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x))))
+    def encodeWord(w: Column): Column = merges.foldLeft(charsCol(w)) {
+      case (syms, (a, b)) => mergeFold(syms, a, b)
     }
+    // tokenize EXACTLY like the learner (\s+, empties dropped): a stray
+    // double space must not manufacture phantom empty-string words the
+    // vocabulary never saw
+    val toks = TextFunctions.tokens(col(textCol))
     docs
-      .withColumn("n_words",
-        size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_words", size(toks).cast("long"))
       .withColumn("n_subwords",
         aggregate(
-          transform(split(col(textCol), " "), w => size(encodeWord(w))),
+          transform(toks, w => size(encodeWord(w))),
           lit(0L), (s, x) => s + x.cast("long")))
   }
 
@@ -194,8 +215,17 @@ object Augment {
           v => Some(v.getOrElse(0L) + c))
       if (counts.isEmpty) exhausted = true
       else {
-        val ((a, b), freq) =
-          counts.minBy { case ((x, y), f) => (-f, x, y) }
+        // argmax by (freq desc, a, b) under UTF-8 binary order — the
+        // same total order the distributed orderBy(asc) uses
+        val ((a, b), freq) = counts.reduce { (p, q) =>
+          val ((pa, pb), pf) = p
+          val ((qa, qb), qf) = q
+          val pWins =
+            if (pf != qf) pf > qf
+            else if (pa != qa) utf8Lt(pa, qa)
+            else utf8Lt(pb, qb) || pb == qb
+          if (pWins) p else q
+        }
         val m = a + b
         merges += ((r, a, b, m, freq))
         words = words.map { case (syms, c) =>

@@ -61,11 +61,21 @@ object ScaleJoins {
     val saltCol = "__graft_agg_salt"
     require(!df.columns.contains(saltCol),
       s"input must not already have a $saltCol column")
+    require(!sums.contains("n"),
+      "sums key 'n' collides with the built-in count column")
     val hashCols = df.schema.fields
       .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
       .map(f => col(f.name)).toSeq
+    // salt = hash(row content, row position): content alone would send
+    // FULLY-IDENTICAL rows of the hot key to one bucket — exactly the
+    // "billions of identical keys" case this operator exists for. The
+    // position component (monotonically_increasing_id) is not stable
+    // across retries, which is fine here: bucket assignment only needs
+    // every row counted once, and re-aggregable sums are bucket-agnostic
+    // (unlike saltedJoin, where the dim replication must line up).
     val partial = df
-      .withColumn(saltCol, pmod(hash(struct(hashCols: _*)), lit(buckets)))
+      .withColumn(saltCol, pmod(hash(struct(hashCols: _*),
+        monotonically_increasing_id()), lit(buckets)))
       .groupBy(col(keyCol), col(saltCol))
       .agg(count(lit(1)).as("__n"),
         sums.toSeq.sortBy(_._1).map { case (n, c) => sum(c).as(n) }: _*)

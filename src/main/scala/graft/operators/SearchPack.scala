@@ -93,10 +93,13 @@ object SearchPack extends QueryPack {
     // counts, no float outputs (ranks are exact small rationals used
     // only for ordering).
     "q137_rank_fuse" -> ((s, dir) => {
+      // scored table feeds BOTH top-100s — pin it (the repo's
+      // multi-consumer convention) or the corpus tokenizes twice
       val t = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           graft.functions.TextFunctions
             .qualityScore(col("text"), TextPack.stopwords).as("q"))
+        .localCheckpoint(false)
       val rawTop = t.orderBy(desc("q"), col("doc_id")).limit(FuseN)
       val weq = Window.partitionBy("source").orderBy(col("q"), col("doc_id"))
       val eqTop = t.withColumn("eq", percent_rank().over(weq))
@@ -118,9 +121,12 @@ object SearchPack extends QueryPack {
     // naive full-text scan, so the postings semantics are pinned against
     // "what the text actually contains".
     "q142_phrase_search" -> ((s, dir) => {
+      // the postings table feeds both term filters — pin it so the
+      // corpus posexplodes once (in a real index it IS materialized)
       val p = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .localCheckpoint(false)
       val t1 = p.filter(col("tok") === Phrase(0))
         .select(col("doc_id"), col("pos"))
       val t2 = p.filter(col("tok") === Phrase(1))

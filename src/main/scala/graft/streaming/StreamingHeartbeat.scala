@@ -23,11 +23,14 @@ case class HeartbeatSeen(lastMs: Long, n: Long)
   *
   * This is the one stateful pattern the engine had not yet exercised:
   * `EventTimeTimeout`. The state keeps only (last_ts, count) per key —
-  * O(keys), not O(events) — and the watermark both bounds the state and
-  * CLOCKS the timeouts: a timeout fires when the watermark (not wall
-  * time) passes the registered instant, so detection is deterministic
-  * under replay, backfill, and reprocessing — wall-clock timers
-  * (ProcessingTimeTimeout) would fire differently every run.
+  * O(keys), not O(events). A gap surfaces by EITHER path: the watermark
+  * (not wall time) passing last_ts + gap fires the timeout for a key
+  * that stays silent, and a key that RESUMES reports the gap
+  * retroactively from the beat walk — so the set of detected gaps is a
+  * function of the data alone, not of how the stream was micro-batched
+  * (a wall-clock ProcessingTimeTimeout would fire differently every
+  * run, and a timeout-only design would miss gaps whose resume lands in
+  * the same batch).
   *
   * Scale shape: one shuffle on the key (the groupByKey); state store
   * holds one small row per live key; keys that time out are REMOVED, so
@@ -53,15 +56,30 @@ object StreamingHeartbeat {
             state.remove()
             Iterator.single(Silence(key, new Timestamp(s.lastMs), s.n))
           } else {
-            val prev = state.getOption
-            val beats = it.toArray
-            val next = HeartbeatSeen(
-              math.max(prev.map(_.lastMs).getOrElse(Long.MinValue),
-                beats.iterator.map(_.ts.getTime).max),
-              prev.map(_.n).getOrElse(0L) + beats.length)
+            // walk the batch's beats in event order and emit every gap
+            // RETROACTIVELY too: a key that resumes before its timeout
+            // processed (one big replayed batch, a backfill) still
+            // reports the silence — without this, detection would depend
+            // on micro-batch boundaries instead of the data
+            val beats = it.toArray.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val out = Seq.newBuilder[Silence]
+            beats.foreach { b =>
+              val t = b.ts.getTime
+              cur match {
+                case Some(HeartbeatSeen(last, n)) if t - last > gapMs =>
+                  out += Silence(key, new Timestamp(last), n)
+                  cur = Some(HeartbeatSeen(t, 1L))
+                case Some(HeartbeatSeen(last, n)) =>
+                  cur = Some(HeartbeatSeen(math.max(last, t), n + 1L))
+                case None =>
+                  cur = Some(HeartbeatSeen(t, 1L))
+              }
+            }
+            val next = cur.get
             state.update(next)
             state.setTimeoutTimestamp(next.lastMs + gapMs)
-            Iterator.empty
+            out.result().iterator
           }
       }
   }

@@ -82,6 +82,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("pts").as[Timestamp].head() === ts(7))
   }
 
+  test("fractional axes keep sub-integer ordering (no long truncation)") {
+    // event at 1.9 is AFTER probe 1.5: a long-truncated axis would tie
+    // them at 1 and wrongly match backward
+    val events = Seq((1L, 1.9, 10L, 0.5), (1L, 1.0, 9L, 0.4))
+      .toDF("user_id", "ts", "event_id", "value")
+    val probes = Seq((1L, 1.5, "p")).toDF("user_id", "pts", "label")
+    val out = AsOfJoin.asOf(probes, events, "user_id", "pts", "ts",
+      "event_id", Seq("event_id"))
+      .select("asof_event_id").as[Option[Long]].head()
+    assert(out === Some(9L)) // only the 1.0 event precedes 1.5
+  }
+
   test("every probe survives exactly once (left semantics)") {
     val events = Seq((1L, ts(1), 10L, 0.5)).toDF("user_id", "ts", "event_id", "value")
     val probes = (1 to 50).map(i => (1L, ts(i), i)).toDF("user_id", "pts", "pid")

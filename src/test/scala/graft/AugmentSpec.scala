@@ -75,6 +75,25 @@ class AugmentSpec extends SparkSpec {
     assert(raw === (4 + 1) + (4 + 1) + (2 + 1))
   }
 
+  test("bpeEncode: tokenizes like the learner — no phantom empty words") {
+    // double space + tab: split-on-single-space would manufacture ""
+    // words the vocabulary never saw
+    val messy = Seq("ab  ab\tab").toDF("text")
+    val out = Augment.bpeEncode(messy, "text", Seq(("a", "b")))
+      .select("n_words", "n_subwords").as[(Long, Long)].head()
+    assert(out === ((3L, 6L))) // 3 words x [ab, </w>]
+  }
+
+  test("bpeLearn: local path splits supplementary-plane chars as code points") {
+    // U+1F600 is two UTF-16 units; surrogate halves would be 2 symbols
+    val docs = Seq("a😀").toDF("text")
+    val m = Augment.bpeLearn(docs, "text", rounds = 1)
+      .as[(Int, String, String, String, Long)].collect()
+    // first merge pairs 'a' with the INTACT emoji, not a surrogate half
+    assert(m.head._2 === "a")
+    assert(m.head._3 === "😀")
+  }
+
   // ---- MLM masking --------------------------------------------------------
 
   test("mlmMask: deterministic, bounded, and reassembles the token stream") {

@@ -22,6 +22,22 @@ class SaltedAggSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("saltedAgg: fully-identical hot-key rows still aggregate exactly") {
+    // content-only salting would map all of these to ONE bucket; either
+    // way the sums must be exact (each row counted once)
+    val df = Seq.fill(5000)(("hot", 7L)).toDF("k", "v")
+    val out = ScaleJoins.saltedAgg(df, "k", Map("sv" -> col("v")), buckets = 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(("hot", 5000L, 35000L)))
+  }
+
+  test("saltedAgg rejects a sums key that collides with the count column") {
+    val df = Seq(("x", 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      ScaleJoins.saltedAgg(df, "k", Map("n" -> col("v")), buckets = 2)
+    }
+  }
+
   test("saltedAgg plan has the two-stage shape: salt key in the partial stage") {
     val df = Seq(("x", 1L)).toDF("k", "v")
     val plan = ScaleJoins.saltedAgg(df, "k", Map("sv" -> col("v")), buckets = 4)

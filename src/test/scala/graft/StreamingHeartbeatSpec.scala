@@ -33,8 +33,13 @@ class StreamingHeartbeatSpec extends SparkSpec {
       q.processAllAvailable()
 
       val out = spark.table("silences").as[Silence].collect().toSeq
-      assert(out.map(s => (s.key, s.last_ts.getTime, s.n_beats)) ===
-        Seq((1L, 1000L, 2L))) // both batch-1 beats counted; max ts kept
+      // key 1: watermark-fired timeout (both batch-1 beats counted).
+      // key 2: its own 1s -> 60s gap is ALSO a silence, reported
+      // retroactively the moment the 60s beat arrived.
+      assert(out.filter(_.key == 1L)
+        .map(s => (s.last_ts.getTime, s.n_beats)) === Seq((1000L, 2L)))
+      assert(out.filter(_.key == 2L)
+        .map(s => (s.last_ts.getTime, s.n_beats)) === Seq((1000L, 1L)))
 
       // key 1 resumes: state was removed, so the counter restarts and a
       // second silence is detectable
@@ -47,6 +52,24 @@ class StreamingHeartbeatSpec extends SparkSpec {
       val again = spark.table("silences").as[Silence].collect()
         .filter(_.key == 1L).map(s => (s.last_ts.getTime, s.n_beats)).toSeq
       assert(again === Seq((1000L, 2L), (70_000L, 1L)))
+    } finally q.stop()
+  }
+
+  test("a gap whose resume lands in the same batch is reported retroactively") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Heartbeat]
+    val beats = in.toDS().withWatermark("ts", "1 second")
+    val q = StreamingHeartbeat.silences(beats, gapMs = 10_000L)
+      .writeStream.format("memory").queryName("retro")
+      .outputMode("append").start()
+    try {
+      // both the beat, the silence-sized gap, and the resume arrive in
+      // ONE batch: a timeout-only detector would never fire
+      in.addData(hb(5, 1000), hb(5, 50_000), hb(5, 51_000))
+      q.processAllAvailable()
+      val out = spark.table("retro").as[Silence].collect().toSeq
+      assert(out.map(s => (s.key, s.last_ts.getTime, s.n_beats)) ===
+        Seq((5L, 1000L, 1L)))
     } finally q.stop()
   }
 

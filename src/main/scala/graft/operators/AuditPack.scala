@@ -51,6 +51,11 @@ object AuditPack extends QueryPack {
     * only ~N/KthBins rows. */
   val KthBins = 1024
 
+  /** k-anonymity release gate and the sensitive-attribute bucket width
+    * (chars) whose diversity is measured inside each cell (q151). */
+  val AnonK = 3
+  val SensBucketChars = 100L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cross-tab: per user segment, total event value by type. The pivot is
@@ -332,6 +337,16 @@ object AuditPack extends QueryPack {
         .withColumn("rn", row_number().over(wr))
         .filter(col("rn") === col("k") - col("cum_before"))
         .select(col("total").as("n"), col("c").as("kth_cents"))
+    }),
+
+    // k-anonymity release audit over the (lang, source) quasi-identifier
+    // with a one-step generalization ladder (drop source, then full
+    // suppression) and per-cell l-diversity of the length bucket. The
+    // coarser levels re-aggregate level-0 partials — corpus scanned once.
+    "q151_k_anonymity" -> ((s, dir) => {
+      Governance.kAnonymity(Tables.table(s, dir, "documents"),
+          "lang", "source", expr(s"n_chars DIV $SensBucketChars"), AnonK)
+        .orderBy("qi_coarse", "qi_fine")
     })
   )
 
@@ -508,6 +523,26 @@ object AuditPack extends QueryPack {
          |       CAST(min(n_chars) AS BIGINT) AS min_chars,
          |       CAST(max(n_chars) AS BIGINT) AS max_chars,
          |       CAST(sum(n_chars) AS BIGINT) AS chars
-         |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q151_k_anonymity" ->
+      s"""WITH g0 AS (
+         |  SELECT coalesce(CAST(lang AS VARCHAR), '') AS qi_coarse,
+         |         coalesce(CAST(source AS VARCHAR), '') AS qi_fine,
+         |         count(*) AS n,
+         |         CAST(count(DISTINCT n_chars // $SensBucketChars) AS BIGINT)
+         |           AS l_div
+         |  FROM documents GROUP BY 1, 2),
+         |g1 AS (SELECT qi_coarse, CAST(sum(n) AS BIGINT) AS n1
+         |       FROM g0 GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n2 FROM g0)
+         |SELECT qi_coarse, qi_fine, n, l_div,
+         |       CAST(CASE WHEN n >= $AnonK THEN 0
+         |                 WHEN n1 >= $AnonK THEN 1 ELSE 2 END AS INTEGER)
+         |         AS level,
+         |       CASE WHEN n >= $AnonK THEN n
+         |            WHEN n1 >= $AnonK THEN n1 ELSE n2 END AS anon_n
+         |FROM g0 JOIN g1 USING (qi_coarse) CROSS JOIN t
+         |ORDER BY qi_coarse, qi_fine""".stripMargin
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy / data-governance audit: k-anonymity over quasi-identifier
+  * columns with a one-step generalization ladder. A released training
+  * corpus must not let a row be re-identified by the combination of its
+  * "harmless" attributes; the audit measures, for every quasi-identifier
+  * combination, the anonymity set the row actually hides in after the
+  * standard remedy (generalize the most specific attribute, then full
+  * suppression). The reference has no governance surface at all — its
+  * records are synthetic ids (ALSModelGenerator.scala:41-44) — but a
+  * crawl-derived corpus ships real attributes, and "is every (lang,
+  * source) cell at least k deep" is the release gate.
+  *
+  * Scale shape: one shuffle on the full quasi-identifier; every coarser
+  * ladder level re-aggregates the PARTIAL counts of the level below
+  * (rows never re-scanned), so the extra levels cost a shuffle of
+  * |groups|, not |corpus|. The corpus total is a 1-row aggregate
+  * cross-joined in-plan (no driver action — the round-1 q45 lesson).
+  */
+object Governance {
+
+  /** Per (`coarse`, `fine`) group: the anonymity set size at each ladder
+    * level, the level the group needs to reach `k` (0 = already fine at
+    * the full identifier, 1 = after generalizing `fine` away, 2 = only
+    * in the whole corpus), the set size actually achieved, and the
+    * l-diversity of `sensitive` inside the exact group (distinct
+    * sensitive values — a k-deep cell is still leaky when every member
+    * shares the secret).
+    *
+    * NULL identifier values are their own stratum (coalesced to '' so
+    * the group key is total; mirrors stratifiedSample's convention). */
+  def kAnonymity(df: DataFrame, coarse: String, fine: String,
+                 sensitive: Column, k: Int): DataFrame = {
+    val rows = df.select(
+      coalesce(col(coarse).cast("string"), lit("")).as("qi_coarse"),
+      coalesce(col(fine).cast("string"), lit("")).as("qi_fine"),
+      sensitive.as("sens"))
+    // Level 0: exact quasi-identifier, plus the group's l-diversity.
+    val g0 = rows.groupBy("qi_coarse", "qi_fine")
+      .agg(count(lit(1)).as("n"), countDistinct(col("sens")).as("l_div"))
+    // Level 1 re-aggregates level-0 partials; level 2 likewise.
+    val g1 = g0.groupBy("qi_coarse").agg(sum("n").as("n1"))
+    val total = g0.agg(sum("n").as("n2"))
+    g0.join(g1, "qi_coarse").crossJoin(broadcast(total))
+      .withColumn("level",
+        when(col("n") >= k, 0).when(col("n1") >= k, 1).otherwise(2)
+          .cast("int"))
+      .withColumn("anon_n",
+        when(col("n") >= k, col("n"))
+          .when(col("n1") >= k, col("n1")).otherwise(col("n2")))
+      .select("qi_coarse", "qi_fine", "n", "l_div", "level", "anon_n")
+  }
+}

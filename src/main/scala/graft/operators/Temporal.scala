@@ -159,4 +159,49 @@ object Temporal {
       .withColumn("w_cents", sum(col("_c")).over(w))
       .drop("_c", "_ep")
   }
+
+  /** Per-key ordinary-least-squares trend of an integer metric over time:
+    * drift detection as a model fit, not a threshold ("error cents are
+    * climbing 3.2/hour"), the per-source companion of the level-shift
+    * monitors (q112/q145). Emits slope (cents per hour bucket) and
+    * intercept (cents at the corpus's first hour) from the closed-form
+    * normal equations.
+    *
+    * Exactness: x is whole hours since the GLOBAL min timestamp (a 1-row
+    * aggregate cross-joined in-plan — no driver action), y the caller's
+    * integer cents, so every moment (n, Σx, Σy, Σxy, Σx²) is an exact
+    * BIGINT; slope/intercept go through double only in the final ratios,
+    * with the identical expression tree on the DuckDB side. Floats never
+    * enter a sum, so the result is partitioning-independent.
+    *
+    * Scale shape: one shuffle on the key with map-side partial moments
+    * (the five sums are classic algebraic aggregates); the hour-offset
+    * join is a broadcast of one row. Moment magnitude bounds the reach:
+    * |Σxy| ≤ n·maxHours·maxCents must stay inside int64 — at 1e12 rows
+    * per key × 1e4 hours × 1e6 cents it would not; at that scale switch
+    * the moments to DECIMAL(38,0) (same plan, wider lanes). A per-key
+    * den = 0 (all events in one hour bucket) yields NULL slope/intercept
+    * rather than a division error. */
+  def trendFit(events: DataFrame, keyCol: String, tsCol: String,
+               centsCol: Column, bucketSec: Long = 3600L): DataFrame = {
+    val ep = events.select(col(keyCol),
+      expr(s"unix_micros($tsCol) DIV 1000000").as("_ep"), centsCol.as("_y"))
+    val origin = ep.agg(min(col("_ep")).as("_ep0"))
+    val xy = ep.crossJoin(broadcast(origin))
+      .withColumn("_x", expr(s"(_ep - _ep0) DIV $bucketSec"))
+    val m = xy.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x")).as("sx"), sum(col("_y")).as("sy"),
+      sum(col("_x") * col("_y")).as("sxy"),
+      sum(col("_x") * col("_x")).as("sxx"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val slopeRaw = num.cast("double") / den.cast("double")
+    m.withColumn("_slope_raw", when(den =!= 0L, slopeRaw))
+      .withColumn("slope", graft.functions.Portable.snap6(col("_slope_raw")))
+      .withColumn("intercept", graft.functions.Portable.snap6(
+        (col("sy").cast("double") - col("_slope_raw") * col("sx").cast("double"))
+          / col("n").cast("double")))
+      .select(col(keyCol), col("n"), col("slope"), col("intercept"))
+  }
 }

@@ -122,6 +122,14 @@ object TemporalPack extends QueryPack {
         .join(anomalies, Seq("event_type"), "left")
         .orderBy("event_type")
     }),
+
+    // Per-type value trend as a closed-form OLS fit over exact integer
+    // moments: slope in cents per hour since the corpus's first event.
+    // Drift as a model, complementing q145's distribution-shift monitor.
+    "q152_trend_fit" -> ((s, dir) => {
+      Temporal.trendFit(events(s, dir), "event_type", "ts", cents)
+        .orderBy("event_type")
+    }),
   )
 
   def oracles: Map[String, String] = Map(
@@ -298,5 +306,35 @@ object TemporalPack extends QueryPack {
          |WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
          |ORDER BY corr DESC, user_a, user_b
          |LIMIT $CorrK""".stripMargin,
+
+    // Mirrors trendFit exactly: integer moments on hours-since-global-min
+    // and cents; doubles only in the final ratios with the identical
+    // expression tree, floor-snapped to 6 decimals.
+    "q152_trend_fit" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 AS ep,
+        |         CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, (ep - m.ep0) // 3600 AS x, y
+        |  FROM e CROSS JOIN (SELECT min(ep) AS ep0 FROM e) m),
+        |mo AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM x GROUP BY 1)
+        |SELECT event_type, n,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |         floor((CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000.0)
+        |           / 1000000.0 END AS slope,
+        |       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+        |         floor(((CAST(sy AS DOUBLE) -
+        |                 (CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                  CAST(n * sxx - sx * sx AS DOUBLE))
+        |                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |               * 1000000.0) / 1000000.0 END AS intercept
+        |FROM mo ORDER BY event_type""".stripMargin,
   )
 }

@@ -96,4 +96,24 @@ class AuditSpec extends SparkSpec {
     val nSrc = rows.map(_._2).distinct.size
     assert(rows.sortBy(_._1).take(nSrc).map(_._2).distinct.size === nSrc)
   }
+
+  test("kAnonymity: ladder levels, anonymity sets, l-diversity, NULL stratum") {
+    import graft.operators.Governance
+    // (coarse, fine, sensitive): en/web is 3-deep (level 0, 2 distinct
+    // sensitive values); en/app is 1-deep but en totals 4 (level 1);
+    // fr/web is 1-deep and fr totals 1 -> only the corpus of 5 hides it
+    // (level 2); the NULL coarse value must be its own stratum, not lost.
+    val docs = Seq(
+      (Option("en"), "web", 10L), (Option("en"), "web", 10L),
+      (Option("en"), "web", 20L), (Option("en"), "app", 30L),
+      (Option.empty[String], "web", 40L)
+    ).toDF("lang", "source", "sens")
+    val out = Governance.kAnonymity(docs, "lang", "source", col("sens"), k = 3)
+      .orderBy("qi_coarse", "qi_fine")
+      .as[(String, String, Long, Long, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      ("", "web", 1L, 1L, 2, 5L),
+      ("en", "app", 1L, 1L, 1, 4L),
+      ("en", "web", 3L, 2L, 0, 3L)))
+  }
 }

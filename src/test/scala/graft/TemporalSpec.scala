@@ -88,4 +88,27 @@ class TemporalSpec extends SparkSpec {
       .select("n", "v_filled", "is_gap").as[(Long, Long, Boolean)].collect()
     assert(out.toSeq === Seq((1L, 5L, false)))
   }
+
+  test("trendFit: recovers an exact linear trend; degenerate key -> NULL") {
+    // key a: y = 100 + 5x cents at hours 0..4 (x counted from the GLOBAL
+    // min, which key a owns); key b: all events in one hour bucket.
+    val ev = Seq(
+      ("a", ts("2024-01-01 00:10:00"), 100L),
+      ("a", ts("2024-01-01 01:10:00"), 105L),
+      ("a", ts("2024-01-01 02:10:00"), 110L),
+      ("a", ts("2024-01-01 03:10:00"), 115L),
+      ("a", ts("2024-01-01 04:10:00"), 120L),
+      ("b", ts("2024-01-01 02:20:00"), 9L),
+      ("b", ts("2024-01-01 02:40:00"), 11L)
+    ).toDF("k", "t", "c")
+    val out = Temporal.trendFit(ev, "k", "t", col("c"))
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n") === 5L)
+    assert(a.getAs[Double]("slope") === 5.0)
+    assert(a.getAs[Double]("intercept") === 100.0)
+    val b = out(1)
+    assert(b.isNullAt(b.fieldIndex("slope")) &&
+      b.isNullAt(b.fieldIndex("intercept")))
+  }
 }

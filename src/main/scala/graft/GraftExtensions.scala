@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, PqSubDists, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -85,6 +85,23 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_bloom_probe takes exactly 2 arguments")
         BloomProbe(args.head, args(1))
+      }),
+    (FunctionIdentifier("graft_pq_subdists"),
+      new ExpressionInfo(classOf[PqSubDists].getName, "graft_pq_subdists"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_pq_subdists takes exactly 3 arguments")
+        require(args(2).foldable, "graft_pq_subdists requires a literal m")
+        val m = args(2).eval(null) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_subdists m must be an integer literal, got $other")
+        }
+        val cast = args.take(2).map(a =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            a, org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType)))
+        PqSubDists(cast.head, cast(1), m)
       }),
     (FunctionIdentifier("graft_fold_accents"),
       new ExpressionInfo(classOf[FoldAccents].getName, "graft_fold_accents"),

@@ -38,6 +38,19 @@ object VectorFunctions {
   /** Σ a_i² (no sqrt — exact-compare friendly); same fused loop as [[dot]]. */
   def sqNorm(a: Column): Column = dot(a, a)
 
+  /** All `m` PQ subspace squared-L2 distances in one fused pass — an
+    * ARRAY<DOUBLE> of length m (see
+    * [[graft.functions.expressions.PqSubDists]]); replaces m separate
+    * `aggregate(zip_with(slice, slice))` chains on the PQ encode join. */
+  def pqSubDists(a: Column, b: Column, m: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    column(graft.functions.expressions.PqSubDists(
+      Cast(expression(a), ArrayType(DoubleType)),
+      Cast(expression(b), ArrayType(DoubleType)), m))
+  }
+
   /** Element-wise sum AGGREGATE over ARRAY<DOUBLE> rows — one mutable
     * buffer per group with map-side combine (see
     * [[graft.functions.expressions.VectorSumAgg]]); replaces

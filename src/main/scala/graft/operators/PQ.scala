@@ -38,18 +38,27 @@ object PQ {
         (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** All m subspace distances in ONE fused native pass (ARRAY<DOUBLE>,
+    * entry mi = [[subDist]](x, c, mi, dim/m) bit-for-bit) — the encode
+    * and LUT joins evaluate |corpus|×|codebook| rows, where m separate
+    * interpreted `aggregate(zip_with(slice…))` chains dominated the
+    * bench (q81 cold ~12 s → the join is the whole query). */
+  private def subDists(x: Column, c: Column, m: Int): Column =
+    graft.functions.VectorFunctions.pqSubDists(x, c, m)
+
   /** Encode a corpus (id, vec ARRAY<DOUBLE>) against a codebook
     * (code INT, cvec ARRAY<DOUBLE>): one row per id with code columns
     * c0..c{m-1}. One broadcast join + one aggregation. */
   def encode(corpus: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
     val joined = corpus.crossJoin(broadcast(codebook))
-    val dists = (0 until m).map(mi =>
-      subDist(col("vec"), col("cvec"), mi, sub).as(s"_d$mi"))
     val argmins = (0 until m).map(mi =>
       min_by(col("code"), struct(col(s"_d$mi"), col("code"))).as(s"c$mi"))
-    joined.select(col("id") +: col("code") +: dists: _*)
+    joined
+      .select(col("id"), col("code"),
+        subDists(col("vec"), col("cvec"), m).as("_pd"))
+      .select(col("id") +: col("code") +:
+        (0 until m).map(mi => col("_pd").getItem(mi).as(s"_d$mi")): _*)
       .groupBy(col("id"))
       .agg(argmins.head, argmins.tail: _*)
   }
@@ -58,12 +67,14 @@ object PQ {
     * rounded to 6 and fixed-point so the m-way ADC sum is exact in any
     * order. */
   private def lutOf(queries: DataFrame, codebook: DataFrame,
-                    m: Int, sub: Int): DataFrame = {
+                    m: Int): DataFrame = {
     val lutCols = (0 until m).map(mi =>
       struct(lit(mi).as("mi"),
-        round(subDist(col("qvec"), col("cvec"), mi, sub), 6)
+        round(col("_pd").getItem(mi), 6)
           .cast("decimal(18,6)").as("d")).as(s"_s$mi"))
     queries.crossJoin(broadcast(codebook))
+      .select(col("qid"), col("code"),
+        subDists(col("qvec"), col("cvec"), m).as("_pd"))
       .select(col("qid") +: col("code") +: lutCols: _*)
       .select(col("qid"), col("code"), explode(array((0 until m).map(mi => col(s"_s$mi")): _*)).as("_e"))
       .select(col("qid"), col("_e.mi").as("mi"), col("code"), col("_e.d").as("d"))
@@ -90,8 +101,7 @@ object PQ {
               m: Int, dim: Int, k: Int): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 1, "k must be >= 1")
-    val sub = dim / m
-    val adc = codesOf(encoded, m).join(lutOf(queries, codebook, m, sub), Seq("mi", "code"))
+    val adc = codesOf(encoded, m).join(lutOf(queries, codebook, m), Seq("mi", "code"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("d")).as("adc_dist"))
     rankTopK(adc, k)
@@ -112,14 +122,13 @@ object PQ {
                       queryBuckets: DataFrame): DataFrame = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     require(k >= 1, "k must be >= 1")
-    val sub = dim / m
     // project the bucket frames down to (key, cid) HERE: Similarity.assign
     // returns the full vectors too, and joining them verbatim would drag
     // every uncompressed vector through the ADC shuffle — the exact cost
     // this operator exists to avoid
     val codesB = codesOf(encoded, m)
       .join(corpusBuckets.select(col("id"), col("cid")), "id")
-    val lutB = lutOf(queries, codebook, m, sub)
+    val lutB = lutOf(queries, codebook, m)
       .join(queryBuckets.select(col("qid"), col("cid")), "qid")
     val adc = codesB.join(lutB, Seq("mi", "code", "cid"))
       .groupBy(col("qid"), col("id"))

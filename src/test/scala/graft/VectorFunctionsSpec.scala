@@ -73,4 +73,40 @@ class VectorFunctionsSpec extends SparkSpec {
       anyNaN(arr(1.0, 2.0)).as("b")).head()
     assert(got.getBoolean(0) && !got.getBoolean(1))
   }
+
+  test("pqSubDists matches the composed per-subspace aggregate bit-for-bit") {
+    import spark.implicits._
+    val dim = 8
+    val m = 4
+    val sub = dim / m
+    // pseudo-random but deterministic vectors, including negatives
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(j => math.sin(i * 31 + j) * 10),
+        Array.tabulate(dim)(j => math.cos(i * 17 + j) * 10))
+    }
+    val df = rows.toDF("id", "x", "c")
+    val composed = (0 until m).map(mi =>
+      graft.operators.PQ.subDist(col("x"), col("c"), mi, sub).as(s"d$mi"))
+    val got = df.select(
+      pqSubDists(col("x"), col("c"), m).as("pd") +: composed: _*)
+      .collect()
+    got.foreach { r =>
+      val pd = r.getSeq[Double](0)
+      (0 until m).foreach { mi =>
+        // exact ==: both accumulate in component order, so the doubles
+        // must be bit-identical, not just close
+        assert(pd(mi) == r.getDouble(1 + mi), s"subspace $mi")
+      }
+    }
+    // SQL registration surface + float input cast
+    val viaSql = spark.sql(
+      "SELECT graft_pq_subdists(array(1.0D, 2.0D, 3.0D, 4.0D)," +
+        " array(0.0D, 0.0D, 0.0D, 0.0D), 2) AS pd").head().getSeq[Double](0)
+    assert(viaSql === Seq(5.0, 25.0))
+    // NULL array null-propagates
+    assert(spark.sql(
+      "SELECT graft_pq_subdists(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D), 1)")
+      .head().isNullAt(0))
+  }
 }

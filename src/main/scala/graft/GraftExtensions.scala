@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, PqSubDists, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{AcHits, BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, PqSubDists, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -108,6 +108,22 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_fold_accents takes exactly 1 argument")
         FoldAccents(args.head)
+      }),
+    (FunctionIdentifier("graft_ac_hits"),
+      new ExpressionInfo(classOf[AcHits].getName, "graft_ac_hits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_ac_hits takes exactly 2 arguments")
+        require(args(1).foldable,
+          "graft_ac_hits requires a literal pattern array")
+        val arr = args(1).eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        require(arr != null && arr.numElements() > 0,
+          "graft_ac_hits requires at least one pattern")
+        val pats = (0 until arr.numElements()).map { i =>
+          require(!arr.isNullAt(i), "graft_ac_hits patterns must be non-null")
+          arr.getUTF8String(i).toString
+        }
+        AcHits(args.head, pats)
       }),
     (FunctionIdentifier("graft_vocab_hits"),
       new ExpressionInfo(classOf[VocabHits].getName, "graft_vocab_hits"),

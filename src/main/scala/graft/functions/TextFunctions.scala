@@ -97,6 +97,13 @@ object TextFunctions {
   def vocabHitsText(text: Column, words: Seq[String]): Column =
     vocabHits(split(text, "\\s+"), words)
 
+  /** Sorted distinct indices of the `patterns` occurring in `text` — the
+    * native [[graft.functions.expressions.AcHits]] Aho–Corasick
+    * multi-pattern scan (one pass over the bytes regardless of pattern
+    * count; an OR-of-LIKEs blocklist is O(patterns) per character). */
+  def acHits(text: Column, patterns: Seq[String]): Column =
+    column(expressions.AcHits(expression(text), patterns))
+
   /** 32-bit content fingerprint of the normalized text (portable md5
     * prefix; see Portable.hash32). */
   def fingerprint(text: Column): Column =

@@ -103,6 +103,29 @@ object AnalyticsPack extends QueryPack {
         .orderBy("user_id")
     }),
 
+    // Sessionization via Spark's NATIVE session_window (q37 is the
+    // hand-rolled lag+cumsum twin): one groupBy producing the merged
+    // per-user sessions, the same operator that runs unchanged as a
+    // watermarked streaming query — THE reason to prefer it over the
+    // window-function form at scale (no per-user total ordering; state
+    // merges incrementally). Boundary semantics differ from q37 by one
+    // edge: session_window merges only OVERLAPPING [ts, ts+gap) windows,
+    // so a gap of EXACTLY 30 min starts a new session (the oracle uses
+    // >=, where q37's hand-rolled twin used >). Output boundaries ride
+    // as exact epoch microseconds — no float compare.
+    "q156_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // Last-touch attribution: each purchase credits the user's most
     // recent STRICTLY-EARLIER marketing touch (click/view). The frame is
     // RANGE over epoch micros ending at -1, not ROWS at -1: a ROWS frame
@@ -638,6 +661,26 @@ object AnalyticsPack extends QueryPack {
         |       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q156_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |                   >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |       epoch_us(min(ts)) AS session_start_us,
+        |       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       ROUND(sum(value), 4) AS session_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q37_sessions" ->
       """WITH marked AS (

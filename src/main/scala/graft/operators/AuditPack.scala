@@ -58,6 +58,52 @@ object AuditPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Referential-integrity + key-constraint audit: every FK edge of the
+    // star schema as a LEFT ANTI join (violations = facts whose key has
+    // no dimension row), every PK as a duplicate count — one audit row
+    // per constraint. This is the "can I trust the joins" gate a
+    // pipeline runs before training-set assembly; at 100 TB each check
+    // is one column-pruned scan + one equi-join (dimension side
+    // broadcastable; AQE decides), the PK checks are partial-aggregable
+    // groupBy counts, and the 1-row summaries union for free.
+    "q153_ref_integrity" -> ((s, dir) => {
+      def fk(name: String, fact: DataFrame, key: String,
+             dim: DataFrame, dimKey: String): DataFrame = {
+        val checked = fact.select(col(key))
+        val bad = checked.join(
+          dim.select(col(dimKey)).distinct(),
+          checked(key) === dim(dimKey), "left_anti")
+        checked.agg(count(lit(1)).as("n_checked"))
+          .crossJoin(bad.agg(count(lit(1)).as("n_violations")))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"), (col("n_violations") === 0).as("ok"))
+      }
+      def pk(name: String, t: DataFrame, keys: Seq[String]): DataFrame =
+        t.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+          .agg(sum(col("_n")).as("n_checked"),
+            sum(when(col("_n") > 1, col("_n")).otherwise(0L))
+              .as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"), (col("n_violations") === 0).as("ok"))
+      val cust = Tables.table(s, dir, "customer")
+      val ord = Tables.table(s, dir, "orders")
+      val li = Tables.table(s, dir, "lineitem")
+      val part = Tables.table(s, dir, "part")
+      val supp = Tables.table(s, dir, "supplier")
+      val nat = Tables.table(s, dir, "nation")
+      Seq(
+        fk("fk_orders_custkey", ord, "o_custkey", cust, "c_custkey"),
+        fk("fk_lineitem_orderkey", li, "l_orderkey", ord, "o_orderkey"),
+        fk("fk_lineitem_partkey", li, "l_partkey", part, "p_partkey"),
+        fk("fk_lineitem_suppkey", li, "l_suppkey", supp, "s_suppkey"),
+        fk("fk_customer_nationkey", cust, "c_nationkey", nat, "n_nationkey"),
+        pk("pk_customer", cust, Seq("c_custkey")),
+        pk("pk_orders", ord, Seq("o_orderkey")),
+        pk("pk_lineitem", li, Seq("l_orderkey", "l_linenumber")))
+        .reduce(_.unionAll(_))
+        .orderBy("check_name")
+    }),
+
     // Cross-tab: per user segment, total event value by type. The pivot is
     // a single groupBy shuffle producing one column per type; missing
     // (segment, type) combinations stay NULL in both engines.
@@ -351,6 +397,36 @@ object AuditPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q153_ref_integrity" -> {
+      def fk(name: String, fact: String, key: String,
+             dim: String, dimKey: String): String =
+        s"""SELECT '$name' AS check_name,
+           |  (SELECT count(*) FROM $fact) AS n_checked,
+           |  (SELECT count(*) FROM $fact f LEFT JOIN
+           |     (SELECT DISTINCT $dimKey FROM $dim) d ON f.$key = d.$dimKey
+           |   WHERE d.$dimKey IS NULL) AS n_violations""".stripMargin
+      def pk(name: String, t: String, keys: Seq[String]): String =
+        s"""SELECT '$name' AS check_name,
+           |  (SELECT count(*) FROM $t) AS n_checked,
+           |  (SELECT coalesce(sum(n), 0) FROM
+           |     (SELECT count(*) AS n FROM $t GROUP BY ${keys.mkString(", ")})
+           |   WHERE n > 1) AS n_violations""".stripMargin
+      val checks = Seq(
+        fk("fk_orders_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        fk("fk_lineitem_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fk("fk_lineitem_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        fk("fk_lineitem_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fk("fk_customer_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        pk("pk_customer", "customer", Seq("c_custkey")),
+        pk("pk_orders", "orders", Seq("o_orderkey")),
+        pk("pk_lineitem", "lineitem", Seq("l_orderkey", "l_linenumber")))
+      s"""SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+         |       CAST(n_violations AS BIGINT) AS n_violations,
+         |       n_violations = 0 AS ok
+         |FROM (${checks.mkString("\nUNION ALL\n")})
+         |ORDER BY check_name""".stripMargin
+    },
 
     "q101_pivot_events" -> {
       val cols = EventTypes.map(t =>

@@ -23,6 +23,12 @@ object PipelinePack extends QueryPack {
   /** q95's token budget — ONE definition interpolated into both engines. */
   val MixPlanBudget = 100000L
 
+  /** Sampling temperature for the q154 mix plan: p_i ∝ tokens_i^alpha.
+    * alpha=1 is proportional (big sources dominate), alpha=0 is uniform
+    * (q95's plan); 0.7 is the usual multilingual/multi-source compromise
+    * that up-weights small sources without drowning large ones. */
+  val MixAlpha = 0.7
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
@@ -215,6 +221,37 @@ object PipelinePack extends QueryPack {
             .as("epochs"),
           (floor(lit(budget) / col("k")) > col("avail_tokens"))
             .as("oversampled"))
+        .orderBy("source")
+    }),
+
+    // Temperature-scaled mix plan: p_i ∝ avail_i^alpha (UniMax/mT5-style
+    // alpha-sampling) instead of q95's uniform split — the standard way
+    // to up-weight small sources without letting the head source eat the
+    // whole budget. Determinism: the ^alpha shares are ROUNDED to 6
+    // before anything downstream reads them; pow differs from DuckDB's
+    // libm by at most 1 ulp (~1e-16 relative), far inside the 5e-7
+    // rounding guard — the same argument weightedSample makes for log().
+    "q154_temperature_mix" -> ((s, dir) => {
+      val perSource = docs(s, dir)
+        .select(col("source"),
+          TextFunctions.tokenStats(col("text"))
+            .getField("ws_tokens").cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("avail_tokens"))
+      val tot = perSource.agg(
+        sum(pow(col("avail_tokens").cast("double"), MixAlpha)).as("z"),
+        sum(col("avail_tokens")).cast("double").as("t"))
+      perSource.crossJoin(tot)
+        .select(col("source"), col("n_docs"), col("avail_tokens"),
+          round(col("avail_tokens") / col("t"), 6).as("p_raw"),
+          round(pow(col("avail_tokens").cast("double"), MixAlpha) / col("z"), 6)
+            .as("p_temp"),
+          floor(lit(MixPlanBudget) *
+            pow(col("avail_tokens").cast("double"), MixAlpha) / col("z"))
+            .cast("long").as("target_tokens"),
+          round(floor(lit(MixPlanBudget) *
+            pow(col("avail_tokens").cast("double"), MixAlpha) / col("z")) /
+            col("avail_tokens"), 6).as("epochs"))
         .orderBy("source")
     }),
 
@@ -444,6 +481,25 @@ object PipelinePack extends QueryPack {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS lossless,
         |       TRUE AS fragmented_ok, TRUE AS compacted_ok
         |FROM documents""".stripMargin,
+
+    "q154_temperature_mix" -> {
+      val toks = TextPack.toksSql("text")
+      val pw = s"pow(CAST(avail_tokens AS DOUBLE), $MixAlpha)"
+      s"""WITH t AS (SELECT source, len($toks) AS n FROM documents),
+         |p AS (SELECT source, count(*) AS n_docs, sum(n) AS avail_tokens
+         |      FROM t GROUP BY source),
+         |z AS (SELECT sum($pw) AS z, CAST(sum(avail_tokens) AS DOUBLE) AS t
+         |      FROM p)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(avail_tokens AS BIGINT) AS avail_tokens,
+         |       ROUND(avail_tokens / t, 6) AS p_raw,
+         |       ROUND($pw / z, 6) AS p_temp,
+         |       CAST(FLOOR($MixPlanBudget * $pw / z) AS BIGINT)
+         |         AS target_tokens,
+         |       ROUND(FLOOR($MixPlanBudget * $pw / z) / avail_tokens, 6)
+         |         AS epochs
+         |FROM p CROSS JOIN z ORDER BY source""".stripMargin
+    },
 
     "q95_mix_plan" -> {
       val toks = TextPack.toksSql("text")

@@ -26,7 +26,32 @@ object TextPack extends QueryPack {
   /** English-ish stopwords for quality scoring. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Blocklist phrases for the q155 multi-pattern screen. Deliberately
+    * includes a pair with overlapping occurrences ("slow scan" /
+    * "an slo" both fire inside "…scan slow…" contexts) so the oracle
+    * exercises the automaton's failure transitions, not just disjoint
+    * matches. Order is the pattern id the query reports. */
+  val blocklist: Seq[String] = Seq(
+    "hash join", "slow scan", "big table", "sort merge", "merge batch",
+    "an slo")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Blocklist screen: one Aho–Corasick pass per document over the
+    // whole phrase list (scan-stage, codegen; an OR-of-LIKEs goes
+    // O(patterns) per char and a regex alternation backtracks). Emits
+    // only flagged docs: id, how many distinct phrases hit, and which.
+    "q155_blocklist" -> ((s, dir) => {
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          T.acHits(col("text"), blocklist).as("_hits"))
+        .filter(size(col("_hits")) > 0)
+        .select(col("doc_id"),
+          size(col("_hits")).as("n_hits"),
+          array_join(transform(col("_hits"), _.cast("string")), ",")
+            .as("hit_ids"))
+        .orderBy("doc_id")
+    }),
 
     // Language ID: stopword-profile scores + argmax with deterministic
     // tiebreak (profile order).
@@ -393,6 +418,25 @@ object TextPack extends QueryPack {
        |        FROM db JOIN model USING (bigram) GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q155_blocklist" -> {
+      // the oracle replays each pattern as an independent strpos probe;
+      // concat_ws drops the NULL (non-matching) branches, reproducing the
+      // automaton's sorted-id list exactly
+      val hitCases = blocklist.zipWithIndex.map { case (p, i) =>
+        s"CASE WHEN strpos(text, '$p') > 0 THEN '$i' END"
+      }.mkString(",\n         |         ")
+      val nHits = blocklist.map(p =>
+        s"CASE WHEN strpos(text, '$p') > 0 THEN 1 ELSE 0 END")
+        .mkString(" +\n         |         ")
+      s"""SELECT doc_id,
+         |       CAST($nHits AS INTEGER) AS n_hits,
+         |       concat_ws(',',
+         |         $hitCases) AS hit_ids
+         |FROM documents
+         |WHERE $nHits > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q60_html_strip" ->
       """WITH raw AS (
         |  SELECT doc_id,

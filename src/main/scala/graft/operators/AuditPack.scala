@@ -56,6 +56,9 @@ object AuditPack extends QueryPack {
   val AnonK = 3
   val SensBucketChars = 100L
 
+  /** Privacy budget for the q157 DP histogram (Laplace b = 1/eps). */
+  val DpEps = 1.0
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Referential-integrity + key-constraint audit: every FK edge of the
@@ -393,6 +396,19 @@ object AuditPack extends QueryPack {
       Governance.kAnonymity(Tables.table(s, dir, "documents"),
           "lang", "source", expr(s"n_chars DIV $SensBucketChars"), AnonK)
         .orderBy("qi_coarse", "qi_fine")
+    }),
+
+    // Differentially-private histogram release (seeded Laplace
+    // mechanism): the per-source document counts as a privacy-budgeted
+    // artifact. n_true rides along as the calibration audit — the
+    // released file drops it. eps = DpEps, sensitivity 1 (one document
+    // moves one count).
+    "q157_dp_histogram" -> ((s, dir) => {
+      Governance.dpCounts(Tables.table(s, dir, "documents"),
+          "source", DpEps)
+        .select(col("grp").as("source"), col("n_true"),
+          col("noisy_count"), lit(DpEps).as("eps"))
+        .orderBy("source")
     })
   )
 
@@ -619,6 +635,22 @@ object AuditPack extends QueryPack {
          |       CASE WHEN n >= $AnonK THEN n
          |            WHEN n1 >= $AnonK THEN n1 ELSE n2 END AS anon_n
          |FROM g0 JOIN g1 USING (qi_coarse) CROSS JOIN t
-         |ORDER BY qi_coarse, qi_fine""".stripMargin
+         |ORDER BY qi_coarse, qi_fine""".stripMargin,
+
+    "q157_dp_histogram" -> {
+      val u = s"((${graft.functions.Portable.hash32Sql(
+        "'dp:' || grp")} + 0.5) / 4294967296.0)"
+      val noise =
+        s"(-1.0 / $DpEps) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))"
+      s"""WITH c AS (
+         |  SELECT coalesce(CAST(source AS VARCHAR), '') AS grp,
+         |         count(*) AS n_true
+         |  FROM documents GROUP BY 1)
+         |SELECT grp AS source, CAST(n_true AS BIGINT) AS n_true,
+         |       ${graft.functions.Portable.snap6Sql(s"n_true + $noise")}
+         |         AS noisy_count,
+         |       CAST($DpEps AS DOUBLE) AS eps
+         |FROM c ORDER BY source""".stripMargin
+    }
   )
 }

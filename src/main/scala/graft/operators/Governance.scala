@@ -53,4 +53,35 @@ object Governance {
           .when(col("n1") >= k, col("n1")).otherwise(col("n2")))
       .select("qi_coarse", "qi_fine", "n", "l_div", "level", "anon_n")
   }
+
+  /** Differentially-private histogram release: per-group counts with
+    * Laplace(1/eps) noise via the inverse-CDF transform
+    * `-b·sign(u-½)·ln(1-2|u-½|)` over a SEEDED uniform (md5 of the
+    * group key — [[graft.functions.Portable.hash32]], so the draw is
+    * reproducible across engines/runs/partitionings; a production
+    * release would swap the salt per epoch to re-randomize). One
+    * partial-aggregable shuffle; the noise is scan-stage arithmetic on
+    * the |groups|-row aggregate.
+    *
+    * Returns (grp, n_true, noisy_count) — n_true rides along as the
+    * mechanism-calibration audit; the released artifact drops it.
+    * noisy_count is [[graft.functions.Portable.snap6]]-snapped (tie-proof
+    * cross-engine compare for the ln-derived float). */
+  def dpCounts(df: DataFrame, groupCol: String, eps: Double,
+               salt: String = "dp"): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    val counts = df
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("")).as("grp"))
+      .agg(count(lit(1)).as("n_true"))
+    // u in (0,1): the +0.5 offset keeps both open endpoints (u=0 or 1
+    // would send ln to -inf)
+    val u = (graft.functions.Portable.hash32(
+      concat(lit(salt + ":"), col("grp"))).cast("double") + 0.5) /
+      lit(4294967296.0)
+    val v = u - lit(0.5)
+    val noise = lit(-1.0 / eps) * signum(v) *
+      log(lit(1.0) - lit(2.0) * abs(v))
+    counts.withColumn("noisy_count",
+      graft.functions.Portable.snap6(col("n_true") + noise))
+  }
 }

@@ -173,6 +173,50 @@ object PipelinePack extends QueryPack {
           (col("sum_source_exact") >= col("exact_global")).as("overlap_ok"))
     }),
 
+    // Rolling 7-day distinct users from STORED per-day HLL sketches —
+    // the mergeable-sketch pattern that makes rolling count-distinct
+    // affordable at warehouse scale: per-day sketches are built once
+    // (one shuffle over raw events), and each day's trailing window is
+    // a union of ≤7 stored sketches (O(days·7) tiny rows), where the
+    // exact rolling distinct would rescan raw events per window. The
+    // window membership is an EXPLODE(0..6) equi-join on the shifted
+    // day — a range predicate would plan a nested-loop join, which the
+    // fleet guardrail forbids. The exact side rides along as the audit
+    // gate (est within 5%, per-day sum over-counts overlap).
+    "q158_rolling_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = ev.select(col("day").as("d_end")).distinct()
+      val perDay = ev.groupBy("day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+          count_distinct(col("user_id")).as("day_exact"))
+      val contrib = perDay
+        .select(col("sk"), col("day_exact"),
+          explode(sequence(lit(0), lit(6))).as("off"),
+          col("day"))
+        .select(date_add(col("day"), col("off")).as("d_end"),
+          col("sk"), col("day_exact"))
+        .join(days, "d_end")
+      val rolled = contrib.groupBy("d_end")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day_exact")).as("sum_day_exact"),
+          expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
+      val exact = ev
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(date_add(col("day"), col("off")).as("d_end"), col("user_id"))
+        .join(days, "d_end")
+        .groupBy("d_end")
+        .agg(count_distinct(col("user_id")).as("exact_rolling"))
+      rolled.join(exact, "d_end")
+        .select(date_format(col("d_end"), "yyyy-MM-dd").as("day"),
+          col("n_days"), col("exact_rolling"),
+          (col("sum_day_exact") >= col("exact_rolling")).as("overlap_ok"),
+          (abs(col("est") - col("exact_rolling")).cast("double")
+            / col("exact_rolling") <= 0.05).as("est_ok"))
+        .orderBy("day")
+    }),
+
     // Small-file compaction: fragment the corpus into 64 tiny files, run
     // Layout.compact (coalesce — narrow, no shuffle), then gate on the
     // file listings and on LOSSLESSNESS via a relational full-outer
@@ -481,6 +525,30 @@ object PipelinePack extends QueryPack {
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, TRUE AS lossless,
         |       TRUE AS fragmented_ok, TRUE AS compacted_ok
         |FROM documents""".stripMargin,
+
+    "q158_rolling_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d_end FROM ev),
+        |perday AS (SELECT day, count(DISTINCT user_id) AS day_exact
+        |           FROM ev GROUP BY day),
+        |rolled AS (
+        |  SELECT d.d_end, count(*) AS n_days,
+        |         sum(p.day_exact) AS sum_day_exact
+        |  FROM days d JOIN perday p
+        |    ON p.day <= d.d_end AND p.day >= d.d_end - 6
+        |  GROUP BY d.d_end),
+        |ex AS (
+        |  SELECT d.d_end, count(DISTINCT e.user_id) AS exact_rolling
+        |  FROM days d JOIN ev e
+        |    ON e.day <= d.d_end AND e.day >= d.d_end - 6
+        |  GROUP BY d.d_end)
+        |SELECT strftime(r.d_end, '%Y-%m-%d') AS day,
+        |       CAST(r.n_days AS BIGINT) AS n_days,
+        |       CAST(ex.exact_rolling AS BIGINT) AS exact_rolling,
+        |       r.sum_day_exact >= ex.exact_rolling AS overlap_ok,
+        |       TRUE AS est_ok
+        |FROM rolled r JOIN ex USING (d_end)
+        |ORDER BY day""".stripMargin,
 
     "q154_temperature_mix" -> {
       val toks = TextPack.toksSql("text")

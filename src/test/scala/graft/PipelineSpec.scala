@@ -254,4 +254,24 @@ class PipelineSpec extends SparkSpec {
     assert(viaRollup === direct) // rollup of stored sketches loses nothing
     assert(math.abs(viaRollup - 150.0) / 150.0 < 0.05)
   }
+
+  test("rolling sketch window (q158 shape): union of stored per-day " +
+    "sketches equals sketching the window's raw rows") {
+    import spark.implicits._
+    // 10 days, overlapping user sets; day d has users d*10 .. d*10+49
+    val ev = (0 until 10).flatMap(d =>
+      (d * 10 until d * 10 + 50).map(u => (d, u.toLong))).toDF("d", "user_id")
+    val perDay = ev.groupBy("d").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    // trailing-3 window of day 5 = days 3..5, via the stored sketches
+    val viaStored = perDay.filter(col("d").between(3, 5))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("e"))
+      .as[Double].head()
+    val direct = ev.filter(col("d").between(3, 5))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").as("e"))
+      .as[Double].head()
+    assert(viaStored === direct)
+    // exact distinct of days 3..5 = users 30..99 = 70; lgK=12 sketch is
+    // in exact (sparse) mode at this cardinality
+    assert(math.abs(viaStored - 70.0) / 70.0 < 0.05)
+  }
 }

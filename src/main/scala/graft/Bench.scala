@@ -70,10 +70,37 @@ object Bench {
       // a failed query must not masquerade as a fast success
       name -> (if (ok) cold else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double) = f"$v%.3f"
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
+    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir"}"""
+    // The driver harvests only the LAST ~2000 chars of stdout and tries to
+    // parse a JSON line out of it. With 150+ queries the full per-query map
+    // is ~4.5 KB, so a single fat line gets truncated at the front and never
+    // parses (BENCH_r01..r03 all show "parsed": null). So: the complete
+    // detail goes to a file + stderr, and the FINAL stdout line is a compact
+    // JSON — total plus the slowest queries, capped so line + sbt's trailing
+    // "[success] ..." stay inside the tail window.
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      try w.println(full) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
+    System.err.println(full)
+    val budget = 1600 // chars for the "queries" map in the stdout line
+    val slowestFirst = results.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    slowestFirst.foreach { s =>
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    val qsTop = kept.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -210,4 +210,45 @@ object Graph {
     ranks.select(col("v"), col("r").as("rank_fp"),
       round(col("r").cast("double") / Unit.toDouble, 6).as("rank"))
   }
+
+  /** Multi-source BFS hop distances on a directed edge list: for every
+    * node, the minimum number of edges from any seed (0 for the seeds
+    * themselves, `unreachable` for nodes no seed can reach in `maxHops`).
+    *
+    * Implemented as `maxHops` rounds of Bellman-Ford-style relaxation —
+    * dist_k(v) = min(dist_{k-1}(v), min over (u,v) edges of
+    * dist_{k-1}(u) + 1) — rather than a frontier queue: the relax step is
+    * one equi-join shuffle (dist × edges on src) plus one min-aggregation
+    * shuffle per round, the Pregel step expressed relationally, and min
+    * over integers is order-free, so the result is identical across
+    * engines and shuffle partitionings. A frontier-delta variant would
+    * move less data on high-diameter graphs, but the full relaxation is
+    * the same O(|E|) per round and keeps every round a pure
+    * join-aggregate that AQE can plan. Distances are capped at
+    * `unreachable`, so the sentinel is sum-safe (no overflow games).
+    * Per-iteration frames are pinned exactly like [[hits]] — each dist
+    * table feeds the next round AND the final projection, and unpinned
+    * plans re-derive the whole upstream per reference. */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+          seeds: Seq[Long], maxHops: Int, unreachable: Int = 99,
+          materialize: Boolean = true): DataFrame = {
+    require(seeds.nonEmpty, "BFS needs a seed set")
+    require(maxHops >= 1 && maxHops < unreachable)
+    def pin(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint(false) else df
+    val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val nodes = pin(e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct())
+    var dist = nodes.select(col("v"),
+      when(col("v").isInCollection(seeds), 0)
+        .otherwise(unreachable).as("d"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = e.join(dist, e("src") === dist("v"))
+        .select(col("dst").as("v"),
+          least(col("d") + 1, lit(unreachable)).as("d"))
+      dist = pin(dist.select(col("v"), col("d")).union(relaxed)
+        .groupBy("v").agg(min(col("d")).as("d")))
+    }
+    dist.select(col("v"), col("d").cast("int").as("d"))
+  }
 }

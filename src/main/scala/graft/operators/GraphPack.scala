@@ -26,6 +26,10 @@ object GraphPack extends QueryPack {
   /** Label-propagation iteration count (q135). */
   val LpaIters = 4
 
+  /** BFS seed set + hop budget (q159). */
+  val BfsSeeds = Seq(0L, 1L, 2L)
+  val BfsHops = 6
+
   private def edges(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "events")
       .select((col("user_id") % Nodes).as("src"), (col("event_id") % Nodes).as("dst"))
@@ -217,6 +221,19 @@ object GraphPack extends QueryPack {
       Graph.personalizedPageRank(edges(s, dir), "src", "dst",
           PprSeeds, Iters, DampingPct)
         .select(col("v").as("node"), col("rank_fp"), col("rank"))
+        .orderBy("node")
+    }),
+
+    // Multi-source BFS hop distances: minimum edges from the seed set to
+    // every node, Bellman-Ford relaxation for BfsHops rounds (one
+    // equi-join + one min-agg shuffle per round — the Pregel step
+    // relationally; integer min is order-free, so the fixed point
+    // reproduces across engines and partitionings). Unreached nodes
+    // carry the 99 sentinel. The classic crawl-frontier / link-distance
+    // audit: "how many hops from the seed domains is each host?"
+    "q159_bfs_reach" -> ((s, dir) => {
+      Graph.bfs(edges(s, dir), "src", "dst", BfsSeeds, BfsHops)
+        .select(col("v").as("node"), col("d").as("dist"))
         .orderBy("node")
     })
   )
@@ -440,6 +457,30 @@ object GraphPack extends QueryPack {
          |SELECT v AS node, r AS rank_fp,
          |       round(CAST(r AS DOUBLE) / $unit.0, 6) AS rank
          |FROM r$Iters ORDER BY node""".stripMargin
+    },
+
+    "q159_bfs_reach" -> {
+      // one CTE per relaxation round: dK = min(dK-1, dK-1 over an edge +1),
+      // the identical recurrence the Spark loop runs
+      val seedList = BfsSeeds.mkString(", ")
+      val iterCtes = (1 to BfsHops).map { k =>
+        s"""d$k AS (
+           |  SELECT v, min(d) AS d FROM (
+           |    SELECT v, d FROM d${k - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS v, least(d${k - 1}.d + 1, 99) AS d
+           |    FROM e JOIN d${k - 1} ON d${k - 1}.v = e.src)
+           |  GROUP BY v)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id % $Nodes AS src, event_id % $Nodes AS dst
+         |  FROM events WHERE user_id % $Nodes <> event_id % $Nodes),
+         |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |d0 AS (SELECT v, CASE WHEN v IN ($seedList) THEN 0 ELSE 99 END AS d
+         |       FROM nodes),
+         |$iterCtes
+         |SELECT v AS node, CAST(d AS INTEGER) AS dist
+         |FROM d$BfsHops ORDER BY node""".stripMargin
     }
   )
 }

@@ -1,0 +1,286 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.{Portable, TextFunctions => T}
+import graft.sources.Tables
+
+/** Pattern/structure mining over the relational tables: interval-overlap
+  * joins, event-sequence pattern matching, association rules, skyline
+  * (Pareto-frontier) selection, and vocabulary-coverage audits — the
+  * "what co-occurs / what dominates / what matches" analytics a curation
+  * pipeline layers on top of plain aggregation.
+  *
+  * No reference analog (flink-ms stops at model serving); these are the
+  * builder-prompt "operations a large-scale training-data pipeline would
+  * need" family, each shaped for a 1000-executor cluster: equi-join
+  * binning instead of nested loops, reduce-before-window instead of
+  * global sorts, integer arithmetic wherever a float sum would make the
+  * result partitioning-dependent.
+  */
+object MiningPack extends QueryPack {
+
+  /** q160: interval lengths (micros) and the join bin width. */
+  val ViewLenUs = 300000000L     // 5 min
+  val PurchaseLenUs = 600000000L // 10 min
+  val BinUs = 600000000L         // 10 min — near the wider interval
+
+  /** q161: conversion pattern over per-user event-initial sequences. */
+  val ConvPattern = "vc*p"
+
+  /** q162: item vocabulary size, minimum support (1/MinSupportDen), and
+    * the emitted rule count. */
+  val Items = 50
+  val MinSupportDen = 500 // support >= 0.2%
+  val TopRules = 50
+
+  /** q163: price-bucket width for the parallel local-skyline pass. */
+  val SkyBucket = 100.0
+
+  /** q164: in-vocabulary token count. */
+  val VocabK = 200
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Interval-overlap join: every view window [ts, ts+5min) matched to
+    // every same-user purchase window [ts, ts+10min) it overlaps — the
+    // attribution primitive ("which purchases fell inside an ad-view
+    // window?"). A bare overlap predicate plans a nested-loop join;
+    // RangeJoin.binnedIntervalJoin explodes both sides to covered bins
+    // and equi-joins on (user, bin), reporting each pair exactly once
+    // (plan-asserted BNLJ-free in MiningSpec). All-integer micros
+    // arithmetic — no timestamp/float drift between engines.
+    "q160_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def iv(tpe: String, idC: String, sC: String, eC: String, len: Long) =
+        ev.filter(col("event_type") === tpe)
+          .select(col("event_id").as(idC), col("user_id"),
+            expr("unix_micros(ts)").as(sC),
+            (expr("unix_micros(ts)") + len).as(eC))
+      RangeJoin.binnedIntervalJoin(
+          iv("view", "a_id", "a_s", "a_e", ViewLenUs),
+          iv("purchase", "b_id", "b_s", "b_e", PurchaseLenUs),
+          "user_id", "a_s", "a_e", "b_s", "b_e", BinUs)
+        .select(col("a_id"), col("b_id"),
+          ((least(col("a_e"), col("b_e"))
+            - greatest(col("a_s"), col("b_s"))) / lit(1000000L))
+            .cast("long").as("overlap_s"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each
+    // user's events collapse to an ordered initial string (v/c/p/s/e),
+    // and a regex counts non-overlapping view→clicks*→purchase runs.
+    // The collapse is one grouped collect ordered by (ts, event_id) —
+    // per-user state is bounded by the user's event count, the same
+    // budget any sessionizer pays — and the match is a scan-stage regex.
+    "q161_event_pattern" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          // array_sort on (ts, event_id, ch) structs orders by event
+          // time with the unique event_id as tiebreak
+          array_join(transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("ch")))),
+            x => x.getField("ch")), "").as("seq"))
+        .select(col("user_id"), col("n_events"),
+          size(expr(s"regexp_extract_all(seq, '$ConvPattern', 0)"))
+            .as("n_conv"))
+        .orderBy("user_id")
+    }),
+
+    // Association rules over order baskets (market-basket mining):
+    // support / confidence / lift for item pairs that clear a minimum
+    // support. Pair generation is the a-priori self-equi-join on the
+    // basket id (cost Σ basket_size², never |items|²); the support
+    // threshold is the pure-integer predicate cnt·Den >= n so both
+    // engines prune identically; the final top-N window runs over the
+    // ≤ Items² surviving rules, not the data. snap6 (not ROUND) on the
+    // ratio outputs: the rank orders by the snapped lift, and a
+    // half-ulp rounding disagreement would reorder the report.
+    "q162_assoc_rules" -> ((s, dir) => {
+      val baskets = Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("oid"),
+          (col("l_partkey") % Items).as("item"))
+        .distinct()
+      val nb = baskets.agg(count_distinct(col("oid")).as("n"))
+      val cnt = baskets.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val b1 = baskets.select(col("oid"), col("item").as("x"))
+      val b2 = baskets.select(col("oid"), col("item").as("y"))
+      val pairs = b1.join(b2, "oid").filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cab"))
+      val rules = pairs.select(col("x").as("ante"), col("y").as("cons"), col("cab"))
+        .unionAll(pairs.select(col("y").as("ante"), col("x").as("cons"), col("cab")))
+      val scored = rules
+        .join(cnt.select(col("item").as("ante"), col("cnt").as("ca")), "ante")
+        .join(cnt.select(col("item").as("cons"), col("cnt").as("cb")), "cons")
+        .crossJoin(broadcast(nb))
+        .filter(col("cab") * MinSupportDen >= col("n"))
+        .select(col("ante"), col("cons"), col("cab"),
+          Portable.snap6(col("cab").cast("double") / col("n")).as("support"),
+          Portable.snap6(col("cab").cast("double") / col("ca")).as("confidence"),
+          Portable.snap6(col("cab").cast("double") * col("n")
+            / (col("ca") * col("cb"))).as("lift"))
+      val w = Window.orderBy(col("lift").desc, col("ante"), col("cons"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopRules)
+        .select(col("rank"), col("ante"), col("cons"), col("cab"),
+          col("support"), col("confidence"), col("lift"))
+        .orderBy("rank")
+    }),
+
+    // Skyline (Pareto frontier): parts no other part dominates on
+    // (price ↓ better, size ↑ better) — multi-objective selection, the
+    // quality-vs-cost shortlist primitive. Three-stage reduce instead of
+    // the naive O(n²) dominance test: (1) per-price max size (one
+    // shuffle, collapses duplicates); (2) LOCAL skyline per price bucket
+    // (parallel windows — a point dominated within its bucket is
+    // dominated globally, so pruning is lossless); (3) exact global pass
+    // over the bucket survivors. Skyline is an idempotent associative
+    // reduction, so the local→global composition is exact; only stage 3
+    // is a single-partition window, over data two reductions small.
+    "q163_skyline" -> ((s, dir) => {
+      val p = Tables.table(s, dir, "part")
+      val best = p.groupBy(col("p_retailprice").as("price"))
+        .agg(max(col("p_size")).as("size"))
+      val wLocal = Window.partitionBy("bkt").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = best
+        .withColumn("bkt", floor(col("price") / lit(SkyBucket)))
+        .withColumn("rm", max(col("size")).over(wLocal))
+        .filter(col("rm").isNull || col("size") > col("rm"))
+        .drop("bkt", "rm")
+      val wGlobal = Window.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = local.withColumn("rm", max(col("size")).over(wGlobal))
+        .filter(col("rm").isNull || col("size") > col("rm"))
+        .select(col("price"), col("size"))
+      p.join(sky, p("p_retailprice") === sky("price")
+          && p("p_size") === sky("size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
+    }),
+
+    // Out-of-vocabulary rate: share of each document's token occurrences
+    // outside the corpus's top-K vocabulary — the tokenizer-coverage
+    // audit run before committing a vocab. The vocab is a rank-limited
+    // window (WindowGroupLimit pushes per-task top-K heaps below the
+    // exchange) and is K rows BY CONSTRUCTION, so the membership join is
+    // a broadcast at any corpus size. Integer counts; snap6 ratio.
+    "q164_oov_rate" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy(col("cnt").desc, col("tok"))
+      val vocab = tf.withColumn("r", row_number().over(wv))
+        .filter(col("r") <= VocabK)
+        .select(col("tok"), lit(1).as("in_v"))
+      toks.join(vocab, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tok"), col("n_oov"),
+          Portable.snap6(col("n_oov").cast("double") / col("n_tok"))
+            .as("oov_rate"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.tokens]] (same
+    * expression TextPack's oracles use). */
+  private def toksSql(text: String): String =
+    s"list_filter(regexp_split_to_array($text, '\\s+'), t -> len(t) > 0)"
+
+  def oracles: Map[String, String] = Map(
+
+    "q160_interval_join" ->
+      s"""WITH a AS (
+         |  SELECT event_id AS a_id, user_id,
+         |         CAST(epoch_us(ts) AS BIGINT) AS a_s,
+         |         CAST(epoch_us(ts) AS BIGINT) + $ViewLenUs AS a_e
+         |  FROM events WHERE event_type = 'view'),
+         |b AS (
+         |  SELECT event_id AS b_id, user_id,
+         |         CAST(epoch_us(ts) AS BIGINT) AS b_s,
+         |         CAST(epoch_us(ts) AS BIGINT) + $PurchaseLenUs AS b_e
+         |  FROM events WHERE event_type = 'purchase')
+         |SELECT a_id, b_id,
+         |       (least(a_e, b_e) - greatest(a_s, b_s)) // 1000000 AS overlap_s
+         |FROM a JOIN b USING (user_id)
+         |WHERE a_s < b_e AND b_s < a_e
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q161_event_pattern" ->
+      s"""WITH seqs AS (
+         |  SELECT user_id, count(*) AS n_events,
+         |         string_agg(substr(event_type, 1, 1), ''
+         |                    ORDER BY ts, event_id) AS seq
+         |  FROM events GROUP BY 1)
+         |SELECT user_id, n_events,
+         |       CAST(len(regexp_extract_all(seq, '$ConvPattern')) AS INTEGER)
+         |         AS n_conv
+         |FROM seqs ORDER BY user_id""".stripMargin,
+
+    "q162_assoc_rules" ->
+      s"""WITH b AS (
+         |  SELECT DISTINCT l_orderkey AS oid, l_partkey % $Items AS item
+         |  FROM lineitem),
+         |nb AS (SELECT count(DISTINCT oid) AS n FROM b),
+         |cnt AS (SELECT item, count(*) AS cnt FROM b GROUP BY 1),
+         |p AS (SELECT b1.item AS x, b2.item AS y, count(*) AS cab
+         |      FROM b b1 JOIN b b2 ON b1.oid = b2.oid AND b1.item < b2.item
+         |      GROUP BY 1, 2),
+         |r AS (SELECT x AS ante, y AS cons, cab FROM p
+         |      UNION ALL SELECT y, x, cab FROM p),
+         |scored AS (
+         |  SELECT r.ante, r.cons, r.cab,
+         |         ${Portable.snap6Sql("CAST(r.cab AS DOUBLE) / nb.n")} AS support,
+         |         ${Portable.snap6Sql("CAST(r.cab AS DOUBLE) / ca.cnt")} AS confidence,
+         |         ${Portable.snap6Sql(
+               "CAST(r.cab AS DOUBLE) * nb.n / (ca.cnt * cb.cnt)")} AS lift
+         |  FROM r CROSS JOIN nb
+         |  JOIN cnt ca ON ca.item = r.ante
+         |  JOIN cnt cb ON cb.item = r.cons
+         |  WHERE r.cab * $MinSupportDen >= nb.n)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY lift DESC, ante, cons)
+         |           AS INTEGER) AS rank,
+         |         ante, cons, cab, support, confidence, lift
+         |  FROM scored)
+         |WHERE rank <= $TopRules ORDER BY rank""".stripMargin,
+
+    "q163_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q164_oov_rate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+         |    FROM tf) WHERE r <= $VocabK),
+         |per AS (
+         |  SELECT t.doc_id, count(*) AS n_tok,
+         |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tok, n_oov,
+         |       ${Portable.snap6Sql("CAST(n_oov AS DOUBLE) / n_tok")} AS oov_rate
+         |FROM per ORDER BY doc_id""".stripMargin
+  )
+}

@@ -42,4 +42,38 @@ object RangeJoin {
       .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
       .drop("_bin")
   }
+
+  /** Interval × interval overlap join, binned: left [lS, lE) ⋈ right
+    * [rS, rE) on `keyCol` equality AND overlap (lS < rE && rS < lE).
+    * Both interval columns are LONG (e.g. epoch micros); bounds are
+    * half-open.
+    *
+    * Same idea as [[binnedRangeJoin]] but both sides explode to the bins
+    * they cover, the join runs on (key, bin), and the exact overlap
+    * predicate filters bin-collision candidates. A pair overlapping k
+    * shared bins would match k times; instead of a distinct shuffle over
+    * the matches, each pair is REPORTED exactly once, in the bin that
+    * contains the overlap's start (greatest of the two starts — that bin
+    * is covered by both intervals by construction, so the pair is seen
+    * there, and the predicate is true in no earlier shared bin's
+    * reporting test). Cost: Σ width/bin exploded rows per side through
+    * one hash join — no nested loop, no dedup shuffle.
+    *
+    * Column names of the two inputs must not collide except `keyCol`. */
+  def binnedIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         lS: String, lE: String, rS: String, rE: String,
+                         binWidth: Long): DataFrame = {
+    require(binWidth > 0)
+    def bins(df: DataFrame, sC: String, eC: String) =
+      df.withColumn("_bin", explode(sequence(
+        expr(s"$sC DIV $binWidth"),
+        // half-open end; greatest() bounds malformed (e <= s) intervals
+        // to a single spurious bin row, as in binnedRangeJoin
+        greatest(expr(s"$sC DIV $binWidth"),
+          expr(s"($eC - 1) DIV $binWidth")))))
+    bins(left, lS, lE).join(bins(right, rS, rE), Seq(keyCol, "_bin"))
+      .filter(col(lS) < col(rE) && col(rS) < col(lE))
+      .filter(col("_bin") === expr(s"greatest($lS, $rS) DIV $binWidth"))
+      .drop("_bin")
+  }
 }

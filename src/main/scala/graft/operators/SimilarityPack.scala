@@ -238,6 +238,33 @@ object SimilarityPack extends QueryPack {
           round(aggregate(err, lit(0.0), (a, x) => greatest(a, x)), 6).as("max_err"),
           round(aggregate(err, lit(0.0), (a, x) => a + x) / 64.0, 6).as("mean_err"))
         .orderBy("vec_id")
+    }),
+
+    // kNN-distance outlier scoring: a point whose 5 nearest neighbors
+    // are all far away sits in a sparse region — the embedding-space
+    // anomaly/junk detector (mislabeled scans, encoder failures). Scored
+    // exactly via the q35 brute-force baseline (broadcast query side;
+    // the IVF path q36/q97 is the corpus-scale variant). The per-query
+    // score is an INTEGER sum of 1e4-scaled sims — the 4-decimal sims
+    // are identical doubles in both engines, and integer addition makes
+    // the sum independent of summation order, so ranking by it is
+    // cross-engine stable where a float sum would flake.
+    "q165_knn_outlier" -> ((s, dir) => {
+      val q = Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val topk = Similarity.bruteForceTopK(corpus(s, dir), q, k = 5)
+      val agg = topk.groupBy("qid")
+        .agg(count(lit(1)).as("n_nn"),
+          sum(round(col("sim") * 10000, 0).cast("long")).as("sim_sum_e4"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("sim_sum_e4").asc, col("qid"))
+      agg.withColumn("outlier_rank", row_number().over(w))
+        .select(col("outlier_rank"), col("qid"), col("n_nn"), col("sim_sum_e4"),
+          graft.functions.Portable.snap6(
+            col("sim_sum_e4").cast("double") / (col("n_nn") * lit(10000.0)))
+            .as("mean_sim"))
+        .orderBy("outlier_rank")
     })
   )
 
@@ -478,6 +505,29 @@ object SimilarityPack extends QueryPack {
          |      FROM adc)
          |SELECT qid, rank, id AS neighbor_id, ROUND(CAST(adc AS DOUBLE), 6) AS adc_dist
          |FROM r WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
-    }
+    },
+
+    "q165_knn_outlier" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |      WHERE vec_id % 20 = 0),
+         |scored AS (SELECT q.qid, e.vec_id AS nid,
+         |                  ${cosSql("e.embedding", "q.qvec")} AS sim
+         |           FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |topk AS (SELECT qid, sim FROM (
+         |           SELECT qid, sim,
+         |                  ROW_NUMBER() OVER (PARTITION BY qid
+         |                    ORDER BY sim DESC, nid) AS rk
+         |           FROM scored) WHERE rk <= 5),
+         |agg AS (SELECT qid, count(*) AS n_nn,
+         |               CAST(sum(CAST(round(sim * 10000) AS BIGINT))
+         |                 AS BIGINT) AS sim_sum_e4
+         |        FROM topk GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY sim_sum_e4, qid) AS INTEGER)
+         |         AS outlier_rank,
+         |       qid, n_nn, sim_sum_e4,
+         |       ${graft.functions.Portable.snap6Sql(
+             "CAST(sim_sum_e4 AS DOUBLE) / (n_nn * 10000.0)")} AS mean_sim
+         |FROM agg ORDER BY outlier_rank""".stripMargin
   )
 }

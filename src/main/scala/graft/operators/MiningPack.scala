@@ -43,6 +43,13 @@ object MiningPack extends QueryPack {
   /** q164: in-vocabulary token count. */
   val VocabK = 200
 
+  /** q168: number of top-frequency tokens the Zipf fit runs over. */
+  val ZipfK = 100
+
+  /** q169: CMS geometry for the join-size estimate. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Interval-overlap join: every view window [ts, ts+5min) matched to
@@ -189,6 +196,86 @@ object MiningPack extends QueryPack {
           Portable.snap6(col("n_oov").cast("double") / col("n_tok"))
             .as("oov_rate"))
         .orderBy("doc_id")
+    }),
+
+    // Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top-100
+    // tokens — natural text fits slope ≈ −1, and a corpus that doesn't
+    // (template spam, codegen output) fails the health check. Each OLS
+    // term is floor-quantized to a 1e-6 long BEFORE summation, so the
+    // moment sums are integer — associative, identical under any
+    // partitioning — and the closed-form slope/intercept/R² derive from
+    // the same six integers in both engines.
+    "q168_zipf_fit" -> ((s, dir) => {
+      val tf = Tables.table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy(col("cnt").desc, col("tok"))
+      val top = tf.withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= ZipfK)
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6)).cast("long")
+      val xy = top.select(log(col("rank").cast("double")).as("x"),
+          log(col("cnt").cast("double")).as("y"))
+        .select(q6(col("x")).as("qx"), q6(col("y")).as("qy"),
+          q6(col("x") * col("y")).as("qxy"),
+          q6(col("x") * col("x")).as("qxx"),
+          q6(col("y") * col("y")).as("qyy"))
+      val m = xy.agg(count(lit(1)).as("n"),
+        sum(col("qx")).as("sqx"), sum(col("qy")).as("sqy"),
+        sum(col("qxy")).as("sqxy"), sum(col("qxx")).as("sqxx"),
+        sum(col("qyy")).as("sqyy"))
+      val n = col("n").cast("double")
+      val sx = col("sqx") / lit(1e6)
+      val sy = col("sqy") / lit(1e6)
+      val sxy = col("sqxy") / lit(1e6)
+      val sxx = col("sqxx") / lit(1e6)
+      val syy = col("sqyy") / lit(1e6)
+      val den = n * sxx - sx * sx
+      val slope = (n * sxy - sx * sy) / den
+      m.select(col("n").as("n_fit"),
+        Portable.snap6(slope).as("slope"),
+        Portable.snap6((sy - slope * sx) / n).as("intercept"),
+        Portable.snap6((n * sxy - sx * sy) * (n * sxy - sx * sy)
+          / (den * (n * syy - sy * sy))).as("r2"))
+    }),
+
+    // Sketch-based join-cardinality estimation: |events ⋈ orders| on the
+    // customer key, estimated from two count-min sketches as the
+    // minimum-over-depths inner product Σ_w A[d][w]·B[d][w] — the
+    // optimizer-statistics primitive that prices a join WITHOUT running
+    // it. Each side is one linear pass (key pre-aggregation, then D
+    // projections of the key-count table into (depth, cell) space); the
+    // sketch join touches D·W cells, not data. The CMS inner product
+    // only ever overestimates (hash collisions add mass), so the exact
+    // join size — computed relationally as the audit — gates est ≥ exact.
+    // All integer counts and Portable universal hashes: deterministic
+    // across engines and partitionings.
+    "q169_join_estimate" -> ((s, dir) => {
+      def keyed(df: DataFrame) =
+        df.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val a = keyed(Tables.table(s, dir, "events")
+        .select(col("user_id").cast("string").as("k")))
+      val b = keyed(Tables.table(s, dir, "orders")
+        .select((col("o_custkey") % 150).cast("string").as("k")))
+      def cms(t: DataFrame) = (0 until CmsDepth).map { d =>
+          t.select(lit(d).as("d"),
+            (Portable.permute(Portable.hash32m(col("k")), d) % CmsWidth)
+              .as("w"), col("c"))
+        }.reduce(_ unionAll _)
+        .groupBy("d", "w").agg(sum(col("c")).as("cnt"))
+      val estPerDepth = cms(a).select(col("d"), col("w"), col("cnt").as("ca"))
+        .join(cms(b).select(col("d"), col("w"), col("cnt").as("cb")),
+          Seq("d", "w"))
+        .groupBy("d").agg(sum(col("ca") * col("cb")).as("ip"))
+      val est = estPerDepth.agg(min(col("ip")).as("est"))
+      val exact = a.select(col("k"), col("c").as("ca"))
+        .join(b.select(col("k"), col("c").as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact"))
+      est.crossJoin(broadcast(exact))
+        .select(col("est"), col("exact"),
+          (col("est") >= col("exact")).as("over_ok"),
+          Portable.snap6(col("est").cast("double") / col("exact"))
+            .as("est_ratio"))
     })
   )
 
@@ -281,6 +368,67 @@ object MiningPack extends QueryPack {
          |  GROUP BY 1)
          |SELECT doc_id, n_tok, n_oov,
          |       ${Portable.snap6Sql("CAST(n_oov AS DOUBLE) / n_tok")} AS oov_rate
-         |FROM per ORDER BY doc_id""".stripMargin
+         |FROM per ORDER BY doc_id""".stripMargin,
+
+    "q168_zipf_fit" ->
+      s"""WITH toks AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |top AS (SELECT cnt, rank FROM (
+         |          SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+         |            AS rank FROM tf) WHERE rank <= $ZipfK),
+         |xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+         |              ln(CAST(cnt AS DOUBLE)) AS y FROM top),
+         |qm AS (SELECT CAST(floor(x * 1000000.0) AS BIGINT) AS qx,
+         |              CAST(floor(y * 1000000.0) AS BIGINT) AS qy,
+         |              CAST(floor((x * y) * 1000000.0) AS BIGINT) AS qxy,
+         |              CAST(floor((x * x) * 1000000.0) AS BIGINT) AS qxx,
+         |              CAST(floor((y * y) * 1000000.0) AS BIGINT) AS qyy
+         |       FROM xy),
+         |mo AS (SELECT count(*) AS n0,
+         |              CAST(sum(qx) AS BIGINT) AS sqx,
+         |              CAST(sum(qy) AS BIGINT) AS sqy,
+         |              CAST(sum(qxy) AS BIGINT) AS sqxy,
+         |              CAST(sum(qxx) AS BIGINT) AS sqxx,
+         |              CAST(sum(qyy) AS BIGINT) AS sqyy
+         |       FROM qm),
+         |d AS (SELECT n0, CAST(n0 AS DOUBLE) AS n,
+         |             sqx / 1000000.0 AS sx, sqy / 1000000.0 AS sy,
+         |             sqxy / 1000000.0 AS sxy, sqxx / 1000000.0 AS sxx,
+         |             sqyy / 1000000.0 AS syy
+         |      FROM mo)
+         |SELECT n0 AS n_fit,
+         |       ${Portable.snap6Sql(
+             "(n * sxy - sx * sy) / (n * sxx - sx * sx)")} AS slope,
+         |       ${Portable.snap6Sql(
+             "(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n")}
+         |         AS intercept,
+         |       ${Portable.snap6Sql(
+             "(n * sxy - sx * sy) * (n * sxy - sx * sy) / " +
+               "((n * sxx - sx * sx) * (n * syy - sy * sy))")} AS r2
+         |FROM d""".stripMargin,
+
+    "q169_join_estimate" -> {
+      def cmsSql(src: String) = (0 until CmsDepth).map { d =>
+        s"""SELECT $d AS d,
+           |       (${Portable.permuteSql(Portable.hash32mSql("k"), d)})
+           |         % $CmsWidth AS w,
+           |       CAST(sum(c) AS BIGINT) AS cnt
+           |FROM $src GROUP BY 1, 2""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS c
+         |           FROM events GROUP BY 1),
+         |b AS (SELECT CAST(o_custkey % 150 AS VARCHAR) AS k, count(*) AS c
+         |      FROM orders GROUP BY 1),
+         |ca AS (${cmsSql("a")}),
+         |cb AS (${cmsSql("b")}),
+         |ip AS (SELECT ca.d, CAST(sum(ca.cnt * cb.cnt) AS BIGINT) AS ip
+         |       FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w GROUP BY 1),
+         |est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
+         |ex AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS exact
+         |       FROM a JOIN b ON a.k = b.k)
+         |SELECT est, exact, est >= exact AS over_ok,
+         |       ${Portable.snap6Sql("CAST(est AS DOUBLE) / exact")} AS est_ratio
+         |FROM est CROSS JOIN ex""".stripMargin
+    }
   )
 }

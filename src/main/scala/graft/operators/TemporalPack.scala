@@ -130,6 +130,36 @@ object TemporalPack extends QueryPack {
       Temporal.trendFit(events(s, dir), "event_type", "ts", cents)
         .orderBy("event_type")
     }),
+
+    // CUSUM change-point detection on each type's daily event counts:
+    // the day where the cumulative sum of (count − mean) deviations
+    // peaks in magnitude is the most likely level-shift point — the
+    // classic drift detector for ingest-volume monitoring. All-integer
+    // arithmetic: deviations are scaled by the day count (c·D − T) so
+    // the mean never becomes a float, and the cumulative window sums
+    // longs — exact, order-pinned by (day), identical across engines.
+    // One aggregation to days, one per-type window over ≤ |days| rows.
+    "q167_cusum_change" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy("event_type")
+      val wC = Window.partitionBy("event_type").orderBy("day")
+      val scored = daily
+        .withColumn("total", sum(col("c")).over(wT))
+        .withColumn("n_days", count(lit(1)).over(wT))
+        .withColumn("cusum",
+          sum(col("c") * col("n_days") - col("total")).over(wC))
+      val wPick = Window.partitionBy("event_type")
+        .orderBy(abs(col("cusum")).desc, col("day"))
+      scored.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("change_day"),
+          abs(col("cusum")).as("max_abs_cusum"),
+          col("n_days"), col("total"))
+        .orderBy("event_type")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -336,5 +366,28 @@ object TemporalPack extends QueryPack {
         |                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
         |               * 1000000.0) / 1000000.0 END AS intercept
         |FROM mo ORDER BY event_type""".stripMargin,
+
+    "q167_cusum_change" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, day, c,
+        |         CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+        |         count(*) OVER (PARTITION BY event_type) AS n_days
+        |  FROM daily),
+        |cus AS (
+        |  SELECT event_type, day, n_days, total,
+        |         CAST(sum(c * n_days - total)
+        |           OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cusum
+        |  FROM t),
+        |pick AS (
+        |  SELECT event_type, day, abs(cusum) AS m, n_days, total,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY abs(cusum) DESC, day) AS rn
+        |  FROM cus)
+        |SELECT event_type, CAST(day AS VARCHAR) AS change_day,
+        |       m AS max_abs_cusum, CAST(n_days AS BIGINT) AS n_days, total
+        |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
   )
 }

@@ -111,6 +111,39 @@ object VectorPack extends QueryPack {
           P.snap6(element_at(t, 3) / tnorm).as("c3"),
           P.snap6(element_at(t, 4) / tnorm).as("c4"))
         .orderBy("g")
+    }),
+
+    // Pairwise similarity of per-class embedding centroids — the
+    // class-collapse / embedding-drift audit: two labels whose centroids
+    // sit near cosine 1 are indistinguishable to the encoder (or the
+    // labels are duplicated). Component sums are 1e-6 fixed-point longs
+    // (associative — identical under any shuffle partitioning; the q109
+    // trick), and cosine is scale-invariant, so the SUM vectors stand in
+    // for the means with no division step at all. The pairwise stage
+    // operates on |labels| rows — a class vocabulary, bounded by
+    // construction, so the < self-join is a broadcast of K rows however
+    // big the corpus that produced them.
+    "q166_class_centroids" -> ((s, dir) => {
+      val cells = Tables.table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("label"), (col("i0") + 1).as("i"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("q"))
+      val sums = cells.groupBy("label", "i").agg(sum(col("q")).as("sv"))
+      val n = Tables.table(s, dir, "embeddings")
+        .groupBy("label").agg(count(lit(1)).as("n"))
+      val cent = sums.groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("sv")))),
+          p => p.getField("sv").cast("double")).as("cv"))
+        .join(n, "label")
+      val a = cent.select(col("label").as("label_a"), col("cv").as("va"),
+        col("n").as("n_a"))
+      val b = cent.select(col("label").as("label_b"), col("cv").as("vb"),
+        col("n").as("n_b"))
+      a.join(b, col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          graft.functions.Portable.snap6(
+            VectorFunctions.cosineOrNull(col("va"), col("vb"))).as("cos"))
+        .orderBy("label_a", "label_b")
     })
   )
 
@@ -174,6 +207,26 @@ object VectorPack extends QueryPack {
          |       ${graft.functions.Portable.snap6Sql("m2 / sqrt(sq_t)")} AS c2,
          |       ${graft.functions.Portable.snap6Sql("m3 / sqrt(sq_t)")} AS c3,
          |       ${graft.functions.Portable.snap6Sql("m4 / sqrt(sq_t)")} AS c4
-         |FROM a ORDER BY g""".stripMargin
+         |FROM a ORDER BY g""".stripMargin,
+
+    "q166_class_centroids" ->
+      s"""WITH cells AS (
+         |  SELECT label, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |           AS BIGINT) AS q
+         |  FROM embeddings CROSS JOIN generate_series(1, $Dim) AS t(i)),
+         |sums AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sv
+         |         FROM cells GROUP BY 1, 2),
+         |cent AS (SELECT label, list(CAST(sv AS DOUBLE) ORDER BY i) AS cv
+         |         FROM sums GROUP BY 1),
+         |n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1),
+         |c AS (SELECT cent.label, cv, n.n
+         |      FROM cent JOIN n ON n.label = cent.label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |       a.n AS n_a, b.n AS n_b,
+         |       ${graft.functions.Portable.snap6Sql(
+             VectorFunctions.cosineOrNullSql("a.cv", "b.cv", 64))} AS cos
+         |FROM c a JOIN c b ON a.label < b.label
+         |ORDER BY label_a, label_b""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -77,8 +78,57 @@ object AlsPack extends QueryPack {
         .select(col("user_id"), col("item_id"),
           round(dot(col("uf"), col("itf")), 6).as("prediction"))
         .orderBy("user_id", "item_id")
+    }),
+
+    // Ranking-quality evaluation: NDCG@5 of the model's per-user item
+    // ranking (by predicted score) against the observed ratings — the
+    // top-k serving metric that MSE (q01) misses: a recommender is
+    // judged by what it puts FIRST, not by average error. Per-user
+    // windows rank by prediction and by ideal relevance; the position
+    // discounts 1/log2(p+1) are five compile-time literals shared verbatim
+    // with the oracle (no runtime libm call to disagree on), and DCG
+    // terms are 1e-9 fixed-point longs, so the per-user sums are
+    // order-free integers. One shuffle to dedup (user, item), broadcast
+    // model joins, two rank windows partitioned by user.
+    "q171_ndcg" -> ((s, dir) => {
+      val k = 5
+      val r = Ratings.ratings(s, dir)
+        .groupBy("user_id", "item_id").agg(max(col("rating")).as("rel"))
+      val scored = r
+        .join(broadcast(Ratings.userFactors(s, dir, K)), "user_id")
+        .join(broadcast(Ratings.itemFactors(s, dir, K)), "item_id")
+        .select(col("user_id"), col("item_id"), col("rel"),
+          dot(col("uf"), col("itf")).as("pred"))
+      val wP = Window.partitionBy("user_id")
+        .orderBy(col("pred").desc, col("item_id"))
+      val wI = Window.partitionBy("user_id")
+        .orderBy(col("rel").desc, col("item_id"))
+      def discount(pos: org.apache.spark.sql.Column) =
+        AlsPack.NdcgDiscounts.zipWithIndex.foldLeft(lit(0.0)) {
+          case (acc, (d, i)) => when(pos === (i + 1), lit(d)).otherwise(acc)
+        }
+      def term(pos: org.apache.spark.sql.Column) =
+        when(pos <= k,
+          floor(col("rel").cast("double") * discount(pos) * lit(1e9))
+            .cast("long")).otherwise(lit(0L))
+      val ranked = scored
+        .withColumn("rp", row_number().over(wP))
+        .withColumn("ri", row_number().over(wI))
+      ranked.groupBy("user_id")
+        .agg(count(lit(1)).as("n_items"),
+          sum(term(col("rp"))).as("dcg5_e9"),
+          sum(term(col("ri"))).as("idcg5_e9"))
+        .select(col("user_id"), col("n_items"), col("dcg5_e9"),
+          graft.functions.Portable.snap6(
+            col("dcg5_e9").cast("double") / col("idcg5_e9")).as("ndcg5"))
+        .orderBy("user_id")
     })
   )
+
+  /** 1/log2(p+1) for p = 1..5, round-tripped literals shared with the
+    * DuckDB twin so neither engine evaluates a log at runtime. */
+  val NdcgDiscounts: Seq[Double] =
+    (1 to 5).map(p => 1.0 / (math.log(p + 1) / math.log(2)))
 
   def oracles: Map[String, String] = {
     val uf = Ratings.userFactorsSql(K)
@@ -126,7 +176,38 @@ object AlsPack extends QueryPack {
            |          WHERE (user_id + item_id) % 97 = 0)
            |SELECT user_id, item_id, ROUND($dotp, 6) AS prediction
            |FROM pairs JOIN uf USING (user_id) JOIN itf USING (item_id)
-           |ORDER BY user_id, item_id""".stripMargin
+           |ORDER BY user_id, item_id""".stripMargin,
+
+      "q171_ndcg" -> {
+        // identical discount literals as the Spark side (round-trip
+        // Double.toString — both engines parse back the same double)
+        val discCase = NdcgDiscounts.zipWithIndex
+          .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+        def termSql(pos: String) =
+          s"""CASE WHEN $pos <= 5 THEN
+             |  CAST(floor((rel * (CASE $pos $discCase ELSE 0.0 END))
+             |    * 1000000000.0) AS BIGINT) ELSE 0 END""".stripMargin
+        s"""WITH r AS (${Ratings.ratingsSql}),
+           |r0 AS (SELECT user_id, item_id, max(rating) AS rel
+           |       FROM r GROUP BY 1, 2),
+           |uf AS ($uf), itf AS ($itf),
+           |p AS (SELECT user_id, item_id, rel, $dotp AS pred
+           |      FROM r0 JOIN uf USING (user_id) JOIN itf USING (item_id)),
+           |rk AS (SELECT user_id, rel,
+           |         row_number() OVER (PARTITION BY user_id
+           |           ORDER BY pred DESC, item_id) AS rp,
+           |         row_number() OVER (PARTITION BY user_id
+           |           ORDER BY rel DESC, item_id) AS ri
+           |       FROM p),
+           |t AS (SELECT user_id, count(*) AS n_items,
+           |        CAST(sum(${termSql("rp")}) AS BIGINT) AS dcg5_e9,
+           |        CAST(sum(${termSql("ri")}) AS BIGINT) AS idcg5_e9
+           |      FROM rk GROUP BY 1)
+           |SELECT user_id, n_items, dcg5_e9,
+           |       ${graft.functions.Portable.snap6Sql(
+               "CAST(dcg5_e9 AS DOUBLE) / idcg5_e9")} AS ndcg5
+           |FROM t ORDER BY user_id""".stripMargin
+      }
     )
   }
 }

@@ -178,6 +178,48 @@ object AnalyticsPack extends QueryPack {
         .orderBy("event_type")
     }),
 
+    // Temporal dimension join — the warehouse classic: each fact row
+    // joined to the dimension VERSION valid at the fact's event time
+    // (fact.ts ∈ [valid_from, valid_to)). Dimension = SCD2 state
+    // intervals (q140's construction) over the user's NON-purchase
+    // events — "what was the user doing when they purchased"; facts =
+    // purchase events. The validity predicate is a range, which would
+    // plan a per-user nested loop; instead the fact rides
+    // RangeJoin.binnedIntervalJoin as a zero-width interval [t, t+1),
+    // so the plan is a (user, day-bin) hash join. Open (current)
+    // versions are capped at corpus-max-ts+1 via a 1-row aggregate — a
+    // scalar broadcast, never a data-sized one. Non-purchase intervals
+    // tile each user's timeline from the first such event, so every
+    // purchase after it matches exactly one version; the census
+    // aggregates purchases by the state they landed in.
+    "q170_temporal_dim_join" -> ((s, dir) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, dir)
+      val changes = ev
+        .filter(col("event_type") =!= "purchase")
+        .withColumn("prev", lag(col("event_type"), 1).over(byU))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts"), col("event_id"),
+          expr("unix_micros(ts)").as("from_us"))
+      val maxTs = ev.agg((max(expr("unix_micros(ts)")) + 1L).as("cap"))
+      val dim = changes
+        .withColumn("to_us0", lead(col("from_us"), 1).over(byU))
+        .crossJoin(broadcast(maxTs))
+        .select(col("user_id"), col("state"), col("from_us"),
+          coalesce(col("to_us0"), col("cap")).as("to_us"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("fact_id"),
+          expr("unix_micros(ts)").as("t"),
+          (expr("unix_micros(ts)") + 1L).as("t1"))
+      RangeJoin.binnedIntervalJoin(dim, facts, "user_id",
+          "from_us", "to_us", "t", "t1", binWidth = 86400000000L)
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_purchases"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("state")
+    }),
+
     // TPC-H Q5-shaped multi-join: fact chain customer ⋈ orders ⋈ lineitem
     // with the dimension chain supplier/nation/region riding BROADCASTS —
     // revenue per nation. The canonical star-join scale shape: the only
@@ -612,6 +654,33 @@ object AnalyticsPack extends QueryPack {
         |       CAST(sum(CASE WHEN to_us IS NOT NULL THEN to_us - from_us
         |                     ELSE 0 END) AS BIGINT) AS dur_us
         |FROM iv GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q170_temporal_dim_join" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type <> 'purchase'),
+        |c AS (
+        |  SELECT user_id, event_type AS state, ts, event_id,
+        |         CAST(epoch_us(ts) AS BIGINT) AS from_us
+        |  FROM o WHERE prev IS NULL OR prev <> event_type),
+        |cap AS (SELECT CAST(max(epoch_us(ts)) AS BIGINT) + 1 AS cap FROM events),
+        |dim AS (
+        |  SELECT user_id, state, from_us,
+        |         coalesce(lead(from_us) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id),
+        |                  (SELECT cap FROM cap)) AS to_us
+        |  FROM c),
+        |f AS (
+        |  SELECT user_id, event_id AS fact_id,
+        |         CAST(epoch_us(ts) AS BIGINT) AS t
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT dim.state, count(*) AS n_purchases,
+        |       CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users
+        |FROM f JOIN dim ON dim.user_id = f.user_id
+        |              AND f.t >= dim.from_us AND f.t < dim.to_us
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q133_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -50,6 +50,21 @@ object MiningPack extends QueryPack {
   val CmsDepth = 4
   val CmsWidth = 512
 
+  /** q172: hashed feature-vector width. */
+  val FeatDim = 64
+
+  /** q173: JL target dimensionality (from 64) and distortion gate. */
+  val JlDim = 16
+  val JlTolE6 = 300000L // |ratio − 1| ≤ 0.30 in 1e-6 units
+
+  /** Deterministic ±1 sign row k of the JL projection matrix — a pure
+    * function of (k, i) computed at PLAN BUILD time and embedded as
+    * literals in both engines (no runtime randomness to disagree on). */
+  def jlSigns(k: Int): Seq[Double] = (0 until 64).map { i =>
+    val h = (1103515245L * (k * 64L + i + 1) + 12345L) % 2147483647L
+    if (h % 2 == 0) 1.0 else -1.0
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Interval-overlap join: every view window [ts, ts+5min) matched to
@@ -276,6 +291,74 @@ object MiningPack extends QueryPack {
           (col("est") >= col("exact")).as("over_ok"),
           Portable.snap6(col("est").cast("double") / col("exact"))
             .as("est_ratio"))
+    }),
+
+    // Hashing-trick vectorizer: tokens hash straight into a fixed-width
+    // count vector — the vocabulary-free featurizer (no vocab build, no
+    // dictionary broadcast, O(1) memory per feature). Per doc: token
+    // count, occupied buckets, and the first four bucket counts as the
+    // hash-checkable vector sample. Pure scan-stage hashing + one
+    // grouped aggregation; the width is a constant, so the operator's
+    // memory is independent of corpus vocabulary — the property that
+    // makes it the scale path when a vocab would blow the broadcast.
+    "q172_feature_hash" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (Portable.hash32m(col("tok")) % FeatDim).as("b"))
+      def bc(i: Int) =
+        sum(when(col("b") === i, 1L).otherwise(0L)).as(s"b$i")
+      toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          count_distinct(col("b")).as("nnz"),
+          bc(0), bc(1), bc(2), bc(3))
+        .orderBy("doc_id")
+    }),
+
+    // Johnson-Lindenstrauss sign-projection (64 → 16 dims) with a
+    // distance-distortion audit — the data-INDEPENDENT dimensionality
+    // reduction (vs q92's trained PCA): the ±1 matrix is a compile-time
+    // function of (row, col) shared as literals with the oracle, so
+    // projection is pure scan-stage arithmetic — no training pass, no
+    // model table, which is exactly why it scales to any corpus. The
+    // audit measures ||pa−pb||²/||a−b||² over anchor×sample pairs;
+    // per-pair ratios floor-quantize to 1e-6 longs so the mean/min/max/
+    // within-tolerance stats are order-free integers.
+    "q173_jl_project" -> ((s, dir) => {
+      def proj(v: org.apache.spark.sql.Column) =
+        array((0 until JlDim).map { k =>
+          aggregate(zip_with(v, typedLit(jlSigns(k)), (x, sgn) => x * sgn),
+            lit(0.0), (a, e) => a + e) / 4.0
+        }: _*)
+      def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e)
+      val base = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("v"))
+        .withColumn("p", proj(col("v")))
+      val anchors = base.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("va"), col("p").as("pa"))
+      val others = base.filter(col("vec_id") % 11 === 0)
+        .select(col("vec_id").as("oid"), col("v").as("vb"), col("p").as("pb"))
+      val pairs = others.crossJoin(broadcast(anchors))
+        .filter(col("oid") =!= col("qid"))
+        .select(d2(col("va"), col("vb")).as("o2"), d2(col("pa"), col("pb")).as("p2"))
+        .filter(col("o2") > 0.0)
+        .select(floor(col("p2") / col("o2") * lit(1e6)).cast("long").as("q"))
+      pairs.agg(count(lit(1)).as("n_pairs"),
+          sum(col("q")).as("sq"), min(col("q")).as("minq"),
+          max(col("q")).as("maxq"),
+          sum(when(abs(col("q") - 1000000L) <= JlTolE6, 1L).otherwise(0L))
+            .as("n_ok"))
+        .select(col("n_pairs"),
+          Portable.snap6(col("sq").cast("double")
+            / (col("n_pairs") * lit(1e6))).as("mean_ratio"),
+          Portable.snap6(col("minq").cast("double") / lit(1e6)).as("min_ratio"),
+          Portable.snap6(col("maxq").cast("double") / lit(1e6)).as("max_ratio"),
+          Portable.snap6(col("n_ok").cast("double") / col("n_pairs"))
+            .as("frac_within_tol"))
     })
   )
 
@@ -429,6 +512,58 @@ object MiningPack extends QueryPack {
          |SELECT est, exact, est >= exact AS over_ok,
          |       ${Portable.snap6Sql("CAST(est AS DOUBLE) / exact")} AS est_ratio
          |FROM est CROSS JOIN ex""".stripMargin
+    },
+
+    "q172_feature_hash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+         |h AS (SELECT doc_id, ${Portable.hash32mSql("tok")} % $FeatDim AS b
+         |      FROM toks)
+         |SELECT doc_id, count(*) AS n_tok,
+         |       CAST(count(DISTINCT b) AS BIGINT) AS nnz,
+         |       CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         |       CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         |       CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         |       CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+         |FROM h GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q173_jl_project" -> {
+      def signList(k: Int) =
+        jlSigns(k).map(d => if (d > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+      val pks = (0 until JlDim).map { k =>
+        s"(list_sum(list_transform(generate_series(1, 64), " +
+          s"i -> v[i] * (${signList(k)})[i])) / 4.0)"
+      }.mkString("[", ",\n         ", "]")
+      def d2(a: String, b: String, n: Int) =
+        s"list_sum(list_transform(generate_series(1, $n), " +
+          s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+      s"""WITH base AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |pr AS (SELECT vec_id, v,
+         |         $pks AS p
+         |       FROM base),
+         |pairs AS (
+         |  SELECT ${d2("a.v", "b.v", 64)} AS o2,
+         |         ${d2("a.p", "b.p", JlDim)} AS p2
+         |  FROM pr a JOIN pr b
+         |    ON a.vec_id % 50 = 0 AND b.vec_id % 11 = 0
+         |   AND b.vec_id <> a.vec_id),
+         |q AS (SELECT CAST(floor((p2 / o2) * 1000000.0) AS BIGINT) AS q
+         |      FROM pairs WHERE o2 > 0)
+         |SELECT count(*) AS n_pairs,
+         |       ${Portable.snap6Sql(
+             "CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0)")} AS mean_ratio,
+         |       ${Portable.snap6Sql(
+             "CAST(min(q) AS DOUBLE) / 1000000.0")} AS min_ratio,
+         |       ${Portable.snap6Sql(
+             "CAST(max(q) AS DOUBLE) / 1000000.0")} AS max_ratio,
+         |       ${Portable.snap6Sql(
+             "CAST(sum(CASE WHEN abs(q - 1000000) <= " + JlTolE6 +
+               " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS frac_within_tol
+         |FROM q""".stripMargin
     }
   )
 }

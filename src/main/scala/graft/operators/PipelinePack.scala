@@ -23,6 +23,9 @@ object PipelinePack extends QueryPack {
   /** q95's token budget — ONE definition interpolated into both engines. */
   val MixPlanBudget = 100000L
 
+  /** q175: id offset for planted exact-copy documents. */
+  val LeakCopyOffset = 1000000L
+
   /** Sampling temperature for the q154 mix plan: p_i ∝ tokens_i^alpha.
     * alpha=1 is proportional (big sources dominate), alpha=0 is uniform
     * (q95's plan); 0.7 is the usual multilingual/multi-source compromise
@@ -74,6 +77,45 @@ object PipelinePack extends QueryPack {
         .agg(count(lit(1)).as("n"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("split")
+    }),
+
+    // Leakage-aware split audit: the q50 hash split keyed by DOC ID lets
+    // exact duplicates straddle train/val — the eval-contamination bug
+    // every dedup'd-but-naively-split corpus ships. Keying the SAME split
+    // by CONTENT hash pins every duplicate clique to one side by
+    // construction. This query runs both policies on a frame with planted
+    // exact copies and emits the ledger: split sizes, multi-doc content
+    // groups, duplicate pairs, and pairs split across sides (naive > 0,
+    // grouped = 0 — the oracle pins both). Scale shape: leaked pairs are
+    // counted per content GROUP as C(n,2) − Σ_split C(n_s,2) from two
+    // grouped aggregations — no dup-pair self-join, so the audit costs
+    // two shuffles of (hash, split) counts regardless of clique sizes.
+    "q175_leakage_split" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val frame = d.unionAll(d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + LeakCopyOffset).as("doc_id"), col("text")))
+      val keyed = frame.select(col("doc_id"), md5(col("text")).as("h"))
+      def audit(policy: String, splitOf: org.apache.spark.sql.Column) = {
+        val sp = keyed.select(col("h"), splitOf.as("split"))
+        val perHS = sp.groupBy("h", "split").agg(count(lit(1)).as("ns"))
+        val perH = perHS.groupBy("h").agg(
+          sum(col("ns")).as("n"),
+          sum(expr("(ns * (ns - 1)) div 2")).as("same_pairs"))
+        val pairStats = perH.agg(
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_groups_multi"),
+          sum(expr("(n * (n - 1)) div 2")).as("n_dup_pairs"),
+          sum(expr("(n * (n - 1)) div 2") - col("same_pairs")).as("n_leaked"))
+        val sizes = sp.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        sizes.crossJoin(pairStats).select(lit(policy).as("policy"),
+          col("n_train"), col("n_val"), col("n_test"),
+          col("n_groups_multi"), col("n_dup_pairs"), col("n_leaked"))
+      }
+      audit("doc_keyed", CorpusOps.hashSplit(col("doc_id")))
+        .unionAll(audit("content_keyed", CorpusOps.hashSplit(col("h"))))
+        .orderBy("policy")
     }),
 
     // Stratified deterministic sampling: per-language keep fractions; the
@@ -378,6 +420,37 @@ object PipelinePack extends QueryPack {
         |SELECT split, CAST(count(*) AS BIGINT) AS n,
         |       min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q175_leakage_split" -> {
+      def splitCase(key: String) =
+        s"""CASE WHEN substring(md5('split:' || $key), 1, 4) < 'cccc' THEN 'train'
+           |     WHEN substring(md5('split:' || $key), 1, 4) < 'e666' THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      def policy(name: String, splitExpr: String) =
+        s"""SELECT '$name' AS policy,
+           |  (SELECT CAST(sum(CASE WHEN $splitExpr = 'train' THEN 1 ELSE 0 END) AS BIGINT) FROM keyed) AS n_train,
+           |  (SELECT CAST(sum(CASE WHEN $splitExpr = 'val' THEN 1 ELSE 0 END) AS BIGINT) FROM keyed) AS n_val,
+           |  (SELECT CAST(sum(CASE WHEN $splitExpr = 'test' THEN 1 ELSE 0 END) AS BIGINT) FROM keyed) AS n_test,
+           |  g.n_groups_multi, g.n_dup_pairs, g.n_leaked
+           |FROM (
+           |  SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_multi,
+           |         CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_dup_pairs,
+           |         CAST(sum((n * (n - 1)) // 2 - same_pairs) AS BIGINT) AS n_leaked
+           |  FROM (
+           |    SELECT h, sum(ns) AS n, sum((ns * (ns - 1)) // 2) AS same_pairs
+           |    FROM (SELECT h, $splitExpr AS split, count(*) AS ns
+           |          FROM keyed GROUP BY 1, 2)
+           |    GROUP BY h)) g""".stripMargin
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |frame AS (SELECT doc_id, text FROM d
+         |          UNION ALL
+         |          SELECT doc_id + $LeakCopyOffset, text FROM d WHERE doc_id % 3 = 0),
+         |keyed AS (SELECT doc_id, md5(text) AS h FROM frame)
+         |${policy("doc_keyed", splitCase("CAST(doc_id AS VARCHAR)"))}
+         |UNION ALL
+         |${policy("content_keyed", splitCase("h"))}
+         |ORDER BY policy""".stripMargin
+    },
 
     "q51_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -89,6 +89,37 @@ object SimilarityPack extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // ANN recall audit: the IVF index (q36's operator) measured per query
+    // against the exact brute-force top-k on the SAME corpus — the
+    // index-quality counterpart of q116's dedup-recall audit. An index
+    // you can't measure is an index you can't trust after the next
+    // re-ingest; this emits the ledger (per query: exact-k size, hits the
+    // bucketed search kept, recall) that decides whether the centroid
+    // count / probe budget needs raising. All outputs are integer counts
+    // or exact count ratios — no float-order hazard; both rankings break
+    // ties on (rounded sim DESC, id), so the hit sets are engine-exact.
+    // Scale shape: the brute-force side is |queries| × |corpus| with the
+    // query side broadcast — at 100 TB the audit runs on a query SAMPLE
+    // (queries are already the %50 stratum), never the full corpus as
+    // queries; the IVF side touches one bucket per query.
+    "q174_ann_recall" -> ((s, dir) => {
+      val k = 5
+      val exact = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k)
+        .select(col("qid"), col("id"))
+      val approx = Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir),
+          centroids(s, dir), k)
+        .select(col("qid"), col("id"))
+      val hit = exact.join(approx, Seq("qid", "id"))
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(hit, Seq("qid"), "left_outer")
+        .select(col("qid"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall", graft.functions.Portable.snap6(
+          col("n_hit").cast("double") / col("n_exact")))
+        .orderBy("qid")
+    }),
+
     // Cluster-balanced diversity sample: assign every embedding to its
     // nearest centroid, keep a fixed per-cluster quota in deterministic
     // hash order — the selection step that keeps a corpus subset spread
@@ -374,6 +405,42 @@ object SimilarityPack extends QueryPack {
          |           FROM scored)
          |SELECT qid, rank, neighbor_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q174_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+         |bf_scored AS (SELECT q.qid, e.vec_id AS id,
+         |                     ${cosSql("e.embedding", "q.qvec")} AS sim
+         |              FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |bf AS (SELECT qid, id FROM (
+         |         SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                  ORDER BY sim DESC, id) AS rank FROM bf_scored)
+         |       WHERE rank <= 5),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $NumCentroids),
+         |asg AS (SELECT vec_id, cid,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, cid) AS rn
+         |        FROM e CROSS JOIN c),
+         |buckets AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+         |qb AS (SELECT vec_id AS qid, cid FROM buckets WHERE vec_id % 50 = 0),
+         |cand AS (SELECT qb.qid, b.vec_id AS id
+         |         FROM qb JOIN buckets b ON b.cid = qb.cid AND b.vec_id <> qb.qid),
+         |ivf_scored AS (SELECT cand.qid, cand.id,
+         |                      ${cosSql("eq.embedding", "en.embedding")} AS sim
+         |               FROM cand JOIN e eq ON eq.vec_id = cand.qid
+         |                         JOIN e en ON en.vec_id = cand.id),
+         |ivf AS (SELECT qid, id FROM (
+         |          SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                   ORDER BY sim DESC, id) AS rank FROM ivf_scored)
+         |        WHERE rank <= 5),
+         |hit AS (SELECT bf.qid, CAST(count(*) AS BIGINT) AS n_hit
+         |        FROM bf JOIN ivf ON ivf.qid = bf.qid AND ivf.id = bf.id
+         |        GROUP BY 1),
+         |ex AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_exact FROM bf GROUP BY 1)
+         |SELECT ex.qid AS qid, n_exact, CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |       ${graft.functions.Portable.snap6Sql(
+               "CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact")} AS recall
+         |FROM ex LEFT JOIN hit ON hit.qid = ex.qid ORDER BY qid""".stripMargin,
 
     "q92_pca_reduce" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_projected, TRUE AS dims_ok,

@@ -220,6 +220,28 @@ object AnalyticsPack extends QueryPack {
         .orderBy("state")
     }),
 
+    // Next-event training examples: the sequence-dataset builder that
+    // turns an event log into (context window → label) rows for a
+    // next-action model — per user, each event becomes a labeled example
+    // whose features are the 3 preceding event types. Pure lag windows
+    // over one shuffle by user; the context never materializes as an
+    // array (3 scalar columns), so the output is straight scan-shaped
+    // and the oracle pins every example exactly. At 100 TB this is one
+    // pass; the per-user window is the parallel unit.
+    "q179_next_event_dataset" -> ((s, dir) => {
+      val byU = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("idx", row_number().over(byU).cast("long"))
+        .withColumn("c1", lag(col("event_type"), 3).over(byU))
+        .withColumn("c2", lag(col("event_type"), 2).over(byU))
+        .withColumn("c3", lag(col("event_type"), 1).over(byU))
+        .filter(col("c1").isNotNull)
+        .select(col("user_id"), col("idx"), col("c1"), col("c2"), col("c3"),
+          col("event_type").as("label"))
+        .orderBy("user_id", "idx")
+    }),
+
     // TPC-H Q5-shaped multi-join: fact chain customer ⋈ orders ⋈ lineitem
     // with the dimension chain supplier/nation/region riding BROADCASTS —
     // revenue per nation. The canonical star-join scale shape: the only
@@ -681,6 +703,19 @@ object AnalyticsPack extends QueryPack {
         |FROM f JOIN dim ON dim.user_id = f.user_id
         |              AND f.t >= dim.from_us AND f.t < dim.to_us
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q179_next_event_dataset" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |         CAST(row_number() OVER u AS BIGINT) AS idx,
+        |         lag(event_type, 3) OVER u AS c1,
+        |         lag(event_type, 2) OVER u AS c2,
+        |         lag(event_type, 1) OVER u AS c3,
+        |         event_type AS label
+        |  FROM events
+        |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, idx, c1, c2, c3, label FROM w
+        |WHERE c1 IS NOT NULL ORDER BY user_id, idx""".stripMargin,
 
     "q133_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,

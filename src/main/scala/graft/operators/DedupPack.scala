@@ -78,6 +78,43 @@ object DedupPack extends QueryPack {
         round(col("n_lsh").cast("double") / col("n_cand"), 6).as("cand_precision"))
     }),
 
+    // MinHash ESTIMATE-accuracy audit: the q116 audit checks which pairs
+    // LSH finds; this one checks what the signature CLAIMS about them —
+    // per candidate pair, estimated Jaccard (agreeing components / 16)
+    // against the exact shared-shingle Jaccard. The estimate is what a
+    // signature-only pipeline (no shingle re-join) would threshold on at
+    // 100 TB, so its error distribution decides whether 16 hashes are
+    // enough or the verify join stays mandatory. n_agree is an integer,
+    // both ratios are snapped from identically-shaped doubles — exact
+    // cross-engine. Cost: candidates × 16 column compares (signatures are
+    // 16 longs/doc, no shingle blow-up on the estimate side).
+    "q180_minhash_estimate" -> ((s, dir) => {
+      val H = 16
+      val sh = Dedup.shingles(withCopies(s, dir, mod = 2), 3)
+        .localCheckpoint(false) // signatures + exact-verify share the scan
+      val sigs = Dedup.minhashSignatures(sh, H)
+        .localCheckpoint(false) // bands + both agreement sides share it
+      val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, H, 4))
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (1 to H).map(i => col(s"m$i").as(s"b$i")): _*)
+      val agree = (1 to H).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), agree.cast("long").as("n_agree"))
+      Dedup.jaccard(cand, sh)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("jaccard"))
+        .join(est, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          Portable.snap6(col("n_agree").cast("double") / H).as("est_jaccard"),
+          col("n_shared"),
+          Portable.snap6(col("jaccard")).as("exact_jaccard"),
+          Portable.snap6(abs(col("n_agree").cast("double") / H
+            - col("jaccard"))).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Cross-source contamination matrix: for every source pair, how many
     // distinct 5-gram shingles they share, normalized by the smaller
     // source's shingle set (the containment direction that catches a
@@ -353,6 +390,31 @@ object DedupPack extends QueryPack {
          |sh AS (${shinglesSql("docs")}),
          |${minhashCandCtes()},
          |${jaccardTailSql(0.5)}""".stripMargin,
+
+    "q180_minhash_estimate" -> {
+      val agreeSum = (1 to 16)
+        .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val jraw = "CAST(n_shared AS DOUBLE) / (ca.n_sh + cb.n_sh - n_shared)"
+      s"""WITH docs AS (${withCopiesSql(2)}),
+         |sh AS (${shinglesSql("docs")}),
+         |${minhashCandCtes()},
+         |$countsSharedCtes,
+         |agree AS (SELECT c.doc_a, c.doc_b, $agreeSum AS n_agree
+         |          FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+         |                      JOIN sig y ON y.doc_id = c.doc_b)
+         |SELECT s.doc_a AS doc_a, s.doc_b AS doc_b,
+         |       CAST(a.n_agree AS BIGINT) AS n_agree,
+         |       ${Portable.snap6Sql("CAST(a.n_agree AS DOUBLE) / 16")} AS est_jaccard,
+         |       CAST(n_shared AS BIGINT) AS n_shared,
+         |       ${Portable.snap6Sql(jraw)} AS exact_jaccard,
+         |       ${Portable.snap6Sql(
+             s"abs(CAST(a.n_agree AS DOUBLE) / 16 - ($jraw))")} AS abs_err
+         |FROM shared s
+         |JOIN counts ca ON ca.doc_id = s.doc_a
+         |JOIN counts cb ON cb.doc_id = s.doc_b
+         |JOIN agree a ON a.doc_a = s.doc_a AND a.doc_b = s.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q116_dedup_recall_audit" ->
       s"""WITH docs AS (${withCopiesSql(2)}),

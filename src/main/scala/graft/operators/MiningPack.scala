@@ -53,6 +53,9 @@ object MiningPack extends QueryPack {
   /** q172: hashed feature-vector width. */
   val FeatDim = 64
 
+  /** q177: hash-partition count the skew audit simulates. */
+  val SkewParts = 32L
+
   /** q173: JL target dimensionality (from 64) and distortion gate. */
   val JlDim = 16
   val JlTolE6 = 300000L // |ratio − 1| ≤ 0.30 in 1e-6 units
@@ -359,6 +362,41 @@ object MiningPack extends QueryPack {
           Portable.snap6(col("maxq").cast("double") / lit(1e6)).as("max_ratio"),
           Portable.snap6(col("n_ok").cast("double") / col("n_pairs"))
             .as("frac_within_tol"))
+    }),
+
+    // Join-skew diagnostic — the profile you run BEFORE a big keyed join
+    // to decide between plain hash join, salting (q99/q133), and AQE skew
+    // handling: per-key frequency stats (max, exact p99) plus the
+    // max-partition share under hash partitioning into a fixed partition
+    // count. part_skew ≈ 1 means hash partitioning balances; ≫ 1 means a
+    // hot key owns its partition and the join needs salt. Scale shape:
+    // both profiles are grouped COUNTS (map-side partial agg); only the
+    // per-key count table — |distinct keys|, not |rows| — takes the
+    // global p99 sort. The partition assignment uses the portable hash so
+    // the oracle reproduces the exact placement.
+    "q177_skew_audit" -> ((s, dir) => {
+      val f = Tables.table(s, dir, "events").select(col("user_id").as("k"))
+      val perKey = f.groupBy("k").agg(count(lit(1)).as("c"))
+      val tot = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"), max(col("c")).as("max_freq"))
+      val ordered = perKey.select(col("c"), row_number()
+        .over(Window.orderBy(col("c"), col("k"))).as("rn"))
+      val p99 = ordered.crossJoin(broadcast(tot.select(col("n_keys"))))
+        .filter(col("rn") === ceil(col("n_keys") * lit(0.99)))
+        .select(col("c").as("p99_freq"))
+      val parts = f
+        .select((Portable.hash32(concat(lit("sk:"), col("k").cast("string")))
+          % lit(SkewParts)).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("pc"))
+        .agg(max(col("pc")).as("max_part_rows"),
+          count(lit(1)).as("n_parts_used"))
+      tot.crossJoin(p99).crossJoin(parts)
+        .select(col("n_rows"), col("n_keys"), col("max_freq"), col("p99_freq"),
+          Portable.snap6((col("max_freq") * col("n_keys")).cast("double")
+            / col("n_rows")).as("hot_key_ratio"),
+          col("n_parts_used"), col("max_part_rows"),
+          Portable.snap6((col("max_part_rows") * lit(SkewParts)).cast("double")
+            / col("n_rows")).as("part_skew"))
     })
   )
 
@@ -564,6 +602,29 @@ object MiningPack extends QueryPack {
              "CAST(sum(CASE WHEN abs(q - 1000000) <= " + JlTolE6 +
                " THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS frac_within_tol
          |FROM q""".stripMargin
-    }
+    },
+
+    "q177_skew_audit" ->
+      s"""WITH f AS (SELECT user_id AS k FROM events),
+         |pk AS (SELECT k, count(*) AS c FROM f GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |               CAST(sum(c) AS BIGINT) AS n_rows,
+         |               CAST(max(c) AS BIGINT) AS max_freq FROM pk),
+         |ord AS (SELECT c, row_number() OVER (ORDER BY c, k) AS rn FROM pk),
+         |p99 AS (SELECT CAST(c AS BIGINT) AS p99_freq
+         |        FROM ord, tot WHERE rn = CAST(ceil(n_keys * 0.99) AS BIGINT)),
+         |pp AS (SELECT ${Portable.hash32Sql(
+             "'sk:' || CAST(k AS VARCHAR)")} % $SkewParts AS part,
+         |              count(*) AS pc
+         |       FROM f GROUP BY 1),
+         |ps AS (SELECT CAST(max(pc) AS BIGINT) AS max_part_rows,
+         |              CAST(count(*) AS BIGINT) AS n_parts_used FROM pp)
+         |SELECT n_rows, n_keys, max_freq, p99_freq,
+         |       ${Portable.snap6Sql(
+             "CAST(max_freq * n_keys AS DOUBLE) / n_rows")} AS hot_key_ratio,
+         |       n_parts_used, max_part_rows,
+         |       ${Portable.snap6Sql(
+             s"CAST(max_part_rows * $SkewParts AS DOUBLE) / n_rows")} AS part_skew
+         |FROM tot, p99, ps""".stripMargin
   )
 }

@@ -57,6 +57,40 @@ object MultimodalPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // CLIP-style contrastive pair building: each training batch is a set
+    // of (media, caption) positives, and every cross pairing INSIDE the
+    // batch is a negative — in-batch negatives need no negative-sampling
+    // state at all, which is why contrastive pipelines use them at scale.
+    // Docs land in batches by hash (deterministic, layout-independent);
+    // the pair table is a within-batch self-join keyed ON the batch id,
+    // so each batch's B² pairs materialize on one partition — the shuffle
+    // is one pass over the corpus regardless of batch count, and batch
+    // SIZE (not count) is the constant. Media side is the decoded payload
+    // hash, caption side the first-12-token hash — both content-pinned.
+    "q176_contrastive_pairs" -> ((s, dir) => {
+      val d = graft.sources.Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val sides = decode(mediaFrom(d)).toDF()
+        .select(col("doc_id"), md5(col("pixels")).as("payload_hash"))
+        .join(d.select(col("doc_id"),
+          substring(md5(array_join(slice(
+            graft.functions.TextFunctions.tokens(col("text")), 1,
+            CaptionTokens), " ")), 1, 8).as("caption_hash")), "doc_id")
+        .withColumn("batch",
+          graft.functions.Portable.hash32(concat(lit("cb:"),
+            col("doc_id").cast("string"))) % lit(ContrastiveBatches))
+      val anchors = sides.select(col("batch"), col("doc_id").as("anchor_id"),
+        col("payload_hash"))
+      val partners = sides.select(col("batch"), col("doc_id").as("partner_id"),
+        col("caption_hash"))
+      anchors.join(partners, "batch")
+        .select(col("batch"), col("anchor_id"), col("partner_id"),
+          col("payload_hash"), col("caption_hash"),
+          when(col("anchor_id") === col("partner_id"), 1L).otherwise(0L)
+            .as("label"))
+        .orderBy("batch", "anchor_id", "partner_id")
+    }),
+
     // Content-addressed media dedup: every 5th asset is re-ingested under
     // a new id, which ALSO changes its container metadata (kind, dims
     // derive from the id) — dedup on the md5 of the decoded PAYLOAD must
@@ -134,7 +168,28 @@ object MultimodalPack extends QueryPack {
     * container kind/dims change while the payload stays identical). */
   val ReencodeOffset = 100000L
 
+  /** q176: caption = first 12 whitespace tokens; hash batch count (batch
+    * SIZE is the scale constant — count grows with the corpus). */
+  val CaptionTokens = 12
+  val ContrastiveBatches = 64L
+
   def oracles: Map[String, String] = Map(
+    "q176_contrastive_pairs" -> {
+      val toks = TextPack.toksSql("text")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |sides AS (
+         |  SELECT doc_id, md5(text) AS payload_hash,
+         |         substr(md5(array_to_string(($toks)[1:$CaptionTokens], ' ')), 1, 8)
+         |           AS caption_hash,
+         |         ${graft.functions.Portable.hash32Sql(
+             "'cb:' || CAST(doc_id AS VARCHAR)")} % $ContrastiveBatches AS batch
+         |  FROM d)
+         |SELECT a.batch AS batch, a.doc_id AS anchor_id, p.doc_id AS partner_id,
+         |       a.payload_hash, p.caption_hash,
+         |       CAST(CASE WHEN a.doc_id = p.doc_id THEN 1 ELSE 0 END AS BIGINT) AS label
+         |FROM sides a JOIN sides p ON a.batch = p.batch
+         |ORDER BY batch, anchor_id, partner_id""".stripMargin
+    },
     "q26_media_meta" ->
       s"""SELECT doc_id,
          |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -26,6 +26,10 @@ object PipelinePack extends QueryPack {
   /** q175: id offset for planted exact-copy documents. */
   val LeakCopyOffset = 1000000L
 
+  /** q178: epochs simulated and output shards per epoch. */
+  val ShuffleEpochs = 2
+  val ShuffleShards = 8L
+
   /** Sampling temperature for the q154 mix plan: p_i ∝ tokens_i^alpha.
     * alpha=1 is proportional (big sources dominate), alpha=0 is uniform
     * (q95's plan); 0.7 is the usual multilingual/multi-source compromise
@@ -125,6 +129,34 @@ object PipelinePack extends QueryPack {
         StratFracs, StratDefault)
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    }),
+
+    // Deterministic epoch shuffle: the global reshuffle a training run
+    // needs between epochs, as a pure function of (epoch, doc_id) — no
+    // rand() state, no driver-side permutation array, so any worker (or
+    // a resumed job) recomputes its shard identically. Each epoch hashes
+    // every doc to a shuffle key; shard = key mod #shards, within-shard
+    // order = (key, doc_id). The audit emits per (epoch, shard): size,
+    // first/last doc, and a Σ offset·doc_id permutation checksum — the
+    // epochs provably differ while each stays balanced. Scale shape: one
+    // hash + one shuffle per epoch, rank confined WITHIN each shard
+    // (shards are the parallel unit; no global sort anywhere).
+    "q178_epoch_shuffle" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0), lit(ShuffleEpochs - 1))))
+        .withColumn("key", graft.functions.Portable.hash32(
+          concat(lit("ep"), col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+        .withColumn("shard", col("key") % ShuffleShards)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("epoch", "shard").orderBy(col("key"), col("doc_id"))
+      d.withColumn("off", row_number().over(w).cast("long") - 1L)
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          min_by(col("doc_id"), col("off")).as("first_doc"),
+          max_by(col("doc_id"), col("off")).as("last_doc"),
+          sum(col("off") * col("doc_id")).as("perm_check"))
+        .orderBy("epoch", "shard")
     }),
 
     // URL canonicalization + dedup: normalize the messy synthetic URL,
@@ -457,6 +489,25 @@ object PipelinePack extends QueryPack {
         |WHERE substring(md5('strat:' || coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)), 1, 4)
         |      < CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN 'zzzz' ELSE '8000' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q178_epoch_shuffle" -> {
+      val key = graft.functions.Portable.hash32Sql(
+        "'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")
+      s"""WITH d AS (
+         |  SELECT doc_id, epoch FROM documents
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${ShuffleEpochs - 1})) AS epoch)),
+         |keyed AS (SELECT doc_id, epoch, $key AS key FROM d),
+         |sh AS (SELECT doc_id, epoch, key, key % $ShuffleShards AS shard FROM keyed),
+         |off AS (SELECT doc_id, epoch, shard,
+         |          CAST(row_number() OVER (PARTITION BY epoch, shard
+         |            ORDER BY key, doc_id) AS BIGINT) - 1 AS off
+         |        FROM sh)
+         |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       min_by(doc_id, off) AS first_doc,
+         |       max_by(doc_id, off) AS last_doc,
+         |       CAST(sum(off * doc_id) AS BIGINT) AS perm_check
+         |FROM off GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin
+    },
 
     "q52_url_dedup" ->
       s"""WITH u AS (

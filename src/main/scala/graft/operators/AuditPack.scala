@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
+import graft.functions.Portable
 import graft.sources.Tables
 
 /** Warehouse-audit / reporting surface: pivoted cross-tabs, CUBE grouping
@@ -58,6 +59,21 @@ object AuditPack extends QueryPack {
 
   /** Privacy budget for the q157 DP histogram (Laplace b = 1/eps). */
   val DpEps = 1.0
+
+  /** KS critical-value coefficient c(alpha) at alpha = 0.05 (q181). */
+  val KsC05 = 1.358
+
+  /** Poisson-bootstrap replicate count (q186). */
+  val BootR = 32
+
+  /** Cumulative Poisson(1) CDF at k = 0..7: a uniform u in [0,1) maps to
+    * weight = #{thresholds < u} (inverse-CDF draw; P(w > 8) < 1e-5).
+    * Literals are shared verbatim with the DuckDB twin so both engines
+    * draw identical weights. */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999546000702375)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -409,6 +425,82 @@ object AuditPack extends QueryPack {
         .select(col("grp").as("source"), col("n_true"),
           col("noisy_count"), lit(DpEps).as("eps"))
         .orderBy("source")
+    }),
+
+    // Two-sample Kolmogorov-Smirnov drift test on the document-length
+    // distribution — the CDF-level drift detector (q145's KL/TV sees
+    // only category composition; KS catches a SHIFT inside one numeric
+    // column, e.g. a re-crawl that truncates pages). Samples: even vs
+    // odd doc ids. The sup-distance is computed entirely in integers:
+    // at each distinct value, |F_A - F_B| * n_a * n_b =
+    // |cum_a * n_b - cum_b * n_a| (exact), so the max is order-free and
+    // cross-engine; only the final ratio and the critical value
+    // c(0.05) * sqrt((n_a+n_b)/(n_a*n_b)) touch doubles. Scale shape:
+    // one count-shuffle on the VALUE (distinct lengths, not rows), one
+    // window over that small table; totals ride a 1-row broadcast, no
+    // driver action.
+    "q181_ks_drift" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(octet_length(col("text")).cast("long").as("v"),
+          (col("doc_id") % 2 === 0).as("in_a"))
+      val per = d.groupBy("v").agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+      val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
+      val w = Window.orderBy("v")
+      val dnum = per
+        .withColumn("cum_a", sum(col("ca")).over(w))
+        .withColumn("cum_b", sum(col("cb")).over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+          .as("dn"))
+      dnum.select(col("na"), col("nb"),
+          Portable.snap6(col("dn").cast("double")
+            / (col("na") * col("nb")).cast("double")).as("d_stat"),
+          Portable.snap6(lit(KsC05) * sqrt((col("na") + col("nb"))
+            .cast("double") / (col("na") * col("nb")).cast("double")))
+            .as("d_crit"))
+        .withColumn("same_dist", col("d_stat") <= col("d_crit"))
+    }),
+
+    // Poisson-bootstrap confidence interval for the mean document
+    // length — THE web-scale bootstrap: classic resampling needs n draws
+    // per replicate coordinated globally, while Poisson(1) weights are
+    // independent per (row, replicate), so all R replicates ride ONE
+    // scan with an explode(R) and aggregate as weighted sums — no
+    // sampling state, no second pass. Weights come from the inverse
+    // Poisson CDF over the portable uniform hash (thresholds are shared
+    // literals), so both engines draw identical weights. Per replicate,
+    // mean = floor-quantized Sum(w*x)/Sum(w); the CI is the 2nd/31st of
+    // the 32 sorted replicate means (~95%). Scale: R x one pass, partial
+    // aggregation per replicate — the shuffle carries 32 rows.
+    "q186_bootstrap_ci" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), octet_length(col("text")).cast("long").as("x"))
+      val rep = d.withColumn("r",
+          explode(sequence(lit(0), lit(BootR - 1))))
+        .withColumn("u", (Portable.hash32(concat(lit("bs"),
+          col("r").cast("string"), lit(":"), col("doc_id").cast("string")))
+          .cast("double") + lit(0.5)) / lit(4294967296.0))
+        .withColumn("w", PoissonCdf.foldLeft(lit(0L)) { (acc, t) =>
+          acc + when(col("u") > lit(t), 1L).otherwise(0L)
+        })
+      val means = rep.groupBy("r")
+        .agg(floor(sum(col("w") * col("x")).cast("double") * lit(1e6)
+          / sum(col("w")).cast("double")).cast("long").as("m_e6"))
+      val ranked = means.select(col("m_e6"),
+        row_number().over(Window.orderBy(col("m_e6"), col("r"))).as("rk"))
+      val point = d.agg(count(lit(1)).as("n_docs"),
+        Portable.snap6(sum(col("x")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_len"))
+      point
+        .crossJoin(broadcast(ranked.filter(col("rk") === 2)
+          .select((col("m_e6").cast("double") / 1e6).as("ci_lo"))))
+        .crossJoin(broadcast(ranked.filter(col("rk") === BootR - 1)
+          .select((col("m_e6").cast("double") / 1e6).as("ci_hi"))))
+        .select(col("n_docs"), col("mean_len"), col("ci_lo"), col("ci_hi"),
+          lit(BootR).as("n_replicates"))
     })
   )
 
@@ -651,6 +743,70 @@ object AuditPack extends QueryPack {
          |         AS noisy_count,
          |       CAST($DpEps AS DOUBLE) AS eps
          |FROM c ORDER BY source""".stripMargin
+    },
+
+    "q181_ks_drift" -> {
+      val dStat = Portable.snap6Sql(
+        "CAST(dn AS DOUBLE) / CAST(na * nb AS DOUBLE)")
+      val dCrit = Portable.snap6Sql(
+        s"$KsC05 * sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE))")
+      s"""WITH d AS (
+         |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS v,
+         |         doc_id % 2 = 0 AS in_a
+         |  FROM documents),
+         |per AS (
+         |  SELECT v,
+         |         CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM d GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+         |               CAST(sum(cb) AS BIGINT) AS nb FROM per),
+         |cum AS (
+         |  SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         |         CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+         |  FROM per),
+         |m AS (
+         |  SELECT na, nb, max(abs(cum_a * nb - cum_b * na)) AS dn
+         |  FROM cum CROSS JOIN tot GROUP BY na, nb)
+         |SELECT na, nb, $dStat AS d_stat, $dCrit AS d_crit,
+         |       $dStat <= $dCrit AS same_dist
+         |FROM m""".stripMargin
+    },
+
+    "q186_bootstrap_ci" -> {
+      val u = s"((${Portable.hash32Sql(
+        "'bs' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}" +
+        " + 0.5) / 4294967296.0)"
+      val w = PoissonCdf
+        .map(t => s"(CASE WHEN u > $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS x
+         |  FROM documents),
+         |rep AS (
+         |  SELECT r, x, $u AS u
+         |  FROM d CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${BootR - 1})) AS r)),
+         |wt AS (SELECT r, x, CAST($w AS BIGINT) AS w FROM rep),
+         |means AS (
+         |  SELECT r, CAST(floor(CAST(sum(w * x) AS DOUBLE) * 1000000.0
+         |           / CAST(sum(w) AS DOUBLE)) AS BIGINT) AS m_e6
+         |  FROM wt GROUP BY r),
+         |ranked AS (
+         |  SELECT m_e6, row_number() OVER (ORDER BY m_e6, r) AS rk
+         |  FROM means),
+         |pt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         ${Portable.snap6Sql(
+               "CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |           AS mean_len
+         |  FROM d)
+         |SELECT n_docs, mean_len, ci_lo, ci_hi,
+         |       CAST($BootR AS INTEGER) AS n_replicates
+         |FROM pt
+         |CROSS JOIN (SELECT CAST(m_e6 AS DOUBLE) / 1000000.0 AS ci_lo
+         |            FROM ranked WHERE rk = 2) lo
+         |CROSS JOIN (SELECT CAST(m_e6 AS DOUBLE) / 1000000.0 AS ci_hi
+         |            FROM ranked WHERE rk = ${BootR - 1}) hi""".stripMargin
     }
   )
 }

@@ -60,6 +60,13 @@ object MiningPack extends QueryPack {
   val JlDim = 16
   val JlTolE6 = 300000L // |ratio − 1| ≤ 0.30 in 1e-6 units
 
+  /** q182: document-frequency candidate pool and emitted feature count. */
+  val Chi2Cand = 200
+  val Chi2Top = 20
+
+  /** q184: stump search grid — value-axis bin width 0.1, clamped bins. */
+  val StumpBins = 50
+
   /** Deterministic ±1 sign row k of the JL projection matrix — a pure
     * function of (k, i) computed at PLAN BUILD time and embedded as
     * literals in both engines (no runtime randomness to disagree on). */
@@ -397,6 +404,101 @@ object MiningPack extends QueryPack {
           col("n_parts_used"), col("max_part_rows"),
           Portable.snap6((col("max_part_rows") * lit(SkewParts)).cast("double")
             / col("n_rows")).as("part_skew"))
+    }),
+
+    // Chi-squared feature selection: which tokens are statistically
+    // ASSOCIATED with a document's source — the supervised
+    // feature-ranking step of a classifier pipeline (vs q45's unsupervised
+    // TF-IDF weighting). Per candidate token (top-200 by document
+    // frequency), a presence/absence × source contingency table; chi² =
+    // Σ_cells (O−E)²/E with each cell's term floor-quantized to a 1e-6
+    // long BEFORE the sum, so the statistic is an order-free integer in
+    // both engines. Scale shape: presence rows are distinct (doc, tok)
+    // pairs; the candidate pool and per-source totals are tiny broadcast
+    // sides; zero-count cells come from the candidate × source grid, not
+    // from the data — no skew, two shuffles total.
+    "q182_chi2_select" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val pres = d.select(col("doc_id"), col("source"),
+        explode(array_distinct(T.tokens(col("text")))).as("tok"))
+      val dfTab = pres.groupBy("tok").agg(count(lit(1)).as("df"))
+      val wDf = Window.orderBy(col("df").desc, col("tok"))
+      val cand = dfTab.withColumn("r", row_number().over(wDf))
+        .filter(col("r") <= Chi2Cand).select("tok", "df")
+      val srcTot = d.groupBy("source").agg(count(lit(1)).as("ns"))
+      val nDocs = d.agg(count(lit(1)).as("n"))
+      val obs = pres.join(broadcast(cand.select("tok")), "tok")
+        .groupBy("tok", "source").agg(count(lit(1)).as("o"))
+      val grid = cand.crossJoin(srcTot)
+        .join(obs, Seq("tok", "source"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(nDocs))
+      val e1 = col("df").cast("double") * col("ns") / col("n")
+      val e0 = (col("n") - col("df")).cast("double") * col("ns") / col("n")
+      val o0 = col("ns") - col("o")
+      def q6(c: org.apache.spark.sql.Column) =
+        floor(c * lit(1e6)).cast("long")
+      val term =
+        q6((col("o") - e1) * (col("o") - e1) / e1) +
+          when(col("n") > col("df"), q6((o0 - e0) * (o0 - e0) / e0))
+            .otherwise(0L)
+      val chi = grid.groupBy("tok", "df").agg(sum(term).as("chi2_e6"))
+      val wC = Window.orderBy(col("chi2_e6").desc, col("tok"))
+      chi.withColumn("rk", row_number().over(wC))
+        .filter(col("rk") <= Chi2Top)
+        .select(col("rk"), col("tok"), col("df"),
+          (col("chi2_e6").cast("double") / 1e6).as("chi2"))
+        .orderBy("rk")
+    }),
+
+    // Decision-stump induction by Gini impurity: the best single
+    // threshold on the event value separating purchases from the rest —
+    // the depth-1 tree (and the split-finding primitive of any
+    // distributed tree learner: gradient-boosting and random-forest
+    // splitters run exactly this histogram scan per feature). Pass 1
+    // bins the value axis (0.1-wide, clamped) into per-bin (n, positives)
+    // counts; the candidate scan is a prefix-sum window over ≤50 bins.
+    // The weighted impurity of each candidate split floor-quantizes to a
+    // 1e-6 long, so the argmin is integer-deterministic. Scale: one
+    // map-side-combinable groupBy over the events, then window work on a
+    // 50-row table.
+    "q184_gini_stump" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(least(greatest(floor(col("value") * 10), lit(0)),
+          lit(StumpBins - 1)).cast("long").as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      val per = e.groupBy("bin").agg(count(lit(1)).as("n"), sum(col("y")).as("p"))
+      val tot = per.agg(sum("n").as("nt"), sum("p").as("pt"))
+      val w = Window.orderBy("bin")
+      val cum = per
+        .withColumn("nl", sum(col("n")).over(w))
+        .withColumn("pl", sum(col("p")).over(w))
+        .crossJoin(broadcast(tot))
+        .filter(col("nl") < col("nt")) // right side must stay nonempty
+      val ql = col("nl") - col("pl")
+      val nr = col("nt") - col("nl")
+      val pr = col("pt") - col("pl")
+      val qr = nr - pr
+      val gl = lit(1.0) - (col("pl") * col("pl") + ql * ql).cast("double") /
+        (col("nl") * col("nl")).cast("double")
+      val gr = lit(1.0) - (pr * pr + qr * qr).cast("double") /
+        (nr * nr).cast("double")
+      val score = floor((col("nl").cast("double") * gl +
+        nr.cast("double") * gr) / col("nt").cast("double") * lit(1e6))
+        .cast("long")
+      val scored = cum.select(col("bin"), col("nl"), col("pl"),
+        col("nt"), col("pt"), score.as("score_e6"))
+      val wBest = Window.orderBy(col("score_e6"), col("bin"))
+      scored.withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .select(Portable.snap6((col("bin") + 1).cast("double") / 10.0)
+          .as("threshold"),
+          col("nl").as("n_left"), col("pl").as("pos_left"),
+          (col("nt") - col("nl")).as("n_right"),
+          (col("pt") - col("pl")).as("pos_right"),
+          (col("score_e6").cast("double") / 1e6).as("gini"))
     })
   )
 
@@ -625,6 +727,85 @@ object MiningPack extends QueryPack {
          |       n_parts_used, max_part_rows,
          |       ${Portable.snap6Sql(
              s"CAST(max_part_rows * $SkewParts AS DOUBLE) / n_rows")} AS part_skew
-         |FROM tot, p99, ps""".stripMargin
+         |FROM tot, p99, ps""".stripMargin,
+
+    "q182_chi2_select" -> {
+      val e1 = "CAST(df AS DOUBLE) * ns / n"
+      val e0 = "CAST(n - df AS DOUBLE) * ns / n"
+      val t1 = s"CAST(floor(((o - $e1) * (o - $e1) / ($e1)) * 1000000.0)" +
+        " AS BIGINT)"
+      val t0 = s"CAST(floor((((ns - o) - $e0) * ((ns - o) - $e0) / ($e0))" +
+        " * 1000000.0) AS BIGINT)"
+      s"""WITH pres AS (
+         |  SELECT DISTINCT doc_id, source, unnest(${toksSql("text")}) AS tok
+         |  FROM documents),
+         |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |        FROM pres GROUP BY 1),
+         |cand AS (
+         |  SELECT tok, df FROM (
+         |    SELECT tok, df, row_number() OVER (ORDER BY df DESC, tok) AS r
+         |    FROM dft) WHERE r <= $Chi2Cand),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+         |       FROM documents GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |obs AS (
+         |  SELECT p.tok, p.source, CAST(count(*) AS BIGINT) AS o
+         |  FROM pres p JOIN cand c ON c.tok = p.tok
+         |  GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT c.tok, c.df, st.source, st.ns, nd.n,
+         |         coalesce(obs.o, 0) AS o
+         |  FROM cand c CROSS JOIN st CROSS JOIN nd
+         |  LEFT JOIN obs ON obs.tok = c.tok AND obs.source = st.source),
+         |chi AS (
+         |  SELECT tok, df,
+         |         sum($t1 + CASE WHEN n > df THEN $t0 ELSE 0 END)
+         |           AS chi2_e6
+         |  FROM grid GROUP BY 1, 2)
+         |SELECT rk, tok, df, CAST(chi2_e6 AS DOUBLE) / 1000000.0 AS chi2
+         |FROM (
+         |  SELECT tok, df, chi2_e6,
+         |         CAST(row_number() OVER (ORDER BY chi2_e6 DESC, tok)
+         |           AS INTEGER) AS rk
+         |  FROM chi)
+         |WHERE rk <= $Chi2Top ORDER BY rk""".stripMargin
+    },
+
+    "q184_gini_stump" -> {
+      val gl = "1.0 - CAST(pl * pl + (nl - pl) * (nl - pl) AS DOUBLE)" +
+        " / CAST(nl * nl AS DOUBLE)"
+      val gr = "1.0 - CAST((pt - pl) * (pt - pl)" +
+        " + ((nt - nl) - (pt - pl)) * ((nt - nl) - (pt - pl)) AS DOUBLE)" +
+        " / CAST((nt - nl) * (nt - nl) AS DOUBLE)"
+      s"""WITH e AS (
+         |  SELECT CAST(least(greatest(floor(value * 10), 0),
+         |           ${StumpBins - 1}) AS BIGINT) AS bin,
+         |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         |  FROM events WHERE value IS NOT NULL),
+         |per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(y) AS BIGINT) AS p
+         |        FROM e GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+         |               CAST(sum(p) AS BIGINT) AS pt FROM per),
+         |cum AS (
+         |  SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS nl,
+         |         CAST(sum(p) OVER (ORDER BY bin) AS BIGINT) AS pl
+         |  FROM per),
+         |scored AS (
+         |  SELECT bin, nl, pl, nt, pt,
+         |         CAST(floor((CAST(nl AS DOUBLE) * ($gl)
+         |           + CAST(nt - nl AS DOUBLE) * ($gr))
+         |           / CAST(nt AS DOUBLE) * 1000000.0) AS BIGINT) AS score_e6
+         |  FROM cum CROSS JOIN tot WHERE nl < nt)
+         |SELECT ${Portable.snap6Sql("CAST(bin + 1 AS DOUBLE) / 10.0")}
+         |         AS threshold,
+         |       nl AS n_left, pl AS pos_left,
+         |       nt - nl AS n_right, pt - pl AS pos_right,
+         |       CAST(score_e6 AS DOUBLE) / 1000000.0 AS gini
+         |FROM (
+         |  SELECT *, row_number() OVER (ORDER BY score_e6, bin) AS rk
+         |  FROM scored)
+         |WHERE rk = 1""".stripMargin
+    }
   )
 }

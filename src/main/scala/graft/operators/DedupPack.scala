@@ -115,6 +115,51 @@ object DedupPack extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Mergeable per-source MinHash sketches: one 16-long signature per
+    // SOURCE (min over the source's whole 5-gram shingle set) estimates
+    // every pairwise source Jaccard from sketch agreement alone —
+    // q117's exact matrix needs the shared-shingle self-join, while the
+    // sketch path touches each shingle once and compares 16 longs per
+    // source pair. That mergeability (min is associative) is what lets
+    // a 100 TB pipeline keep per-shard sketches and fold them at the
+    // end without re-reading data. The exact Jaccard rides along as the
+    // accuracy audit (abs_err is what you accept for the cheap path).
+    "q185_source_sketch" -> ((s, dir) => {
+      val H = 16
+      val sh = Dedup.shingles(
+          Tables.table(s, dir, "documents").select(col("source"), col("text")),
+          5, id = "source")
+        .localCheckpoint(false) // sketch + counts + exact-verify share it
+      val sigs = Dedup.minhashSignatures(sh, H, id = "source")
+      val sa = sigs.select(col("source").as("src_a") +:
+        (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("source").as("src_b") +:
+        (1 to H).map(i => col(s"m$i").as(s"b$i")): _*)
+      val agree = (1 to H).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      val est = sa.join(sb, col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), agree.cast("long").as("n_agree"))
+      val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val shared = sh.select(col("source").as("src_a"), col("sh"))
+        .join(sh.select(col("source").as("src_b"), col("sh")), "sh")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      val exact = col("n_shared").cast("double") /
+        (col("n_a") + col("n_b") - col("n_shared"))
+      est.join(shared, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("n_shared"))
+        .join(counts.select(col("source").as("src_a"), col("n_sh").as("n_a")),
+          "src_a")
+        .join(counts.select(col("source").as("src_b"), col("n_sh").as("n_b")),
+          "src_b")
+        .select(col("src_a"), col("src_b"), col("n_agree"),
+          Portable.snap6(col("n_agree").cast("double") / H).as("est_jaccard"),
+          Portable.snap6(exact).as("exact_jaccard"),
+          Portable.snap6(abs(col("n_agree").cast("double") / H - exact))
+            .as("abs_err"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Cross-source contamination matrix: for every source pair, how many
     // distinct 5-gram shingles they share, normalized by the smaller
     // source's shingle set (the containment direction that catches a
@@ -414,6 +459,43 @@ object DedupPack extends QueryPack {
          |JOIN counts cb ON cb.doc_id = s.doc_b
          |JOIN agree a ON a.doc_a = s.doc_a AND a.doc_b = s.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q185_source_sketch" -> {
+      val agreeSum = (1 to 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val minCols = (1 to 16)
+        .map(i => s"min(${Portable.permuteSql("h", i)}) AS m$i").mkString(", ")
+      val jraw = "CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared)"
+      s"""WITH docs AS (SELECT source AS doc_id, text FROM documents),
+         |shs AS (SELECT doc_id AS source, sh FROM (${shinglesSql("docs", 5)})),
+         |hh AS (SELECT source, ${Portable.hash32mSql("sh")} AS h FROM shs),
+         |sig AS (SELECT source, $minCols FROM hh GROUP BY 1),
+         |est AS (SELECT a.source AS src_a, b.source AS src_b,
+         |               CAST($agreeSum AS BIGINT) AS n_agree
+         |        FROM sig a JOIN sig b ON a.source < b.source),
+         |counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+         |           FROM shs GROUP BY 1),
+         |sharedx AS (SELECT a.source AS src_a, b.source AS src_b,
+         |                   CAST(count(*) AS BIGINT) AS n_shared
+         |            FROM shs a JOIN shs b
+         |              ON b.sh = a.sh AND a.source < b.source
+         |            GROUP BY 1, 2),
+         |p AS (SELECT e.src_a, e.src_b, e.n_agree,
+         |             coalesce(s.n_shared, 0) AS n_shared,
+         |             ca.n_sh AS n_a, cb.n_sh AS n_b
+         |      FROM est e
+         |      LEFT JOIN sharedx s
+         |        ON s.src_a = e.src_a AND s.src_b = e.src_b
+         |      JOIN counts ca ON ca.source = e.src_a
+         |      JOIN counts cb ON cb.source = e.src_b)
+         |SELECT src_a, src_b, n_agree,
+         |       ${Portable.snap6Sql("CAST(n_agree AS DOUBLE) / 16")}
+         |         AS est_jaccard,
+         |       ${Portable.snap6Sql(jraw)} AS exact_jaccard,
+         |       ${Portable.snap6Sql(
+             s"abs(CAST(n_agree AS DOUBLE) / 16 - ($jraw))")} AS abs_err
+         |FROM p ORDER BY src_a, src_b""".stripMargin
     },
 
     "q116_dedup_recall_audit" ->

@@ -19,6 +19,17 @@ object TemporalPack extends QueryPack {
   val CorrSegments = 4
   val CorrK = 25
 
+  /** q183: EMA smoothing factor and the truncation window (terms). */
+  val EmaAlpha = 0.3
+  val EmaW = 8
+
+  /** Truncated-EMA weights alpha*(1-alpha)^j, floor-quantized to 1e-6
+    * LONGS at plan-build time — the weighted sum is then pure integer
+    * arithmetic (count * weight_e6), exact and order-free in both
+    * engines; only the final normalization divides. */
+  val EmaWeightsE6: Seq[Long] = (0 until EmaW).map(j =>
+    math.floor(EmaAlpha * math.pow(1 - EmaAlpha, j) * 1e6).toLong)
+
   /** Trailing window (hours) and z gate for the q150 capstone. */
   val CapstoneRoll = 24
   val CapstoneZ = 3.0
@@ -159,6 +170,35 @@ object TemporalPack extends QueryPack {
           abs(col("cusum")).as("max_abs_cusum"),
           col("n_days"), col("total"))
         .orderBy("event_type")
+    }),
+
+    // Truncated exponential moving average over the per-type daily
+    // series — the smoothing pass behind every monitoring dashboard.
+    // True EMA is a sequential recurrence (unbounded lookback);
+    // truncating at 8 terms (residual weight 0.7^8 < 6%) turns it into
+    // 8 LAG columns over one window — embarrassingly parallel per key,
+    // no recursion, and the series START is handled by renormalizing
+    // over the weights actually present. Weights are 1e-6-quantized
+    // longs, so num/den are exact integers; one division at the end.
+    "q183_ema_smooth" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val lags = col("c") +: (1 until EmaW).map(j => lag(col("c"), j).over(w))
+      val num = lags.zip(EmaWeightsE6).map { case (l, wq) =>
+        when(l.isNotNull, l * lit(wq)).otherwise(0L)
+      }.reduce(_ + _)
+      val den = lags.zip(EmaWeightsE6).map { case (l, wq) =>
+        when(l.isNotNull, lit(wq)).otherwise(0L)
+      }.reduce(_ + _)
+      daily
+        .withColumn("ema", graft.functions.Portable.snap6(
+          num.cast("double") / den.cast("double")))
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("c").as("n"), col("ema"))
+        .orderBy("event_type", "day")
     })
   )
 
@@ -389,5 +429,30 @@ object TemporalPack extends QueryPack {
         |SELECT event_type, CAST(day AS VARCHAR) AS change_day,
         |       m AS max_abs_cusum, CAST(n_days AS BIGINT) AS n_days, total
         |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin,
+
+    "q183_ema_smooth" -> {
+      val lagCols = (1 until EmaW).map(j =>
+        s"lag(c, $j) OVER (PARTITION BY event_type ORDER BY day) AS c$j")
+        .mkString(",\n|         ")
+      val numTerms = (s"c * ${EmaWeightsE6.head}" +:
+        (1 until EmaW).map(j =>
+          s"coalesce(c$j * ${EmaWeightsE6(j)}, 0)")).mkString(" + ")
+      val denTerms = (s"${EmaWeightsE6.head}" +:
+        (1 until EmaW).map(j =>
+          s"CASE WHEN c$j IS NOT NULL THEN ${EmaWeightsE6(j)} ELSE 0 END"))
+        .mkString(" + ")
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |l AS (
+         |  SELECT event_type, day, c,
+         |         $lagCols
+         |  FROM daily)
+         |SELECT event_type, CAST(day AS VARCHAR) AS day, c AS n,
+         |       ${graft.functions.Portable.snap6Sql(
+             s"CAST($numTerms AS DOUBLE) / CAST($denTerms AS DOUBLE)")} AS ema
+         |FROM l ORDER BY event_type, day""".stripMargin
+    }
   )
 }

@@ -501,6 +501,56 @@ object AuditPack extends QueryPack {
           .select((col("m_e6").cast("double") / 1e6).as("ci_hi"))))
         .select(col("n_docs"), col("mean_len"), col("ci_lo"), col("ci_hi"),
           lit(BootR).as("n_replicates"))
+    }),
+
+    // Dataset card: the one-page release report a corpus ships with —
+    // volume, vocabulary-free token count, source/language composition,
+    // duplication, length distribution, ASCII share — as a tall
+    // (metric, value) table so downstream diffing is a 2-column join.
+    // Three scans total: the base multi-aggregate (Expand handles the
+    // two distinct aggs in one pass), the token-count scan, and the
+    // lang-composition aggregate whose entropy terms quantize to 1e-9
+    // longs before summation (q145's discipline). Nothing here is a
+    // driver-side action; the card is ONE plan a scheduler can run
+    // nightly at any scale.
+    "q188_dataset_card" -> ((s, dir) => {
+      import graft.functions.{TextFunctions => T}
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(octet_length(col("text")).cast("long")).as("len_sum"),
+        round(expr("percentile(octet_length(text), 0.5)"), 4).as("len_p50"),
+        sum(when(length(col("text")) === octet_length(col("text")), 1L)
+          .otherwise(0L)).as("n_ascii"),
+        countDistinct(md5(col("text"))).as("n_distinct"))
+      val toks = d.select(size(T.tokens(col("text"))).cast("long").as("nt"))
+        .agg(sum("nt").as("n_tokens"))
+      val p = col("nl").cast("double") / col("n")
+      val langEnt = d.groupBy("lang").agg(count(lit(1)).as("nl"))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("n"))))
+        .select(round(p * log(p) * lit(-1e9), 0).cast("long").as("t"))
+        .agg(sum(col("t")).as("ent_e9"))
+      def m(name: String, v: org.apache.spark.sql.Column) =
+        struct(lit(name).as("metric"), v.as("value"))
+      base.crossJoin(toks).crossJoin(langEnt)
+        .select(explode(array(
+          m("n_docs", col("n_docs").cast("double")),
+          m("n_tokens", col("n_tokens").cast("double")),
+          m("n_sources", col("n_sources").cast("double")),
+          m("dup_rate", Portable.snap6(lit(1.0)
+            - col("n_distinct").cast("double") / col("n_docs"))),
+          m("lang_entropy",
+            Portable.snap6(col("ent_e9").cast("double") / lit(1e9))),
+          m("len_mean", Portable.snap6(
+            col("len_sum").cast("double") / col("n_docs"))),
+          m("len_p50", col("len_p50")),
+          m("pct_ascii", Portable.snap6(
+            col("n_ascii").cast("double") / col("n_docs")))
+        )).as("card"))
+        .select(col("card.metric").as("metric"), col("card.value").as("value"))
+        .orderBy("metric")
     })
   )
 
@@ -807,6 +857,43 @@ object AuditPack extends QueryPack {
          |            FROM ranked WHERE rk = 2) lo
          |CROSS JOIN (SELECT CAST(m_e6 AS DOUBLE) / 1000000.0 AS ci_hi
          |            FROM ranked WHERE rk = ${BootR - 1}) hi""".stripMargin
+    },
+
+    "q188_dataset_card" -> {
+      val pq = "CAST(nl AS DOUBLE) / n"
+      s"""WITH base AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(sum(octet_length(encode(text))) AS BIGINT) AS len_sum,
+         |         ROUND(quantile_cont(octet_length(encode(text)), 0.5), 4)
+         |           AS len_p50,
+         |         CAST(sum(CASE WHEN len(text) = octet_length(encode(text))
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii,
+         |         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |toks AS (
+         |  SELECT CAST(sum(len(t)) AS BIGINT) AS n_tokens
+         |  FROM (SELECT ${TextPack.toksSql("text")} AS t FROM documents)),
+         |le AS (
+         |  SELECT CAST(sum(CAST(round(($pq) * ln($pq) * -1e9) AS BIGINT))
+         |           AS BIGINT) AS ent_e9
+         |  FROM (SELECT lang, count(*) AS nl FROM documents GROUP BY 1)
+         |  CROSS JOIN (SELECT count(*) AS n FROM documents))
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value
+         |  FROM base
+         |  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM toks
+         |  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM base
+         |  UNION ALL SELECT 'dup_rate', ${Portable.snap6Sql(
+             "1.0 - CAST(n_distinct AS DOUBLE) / n_docs")} FROM base
+         |  UNION ALL SELECT 'lang_entropy', ${Portable.snap6Sql(
+             "CAST(ent_e9 AS DOUBLE) / 1000000000.0")} FROM le
+         |  UNION ALL SELECT 'len_mean', ${Portable.snap6Sql(
+             "CAST(len_sum AS DOUBLE) / n_docs")} FROM base
+         |  UNION ALL SELECT 'len_p50', len_p50 FROM base
+         |  UNION ALL SELECT 'pct_ascii', ${Portable.snap6Sql(
+             "CAST(n_ascii AS DOUBLE) / n_docs")} FROM base)
+         |ORDER BY metric""".stripMargin
     }
   )
 }

@@ -199,6 +199,35 @@ object TemporalPack extends QueryPack {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("c").as("n"), col("ema"))
         .orderBy("event_type", "day")
+    }),
+
+    // Day-of-week seasonal decomposition: per (type, ISO weekday), the
+    // ratio of that weekday's mean daily volume to the type's overall
+    // mean — the multiplicative seasonal index a monitor divides out
+    // before alerting (q112/q150 flag deviations; this explains the
+    // weekly ones). The index is a ratio of INTEGER products
+    // (s_dow·n_tot)/(n_days·s_tot), so both engines divide identical
+    // numerators — no float accumulation anywhere. Two grouped
+    // aggregations over the daily table; everything downstream of the
+    // day reduction is |types|·7 rows.
+    "q187_seasonal_index" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("c").as("s_tot"), count(lit(1)).as("n_tot"))
+      daily
+        // weekday() is 0=Monday; +1 aligns with DuckDB's isodow (1=Mon)
+        .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(sum("c").as("s_dow"), count(lit(1)).as("n_days"))
+        .join(tot, "event_type")
+        .select(col("event_type"), col("dow"), col("n_days"), col("s_dow"),
+          graft.functions.Portable.snap6(
+            (col("s_dow") * col("n_tot")).cast("double")
+              / (col("n_days") * col("s_tot")).cast("double"))
+            .as("seasonal_idx"))
+        .orderBy("event_type", "dow")
     })
   )
 
@@ -453,6 +482,27 @@ object TemporalPack extends QueryPack {
          |       ${graft.functions.Portable.snap6Sql(
              s"CAST($numTerms AS DOUBLE) / CAST($denTerms AS DOUBLE)")} AS ema
          |FROM l ORDER BY event_type, day""".stripMargin
-    }
+    },
+
+    "q187_seasonal_index" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |         CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (
+         |  SELECT event_type, CAST(sum(c) AS BIGINT) AS s_tot,
+         |         CAST(count(*) AS BIGINT) AS n_tot
+         |  FROM daily GROUP BY 1),
+         |per AS (
+         |  SELECT event_type, CAST(isodow(day) AS BIGINT) AS dow,
+         |         CAST(sum(c) AS BIGINT) AS s_dow,
+         |         CAST(count(*) AS BIGINT) AS n_days
+         |  FROM daily GROUP BY 1, 2)
+         |SELECT p.event_type, p.dow, p.n_days, p.s_dow,
+         |       ${graft.functions.Portable.snap6Sql(
+             "CAST(s_dow * n_tot AS DOUBLE) / CAST(n_days * s_tot AS DOUBLE)")}
+         |         AS seasonal_idx
+         |FROM per p JOIN tot t USING (event_type)
+         |ORDER BY p.event_type, p.dow""".stripMargin
   )
 }

@@ -534,6 +534,51 @@ object AuditPack extends QueryPack {
         .agg(sum(col("t")).as("ent_e9"))
       def m(name: String, v: org.apache.spark.sql.Column) =
         struct(lit(name).as("metric"), v.as("value"))
+      mkCard(base, toks, langEnt, m)
+    }),
+
+    // Welch two-sample t-test on mean document length, even vs odd doc
+    // ids — the parametric complement of q181's KS (KS sees any CDF
+    // difference; the t-test prices a MEAN shift with a dof-adjusted
+    // scale). Every moment (n, Σx, Σx²) is an exact integer from one
+    // scan; means/variances/t/dof are derived from those six integers
+    // with identical expression trees in both engines, so the doubles
+    // agree bit-for-bit before the 1e-6 snap. Gate: |t| <= 1.96.
+    "q190_welch_ttest" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(octet_length(col("text")).cast("long").as("x"),
+          (col("doc_id") % 2 === 0).as("in_a"))
+      val moments = d.agg(
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("in_a"), col("x")).otherwise(0L)).as("sa"),
+        sum(when(col("in_a"), col("x") * col("x")).otherwise(0L)).as("ssa"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("in_a"), col("x")).otherwise(0L)).as("sb"),
+        sum(when(!col("in_a"), col("x") * col("x")).otherwise(0L)).as("ssb"))
+      val na = col("na").cast("double")
+      val nb = col("nb").cast("double")
+      val ma = col("sa").cast("double") / na
+      val mb = col("sb").cast("double") / nb
+      val va = (col("ssa").cast("double") - col("sa").cast("double")
+        * col("sa") / na) / (na - lit(1.0))
+      val vb = (col("ssb").cast("double") - col("sb").cast("double")
+        * col("sb") / nb) / (nb - lit(1.0))
+      val se2 = va / na + vb / nb
+      val t = (ma - mb) / sqrt(se2)
+      val dof = se2 * se2 /
+        (va / na * (va / na) / (na - lit(1.0))
+          + vb / nb * (vb / nb) / (nb - lit(1.0)))
+      moments.select(col("na"), col("nb"),
+        Portable.snap6(ma).as("mean_a"), Portable.snap6(mb).as("mean_b"),
+        Portable.snap6(t).as("t_stat"), Portable.snap6(dof).as("dof"),
+        (abs(Portable.snap6(t)) <= lit(1.96)).as("same_mean"))
+    })
+  )
+
+  /** q188 card assembly (split out so the query literal stays readable). */
+  private def mkCard(base: DataFrame, toks: DataFrame, langEnt: DataFrame,
+      m: (String, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
       base.crossJoin(toks).crossJoin(langEnt)
         .select(explode(array(
           m("n_docs", col("n_docs").cast("double")),
@@ -551,8 +596,7 @@ object AuditPack extends QueryPack {
         )).as("card"))
         .select(col("card.metric").as("metric"), col("card.value").as("value"))
         .orderBy("metric")
-    })
-  )
+  }
 
   def oracles: Map[String, String] = Map(
 
@@ -894,6 +938,42 @@ object AuditPack extends QueryPack {
          |  UNION ALL SELECT 'pct_ascii', ${Portable.snap6Sql(
              "CAST(n_ascii AS DOUBLE) / n_docs")} FROM base)
          |ORDER BY metric""".stripMargin
+    },
+
+    "q190_welch_ttest" -> {
+      val na = "CAST(na AS DOUBLE)"
+      val nb = "CAST(nb AS DOUBLE)"
+      val ma = s"(CAST(sa AS DOUBLE) / $na)"
+      val mb = s"(CAST(sb AS DOUBLE) / $nb)"
+      val va = s"((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / $na)" +
+        s" / ($na - 1.0))"
+      val vb = s"((CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / $nb)" +
+        s" / ($nb - 1.0))"
+      val se2 = s"($va / $na + $vb / $nb)"
+      val t = s"(($ma - $mb) / sqrt($se2))"
+      val dof = s"($se2 * $se2 / ($va / $na * ($va / $na) / ($na - 1.0)" +
+        s" + $vb / $nb * ($vb / $nb) / ($nb - 1.0)))"
+      s"""WITH d AS (
+         |  SELECT CAST(octet_length(encode(text)) AS BIGINT) AS x,
+         |         doc_id % 2 = 0 AS in_a
+         |  FROM documents),
+         |m AS (
+         |  SELECT CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |         CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sa,
+         |         CAST(sum(CASE WHEN in_a THEN x * x ELSE 0 END) AS BIGINT)
+         |           AS ssa,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE x END) AS BIGINT) AS sb,
+         |         CAST(sum(CASE WHEN in_a THEN 0 ELSE x * x END) AS BIGINT)
+         |           AS ssb
+         |  FROM d)
+         |SELECT na, nb,
+         |       ${Portable.snap6Sql(ma)} AS mean_a,
+         |       ${Portable.snap6Sql(mb)} AS mean_b,
+         |       ${Portable.snap6Sql(t)} AS t_stat,
+         |       ${Portable.snap6Sql(dof)} AS dof,
+         |       abs(${Portable.snap6Sql(t)}) <= 1.96 AS same_mean
+         |FROM m""".stripMargin
     }
   )
 }

@@ -115,6 +115,51 @@ object DedupPack extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Operating-point sweep for signature-only dedup: q180 measures the
+    // MinHash estimate's error; this query turns it into the
+    // precision/recall curve vs the exact-Jaccard ground truth
+    // (dup := exact >= 0.5) at estimate thresholds 0.1..0.9 — the table
+    // you read to CHOOSE the threshold (and to decide whether the exact
+    // verify join can be dropped at 100 TB). One pass over the candidate
+    // pairs crossed with 9 threshold literals; counts are integers,
+    // ratios snapped, empty cells NULL in both engines.
+    "q191_minhash_pr" -> ((s, dir) => {
+      val H = 16
+      val sh = Dedup.shingles(withCopies(s, dir, mod = 2), 3)
+        .localCheckpoint(false)
+      val sigs = Dedup.minhashSignatures(sh, H).localCheckpoint(false)
+      val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, H, 4))
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (1 to H).map(i => col(s"m$i").as(s"b$i")): _*)
+      val agree = (1 to H).map(i =>
+        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      val est = cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), agree.cast("long").as("n_agree"))
+      val pairs = Dedup.jaccard(cand, sh)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .join(est, Seq("doc_a", "doc_b"))
+        .select((col("n_agree").cast("double") / H).as("est"),
+          (col("jaccard") >= 0.5).as("actual"))
+      pairs
+        .withColumn("thr",
+          explode(array((1 to 9).map(i => lit(i / 10.0)): _*)))
+        .groupBy("thr").agg(
+          sum(when(col("est") >= col("thr") && col("actual"), 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("est") >= col("thr") && !col("actual"), 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("est") < col("thr") && col("actual"), 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0, Portable.snap6(
+            col("tp").cast("double") / (col("tp") + col("fp")))).as("prec"),
+          when(col("tp") + col("fn") > 0, Portable.snap6(
+            col("tp").cast("double") / (col("tp") + col("fn")))).as("rec"))
+        .orderBy("thr")
+    }),
+
     // Mergeable per-source MinHash sketches: one 16-long signature per
     // SOURCE (min over the source's whole 5-gram shingle set) estimates
     // every pairwise source Jaccard from sketch agreement alone —
@@ -459,6 +504,43 @@ object DedupPack extends QueryPack {
          |JOIN counts cb ON cb.doc_id = s.doc_b
          |JOIN agree a ON a.doc_a = s.doc_a AND a.doc_b = s.doc_b
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q191_minhash_pr" -> {
+      val agreeSum = (1 to 16)
+        .map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      val thrList = (1 to 9).map(i => s"CAST(0.$i AS DOUBLE)").mkString(", ")
+      s"""WITH docs AS (${withCopiesSql(2)}),
+         |sh AS (${shinglesSql("docs")}),
+         |${minhashCandCtes()},
+         |$countsSharedCtes,
+         |agree AS (SELECT c.doc_a, c.doc_b, $agreeSum AS n_agree
+         |          FROM cand c JOIN sig x ON x.doc_id = c.doc_a
+         |                      JOIN sig y ON y.doc_id = c.doc_b),
+         |pairs AS (
+         |  SELECT CAST(a.n_agree AS DOUBLE) / 16 AS est,
+         |         (CAST(n_shared AS DOUBLE)
+         |            / (ca.n_sh + cb.n_sh - n_shared)) >= 0.5 AS actual
+         |  FROM shared s
+         |  JOIN counts ca ON ca.doc_id = s.doc_a
+         |  JOIN counts cb ON cb.doc_id = s.doc_b
+         |  JOIN agree a ON a.doc_a = s.doc_a AND a.doc_b = s.doc_b),
+         |thr AS (SELECT unnest([$thrList]) AS thr),
+         |g AS (
+         |  SELECT thr,
+         |         CAST(sum(CASE WHEN est >= thr AND actual
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN est >= thr AND NOT actual
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN est < thr AND actual
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |  FROM pairs CROSS JOIN thr GROUP BY 1)
+         |SELECT thr, tp, fp, fn,
+         |       CASE WHEN tp + fp > 0 THEN ${Portable.snap6Sql(
+             "CAST(tp AS DOUBLE) / (tp + fp)")} END AS prec,
+         |       CASE WHEN tp + fn > 0 THEN ${Portable.snap6Sql(
+             "CAST(tp AS DOUBLE) / (tp + fn)")} END AS rec
+         |FROM g ORDER BY thr""".stripMargin
     },
 
     "q185_source_sketch" -> {

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -68,6 +69,37 @@ object TextPack extends QueryPack {
       }
       scored.withColumn("pred_lang", best)
         .orderBy("doc_id")
+    }),
+
+    // Label-quality audit: confusion matrix of the metadata `lang`
+    // column against q20's content-based language ID — the agreement
+    // check a pipeline runs before TRUSTING either signal (metadata lies
+    // after scraper bugs; the classifier lies on short docs). Per
+    // (claimed, predicted) cell: count and the share of the claimed
+    // language it represents (row-normalized recall); `agree` marks the
+    // diagonal. Scale shape: the scoring is q20's scan-stage vocab-hit
+    // expressions; the matrix is one groupBy over |langs|² cells, the
+    // row totals ride a window over that tiny table.
+    "q189_lang_confusion" -> ((s, dir) => {
+      val scored = Tables.table(s, dir, "documents")
+        .select(col("doc_id") +: col("lang") +:
+          langProfiles.map { case (l, ws) =>
+            T.vocabHitsText(col("text"), ws).as(s"s_$l") }: _*)
+      val best = langProfiles.map(_._1).foldRight(lit("und")) { (l, rest) =>
+        when(col(s"s_$l") === greatest(langProfiles.map(p => col(s"s_${p._1}")): _*)
+          && col(s"s_$l") > 0, l).otherwise(rest)
+      }
+      val cells = scored.withColumn("pred_lang", best)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val wLang = Window.partitionBy("lang")
+      cells
+        .withColumn("n_lang", sum(col("n")).over(wLang))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+          Portable.snap6(col("n").cast("double") / col("n_lang"))
+            .as("row_frac"),
+          (col("lang") === col("pred_lang")).as("agree"))
+        .orderBy("lang", "pred_lang")
     }),
 
     // Quality scoring: length/stopword/token-shape features + linear score
@@ -467,6 +499,28 @@ object TextPack extends QueryPack {
          |SELECT doc_id, lang, ${langProfiles.map(p => s"CAST(s_${p._1} AS INTEGER) AS s_${p._1}").mkString(", ")},
          |       $best AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q189_lang_confusion" -> {
+      val scores = langProfiles.map { case (l, ws) =>
+        s"${hitsSql("toks", ws)} AS s_$l" }
+      val greatest =
+        s"greatest(${langProfiles.map(p => s"s_${p._1}").mkString(", ")})"
+      val best = langProfiles.map(_._1).foldRight("'und'") { (l, rest) =>
+        s"CASE WHEN s_$l = $greatest AND s_$l > 0 THEN '$l' ELSE $rest END"
+      }
+      s"""WITH t AS (SELECT lang, ${toksSql("text")} AS toks FROM documents),
+         |sc AS (SELECT lang, ${scores.mkString(", ")} FROM t),
+         |p AS (SELECT lang, $best AS pred_lang FROM sc),
+         |cells AS (
+         |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, pred_lang, n,
+         |       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+         |       ${Portable.snap6Sql("CAST(n AS DOUBLE) / " +
+             "(sum(n) OVER (PARTITION BY lang))")} AS row_frac,
+         |       lang = pred_lang AS agree
+         |FROM cells ORDER BY lang, pred_lang""".stripMargin
     },
 
     "q21_quality_score" ->

@@ -101,6 +101,76 @@ class StatOpsSpec extends SparkSpec {
     }
   }
 
+  test("q187: seasonal indices average to 1 when weighted by day counts") {
+    val rows = run("q187_seasonal_index")
+      .select(col("event_type"), col("dow"), col("n_days"), col("s_dow"),
+        col("seasonal_idx"))
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { series =>
+      assert(series.map(_._2).distinct.length === series.length,
+        "one row per weekday")
+      series.foreach { case (_, dow, _, _, idx) =>
+        assert(dow >= 1 && dow <= 7)
+        assert(idx > 0.0)
+      }
+      // sum over dows of n_days*idx == n_tot (weighted indices average 1)
+      val nTot = series.map(_._3).sum
+      val weighted = series.map(r => r._3 * r._5).sum
+      assert(math.abs(weighted - nTot) < nTot * 1e-4)
+    }
+  }
+
+  test("q188: dataset card metrics are internally consistent") {
+    val m = run("q188_dataset_card").collect()
+      .map(r => r.getAs[String]("metric") -> r.getAs[Double]("value")).toMap
+    assert(m.keySet === Set("n_docs", "n_tokens", "n_sources", "dup_rate",
+      "lang_entropy", "len_mean", "len_p50", "pct_ascii"))
+    val nDocs = Tables.table(spark, sf0, "documents").count().toDouble
+    assert(m("n_docs") === nDocs)
+    assert(m("dup_rate") >= 0.0 && m("dup_rate") < 1.0)
+    assert(m("pct_ascii") >= 0.0 && m("pct_ascii") <= 1.0)
+    assert(m("lang_entropy") >= 0.0)
+    assert(m("n_tokens") > m("n_docs"), "docs average more than one token")
+    assert(m("len_mean") > 0.0 && m("len_p50") > 0.0)
+  }
+
+  test("q189: confusion rows partition the corpus; row_frac sums to 1 per lang") {
+    val rows = run("q189_lang_confusion")
+      .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+        col("row_frac"))
+      .as[(String, String, Long, Long, Double)].collect()
+    val nDocs = Tables.table(spark, sf0, "documents").count()
+    assert(rows.map(_._3).sum === nDocs)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sum === g.head._4, "n_lang equals the row total")
+      assert(math.abs(g.map(_._5).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("q190: Welch t on the parity split finds no mean shift; dof sane") {
+    val r = run("q190_welch_ttest").collect().head
+    assert(r.getAs[Boolean]("same_mean"),
+      "doc parity is independent of length — no mean shift")
+    val dof = r.getAs[Double]("dof")
+    val n = r.getAs[Long]("na") + r.getAs[Long]("nb")
+    assert(dof > 1.0 && dof <= n - 2.0,
+      "Welch dof lies in (1, na+nb-2]")
+  }
+
+  test("q191: PR sweep is monotone in the threshold") {
+    val rows = run("q191_minhash_pr")
+      .select(col("thr"), col("tp"), col("fp"), col("fn"))
+      .as[(Double, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length === 9)
+    // raising the threshold can only shrink the predicted-positive set
+    rows.zip(rows.tail).foreach { case ((_, tp1, fp1, _), (_, tp2, fp2, _)) =>
+      assert(tp2 <= tp1 && fp2 <= fp1)
+    }
+    // tp + fn (the actual-positive count) is threshold-invariant
+    assert(rows.map(r => r._2 + r._4).distinct.length === 1)
+  }
+
   test("q185: per-source sketches equal sketches of per-shard merges") {
     // mergeability: min over a source's shingles == min over the mins of
     // any disjoint shard split — recompute one source's signature from

@@ -68,18 +68,29 @@ object Tables {
     StructField("item_id", IntegerType, nullable = false),
     StructField("rating", DoubleType, nullable = false)))
 
-  /** The events table, with its TIMESTAMP(NANOS) parquet column converted
-    * to a Spark microsecond timestamp (integer `div` keeps full precision —
-    * ns values exceed double's 2^53).
-    *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (Spark rejects nanos columns otherwise). Set where the session is
-    * built — SparkEntry.queries does this for every driver-contract entry —
-    * rather than here: a table loader silently flipping session-wide conf
-    * would change how every later parquet read in the session behaves. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** The events table with `ts` normalized to a session-timezone
+    * TimestampType (sessions here run UTC, per the driver contract), so
+    * every downstream date/window function sees one type regardless of
+    * how the generator wrote the column. Handles the schemas the driver
+    * has shipped across rounds:
+    *   - TIMESTAMP(NANOS) read as BIGINT under
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (integer `div` keeps
+    *     full precision — ns values exceed double's 2^53);
+    *   - plain timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ),
+    *     cast to TimestampType: under a UTC session the wall-clock is
+    *     unchanged, matching DuckDB's naive read of the same file. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   /** Corrupt-tolerant typed CSV scan: rows that fail the schema land
     * whole in a `_bad` column instead of killing the job (PERMISSIVE

@@ -31,5 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32 shuffle threads at sf0.1 churn ~2-4 GiB of live execution memory;
+  // 8g forced spill + GC pauses that showed up as multi-second jitter on
+  // the heavy aggregation queries (host has 128 GiB — 24g is still modest)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-Xms4g",
 )

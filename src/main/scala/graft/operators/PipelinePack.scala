@@ -233,13 +233,21 @@ object PipelinePack extends QueryPack {
       val grams = docs(s, dir)
         .select(col("source"), explode(TextFunctions.wordNgrams(
           TextFunctions.tokens(col("text")), 3)).as("g"))
-      val perSource = grams.groupBy("source")
-        .agg(count_distinct(col("g")).as("exact"),
+      // Dedup (source, g) FIRST: count_distinct mixed with the sketch agg
+      // would Expand every exploded gram 2x, and the global exact would
+      // rescan raw grams. Over the deduped pairs the distinct counts are
+      // plain counts, the HLL sketch is bit-identical (duplicate inserts
+      // are no-ops), and both downstream aggregates read the same (reused)
+      // exchange instead of re-exploding the corpus.
+      val pairs = grams.select(col("source"), col("g")).distinct()
+      val perSource = pairs.groupBy("source")
+        .agg(count(lit(1)).as("exact"),
           expr("hll_sketch_agg(g, 12)").as("sk"))
       val rolled = perSource.agg(
         sum(col("exact")).as("sum_source_exact"),
         expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est"))
-      val exactG = grams.agg(count_distinct(col("g")).as("exact_global"))
+      val exactG = pairs.select("g").distinct()
+        .agg(count(lit(1)).as("exact_global"))
       rolled.crossJoin(broadcast(exactG))
         .select(col("exact_global"), col("sum_source_exact"),
           (abs(col("est") - col("exact_global")).cast("double")

@@ -1,11 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
-import graft.functions.Portable
+import graft.functions.{Portable, TextFunctions => T}
 import graft.sources.Tables
 
 /** Warehouse-audit / reporting surface: pivoted cross-tabs, CUBE grouping
@@ -75,7 +75,121 @@ object AuditPack extends QueryPack {
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
     0.999916758850712, 0.9999546000702375)
 
+  /** Rater thresholds for the q193 agreement audit: quality cut at 0.45
+    * and token-count cut at the sf0.01 median (56 ws tokens) so both
+    * raters split the corpus near 50/50 — kappa is uninformative when one
+    * rater accepts everything. */
+  val KappaQualThr = 0.45
+  val KappaTokThr = 56
+
+  /** q194 snapshot-B mutations (simulated re-crawl): lang lost every 7th
+    * doc, extraction pads n_chars by 40 every 5th doc. */
+  val DriftLangNullMod = 7
+  val DriftCharsPadMod = 5
+  val DriftCharsPad = 40L
+
+  /** q199 DP-mean release: clip ceiling for n_chars and the total privacy
+    * budget (split evenly between the sum and count draws). */
+  val DpMeanClip = 2000.0
+  val DpMeanEps = 1.0
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Cohen's kappa between two quality raters — the inter-annotator
+    // agreement statistic a labeling pipeline reports before trusting a
+    // heuristic rule as silver labels. Rater A: the shared quality-score
+    // blend >= KappaQualThr; rater B: plain token-count >= KappaTokThr.
+    // The whole statistic reduces to one scan + one 5-counter aggregate;
+    // po, pe, kappa are ratios of exact integer products (kappa =
+    // (n*(n11+n00) - peN) / (n*n - peN)), so the only float is the final
+    // snap6 — order-free and cross-engine exact. Scale: a single
+    // partial-aggregable pass, no shuffle beyond the 1-row agg.
+    "q193_cohen_kappa" -> ((s, dir) => {
+      val q = Portable.snap6(
+        T.qualityScore(col("text"), TextPack.stopwords))
+      val nToks = T.tokenStats(col("text")).getField("ws_tokens")
+      val m = Tables.table(s, dir, "documents")
+        .select((q >= KappaQualThr).as("ra"), (nToks >= KappaTokThr).as("rb"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"))
+      val peN = (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n01") + col("n00")) * (col("n10") + col("n00"))
+      m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        Portable.snap6((col("n11") + col("n00")).cast("double") / col("n"))
+          .as("po"),
+        Portable.snap6(peN.cast("double") / (col("n") * col("n"))).as("pe"),
+        when(col("n") * col("n") === peN, lit(null).cast("double"))
+          .otherwise(Portable.snap6(
+            (col("n") * (col("n11") + col("n00")) - peN).cast("double")
+              / (col("n") * col("n") - peN).cast("double"))).as("kappa"))
+    }),
+
+    // Schema/profile drift between two snapshots — the structural audit a
+    // recurring ingest runs BEFORE content-level drift tests (q145/q181
+    // assume the columns still mean the same thing; this catches the
+    // re-crawl that nulls a field or shifts a numeric distribution's
+    // profile). Snapshot A = even doc ids; snapshot B = odd ids with the
+    // simulated mutations above. ONE scan: each row explodes into
+    // (column, value-as-string) pairs, then a single aggregate computes
+    // per-column row/null/distinct counts for both sides (count_distinct
+    // over a side-gated value — nulls drop out exactly like SQL). Drift
+    // flags are pure integer comparisons (cross-multiplied rates), so the
+    // row is engine-exact. Scale: one shuffle keyed on ~|columns| groups;
+    // the per-side distinct uses the expand only over 3 column names, not
+    // the corpus width.
+    "q194_schema_drift" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .withColumn("side",
+          when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+        .withColumn("lang2",
+          when(col("side") === "b" && col("doc_id") % DriftLangNullMod === 0,
+            lit(null).cast("string")).otherwise(col("lang")))
+        .withColumn("nchars2",
+          when(col("side") === "b" && col("doc_id") % DriftCharsPadMod === 0,
+            col("n_chars") + DriftCharsPad).otherwise(col("n_chars")))
+      val long = d.select(col("side"),
+        explode(array(
+          struct(lit("lang").as("cname"), col("lang2").cast("string").as("v")),
+          struct(lit("source").as("cname"), col("source").cast("string").as("v")),
+          struct(lit("n_chars").as("cname"), col("nchars2").cast("string").as("v"))))
+          .as("kv"))
+        .select(col("side"), col("kv.cname"), col("kv.v"))
+      def side(sd: String, c: Column) = when(col("side") === sd, c)
+      long.groupBy("cname")
+        .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("side") === "b", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("side") === "a" && col("v").isNull, 1L).otherwise(0L))
+            .as("null_a"),
+          sum(when(col("side") === "b" && col("v").isNull, 1L).otherwise(0L))
+            .as("null_b"),
+          count_distinct(side("a", col("v"))).as("distinct_a"),
+          count_distinct(side("b", col("v"))).as("distinct_b"))
+        // integer cross-multiplies: null-rate shift > 1% or distinct count
+        // outside [1/2, 2]x — no float thresholds to disagree on
+        .withColumn("null_drift",
+          abs(col("null_a") * col("n_b") - col("null_b") * col("n_a")) * 100
+            > col("n_a") * col("n_b"))
+        .withColumn("distinct_drift",
+          col("distinct_b") * 2 < col("distinct_a") ||
+            col("distinct_b") > col("distinct_a") * 2)
+        .orderBy("cname")
+    }),
+
+    // Differentially-private per-source MEAN document length — the
+    // companion release to q157's DP counts: counts alone leak nothing
+    // about content; a mean needs clipping (sensitivity control) and TWO
+    // noisy aggregates (sum and count) sharing the budget. n_true rides
+    // along as the calibration audit; the released artifact drops it.
+    "q199_group_dp_mean" -> ((s, dir) => {
+      Governance.dpMean(Tables.table(s, dir, "documents"),
+          "source", "n_chars", DpMeanClip, DpMeanEps)
+        .select(col("grp").as("source"), col("n_true"), col("dp_mean"),
+          lit(DpMeanEps).as("eps"))
+        .orderBy("source")
+    }),
 
     // Referential-integrity + key-constraint audit: every FK edge of the
     // star schema as a LEFT ANTI join (violations = facts whose key has
@@ -822,6 +936,87 @@ object AuditPack extends QueryPack {
          |            WHEN n1 >= $AnonK THEN n1 ELSE n2 END AS anon_n
          |FROM g0 JOIN g1 USING (qi_coarse) CROSS JOIN t
          |ORDER BY qi_coarse, qi_fine""".stripMargin,
+
+    "q193_cohen_kappa" -> {
+      val q = graft.functions.Portable.snap6Sql(
+        graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))
+      s"""WITH t AS (SELECT ${TextPack.toksSql("text")} AS toks, text
+         |           FROM documents),
+         |r AS (SELECT ($q) >= $KappaQualThr AS ra,
+         |             len(toks) >= $KappaTokThr AS rb FROM t),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |        CAST(sum(CASE WHEN ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |        CAST(sum(CASE WHEN NOT ra AND rb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |        CAST(sum(CASE WHEN NOT ra AND NOT rb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |      FROM r),
+         |p AS (SELECT *, (n11 + n10) * (n11 + n01)
+         |               + (n01 + n00) * (n10 + n00) AS pen FROM m)
+         |SELECT n, n11, n10, n01, n00,
+         |       ${graft.functions.Portable.snap6Sql(
+                   "CAST(n11 + n00 AS DOUBLE) / n")} AS po,
+         |       ${graft.functions.Portable.snap6Sql(
+                   "CAST(pen AS DOUBLE) / (n * n)")} AS pe,
+         |       CASE WHEN n * n = pen THEN NULL
+         |            ELSE ${graft.functions.Portable.snap6Sql(
+                   "CAST(n * (n11 + n00) - pen AS DOUBLE) / CAST(n * n - pen AS DOUBLE)")}
+         |       END AS kappa
+         |FROM p""".stripMargin
+    },
+
+    "q194_schema_drift" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         |         lang, source, n_chars
+         |  FROM documents),
+         |m AS (SELECT side,
+         |        CASE WHEN side = 'b' AND doc_id % $DriftLangNullMod = 0
+         |             THEN NULL ELSE lang END AS lang2,
+         |        source,
+         |        CASE WHEN side = 'b' AND doc_id % $DriftCharsPadMod = 0
+         |             THEN n_chars + $DriftCharsPad ELSE n_chars END AS nchars2
+         |      FROM d),
+         |l AS (SELECT side, 'lang' AS cname, CAST(lang2 AS VARCHAR) AS v FROM m
+         |      UNION ALL
+         |      SELECT side, 'source', CAST(source AS VARCHAR) FROM m
+         |      UNION ALL
+         |      SELECT side, 'n_chars', CAST(nchars2 AS VARCHAR) FROM m),
+         |g AS (SELECT cname,
+         |        CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |        CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |        CAST(sum(CASE WHEN side = 'a' AND v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_a,
+         |        CAST(sum(CASE WHEN side = 'b' AND v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_b,
+         |        CAST(count(DISTINCT CASE WHEN side = 'a' THEN v END) AS BIGINT) AS distinct_a,
+         |        CAST(count(DISTINCT CASE WHEN side = 'b' THEN v END) AS BIGINT) AS distinct_b
+         |      FROM l GROUP BY cname)
+         |SELECT cname, n_a, n_b, null_a, null_b, distinct_a, distinct_b,
+         |       abs(null_a * n_b - null_b * n_a) * 100 > n_a * n_b AS null_drift,
+         |       distinct_b * 2 < distinct_a OR distinct_b > distinct_a * 2
+         |         AS distinct_drift
+         |FROM g ORDER BY cname""".stripMargin,
+
+    "q199_group_dp_mean" -> {
+      def lap(tag: String, b: Double) = {
+        val u = s"((${graft.functions.Portable.hash32Sql(
+          s"'dpm:$tag:' || grp")} + 0.5) / 4294967296.0)"
+        s"($b * -1.0) * sign($u - 0.5) * ln(1.0 - 2.0 * abs($u - 0.5))"
+      }
+      val bS = DpMeanClip / (DpMeanEps / 2.0)
+      val bN = 1.0 / (DpMeanEps / 2.0)
+      s"""WITH c AS (
+         |  SELECT coalesce(CAST(source AS VARCHAR), '') AS grp,
+         |         count(*) AS n_true,
+         |         sum(least(greatest(CAST(n_chars AS DOUBLE), 0.0),
+         |                   $DpMeanClip)) AS clip_sum
+         |  FROM documents GROUP BY 1)
+         |SELECT grp AS source, CAST(n_true AS BIGINT) AS n_true,
+         |       ${graft.functions.Portable.snap6Sql(
+                   s"(clip_sum + ${lap("s", bS)}) / greatest(n_true + ${lap("n", bN)}, 1.0)")}
+         |         AS dp_mean,
+         |       CAST($DpMeanEps AS DOUBLE) AS eps
+         |FROM c ORDER BY source""".stripMargin
+    },
 
     "q157_dp_histogram" -> {
       val u = s"((${graft.functions.Portable.hash32Sql(

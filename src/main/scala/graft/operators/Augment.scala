@@ -47,6 +47,40 @@ object Augment {
       .drop("_toks", "_flags")
   }
 
+  /** T5-style span-corruption PLAN: instead of masking independent tokens
+    * (mlmMask), corrupt ~`frac` of each document as contiguous `spanW`-token
+    * spans — n_spans = floor(n·frac/spanW) span starts drawn
+    * deterministically from the hash family (seeded by (id, k), layout-
+    * independent), overlaps collapsed when counting coverage. Emits per
+    * row: n_toks, n_spans, n_masked (distinct covered positions) and
+    * span_hash (md5 of the sorted distinct starts — the exact plan,
+    * compact). Entirely scan-stage higher-order-function arithmetic: no
+    * explode, no shuffle, codegen-friendly — the plan for a 100 TB corpus
+    * is one pass. */
+  def spanMaskPlan(df: DataFrame, idCol: String, textCol: String,
+                   frac: Double, spanW: Int, salt: String = "span"): DataFrame = {
+    val n = size(split(col(textCol), " "))
+    val nSpans = floor(n * lit(frac) / lit(spanW)).cast("int")
+    val starts = when(col("n_spans") > 0,
+      transform(sequence(lit(1), col("n_spans")), k =>
+        graft.functions.Portable.hash32(
+          concat(lit(salt + ":"), col(idCol).cast("string"), lit(":"),
+            k.cast("string"))) % (col("n_toks") - lit(spanW - 1))))
+      .otherwise(array().cast("array<long>"))
+    df
+      .withColumn("n_toks", n.cast("long"))
+      .withColumn("n_spans", nSpans)
+      .withColumn("_starts", starts)
+      .withColumn("n_masked",
+        size(array_distinct(flatten(transform(col("_starts"), st =>
+          sequence(st, st + lit(spanW - 1)))))).cast("long"))
+      .withColumn("span_hash",
+        substring(md5(array_join(
+          transform(array_sort(array_distinct(col("_starts"))),
+            x => x.cast("string")), ",")), 1, 8))
+      .drop("_starts")
+  }
+
   /** Symbol split shared by learn and encode: CODE POINTS (matching
     * Spark's substr/length character semantics — Java's toCharArray
     * would split supplementary-plane characters into surrogate halves)

@@ -17,6 +17,9 @@ object AugmentPack extends QueryPack {
   /** Learned BPE merge-rule count (q132). */
   val BpeRounds = 12
 
+  /** Span width (tokens) for the q198 span-corruption plan. */
+  val SpanW = 4
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
@@ -45,6 +48,19 @@ object AugmentPack extends QueryPack {
         .withColumn("folded", TextFunctions.foldAccents(col("accented")))
         .withColumn("roundtrip", col("folded") === col("p_name"))
         .orderBy("p_name")
+    }),
+
+    // T5-style span-corruption plan: the same 15% budget as q130 but
+    // spent as contiguous 4-token spans (what seq2seq denoising actually
+    // trains on) — deterministic span starts from the hash family,
+    // overlap-collapsed coverage, and an md5 fingerprint of the sorted
+    // start set as the exact, compact plan artifact. Pure scan-stage
+    // higher-order-function arithmetic — no explode, no shuffle.
+    "q198_span_mask" -> ((s, dir) => {
+      Augment.spanMaskPlan(docs(s, dir), "doc_id", "text", MaskFrac, SpanW)
+        .select(col("doc_id"), col("n_toks"), col("n_spans"),
+          col("n_masked"), col("span_hash"))
+        .orderBy("doc_id")
     }),
 
     // BPE merge-rule learning (no SQL oracle: the argmax-per-round loop
@@ -78,6 +94,29 @@ object AugmentPack extends QueryPack {
          |         'string_agg', ' ')), 1, 8) AS masked_hash
          |FROM f ORDER BY doc_id""".stripMargin
     },
+
+    "q198_span_mask" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         |b AS (SELECT doc_id, n,
+         |        CAST(floor((n * $MaskFrac) / $SpanW) AS INTEGER) AS n_spans
+         |      FROM t),
+         |st AS (SELECT doc_id, n, n_spans,
+         |         CASE WHEN n_spans > 0 THEN
+         |           list_transform(generate_series(1, n_spans), k ->
+         |             ${graft.functions.Portable.hash32Sql(
+                         "'span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)")}
+         |               % (n - ${SpanW - 1}))
+         |         ELSE CAST([] AS BIGINT[]) END AS starts
+         |       FROM b)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_toks, n_spans,
+         |       CAST(len(list_distinct(flatten(list_transform(starts,
+         |         s -> generate_series(s, s + ${SpanW - 1}))))) AS BIGINT)
+         |         AS n_masked,
+         |       substr(md5(coalesce(array_to_string(
+         |         list_sort(list_distinct(starts)), ','), '')), 1, 8)
+         |         AS span_hash
+         |FROM st ORDER BY doc_id""".stripMargin,
 
     "q131_normalize_text" ->
       """SELECT p_name,

@@ -279,4 +279,45 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .distinct()
   }
+
+  /** Maximal duplicated SPANS per document — the exact-substring dedup
+    * signal at run granularity (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): a `w`-token sliding window is
+    * "shared" when its text occurs in at least one OTHER document; maximal
+    * runs of consecutive shared window starts are merged into spans, so a
+    * verbatim L-token quote shows up as ONE run of length L-w+1 covering
+    * L tokens, not L-w+1 independent hits (which is all the fixed-window
+    * coverage metric sees). Returns one row per document that has at least
+    * one shared window: (id, n_runs, n_shared_windows, max_run,
+    * max_span_toks = max_run + w - 1).
+    *
+    * Scale shape: windows shuffle as md5 hashes, never window text; doc
+    * frequency is a distinct-pair count (no expand); the run merge is one
+    * window function over ONLY the shared positions (a small fraction of
+    * the corpus after the df >= 2 cut). The positional window pipeline is
+    * pinned with localCheckpoint because the frequency pass and the run
+    * pass both consume it. */
+  def dupRuns(docs: DataFrame, w: Int,
+              id: String = "doc_id", text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(id), posexplode(T.wordNgrams(T.tokens(col(text)), w))
+        .as(Seq("pos", "win")))
+      .select(col(id), col("pos"), md5(col("win")).as("wh"))
+      .localCheckpoint(false)
+    val docFreq = wins.select(col("wh"), col(id)).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
+    val shared = wins.join(docFreq.filter(col("nd") >= 2), "wh")
+      .select(col(id), col("pos"))
+    val byPos = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val runs = shared
+      .withColumn("grp", col("pos") - row_number().over(byPos))
+      .groupBy(col(id), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy(col(id))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("len")).as("n_shared_windows"),
+        max(col("len")).as("max_run"),
+        (max(col("len")) + lit(w - 1)).cast("long").as("max_span_toks"))
+  }
 }

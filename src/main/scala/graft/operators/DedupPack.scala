@@ -325,6 +325,22 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Maximal duplicated-span runs: q88 counts WHICH 8-token windows are
+    // shared; this merges consecutive shared window starts into maximal
+    // spans (Lee et al. exact-substring granularity) — a verbatim L-token
+    // quote is ONE run covering L tokens, so max_span_toks is the length
+    // of the longest verbatim duplication per doc, the number a
+    // remove-the-span (rather than drop-the-doc) dedup policy cuts on.
+    "q192_dup_runs" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val frame = d.unionAll(d.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+      Dedup.dupRuns(frame, w = 8)
+        .select(col("doc_id"), col("n_runs"), col("n_shared_windows"),
+          col("max_run"), col("max_span_toks"))
+        .orderBy("doc_id")
+    }),
+
     // Dup-group clustering: connected components over the q31 near-dup
     // pairs — transitive closure turns the pair list into keep/drop groups.
     "q57_dup_groups" -> ((s, dir) => {
@@ -681,6 +697,33 @@ object DedupPack extends QueryPack {
         |       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_ref,
         |       TRUE AS no_false_negatives, TRUE AS fp_ok
         |FROM documents""".stripMargin,
+
+    "q192_dup_runs" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id, text
+         |  FROM documents WHERE doc_id % 6 = 0),
+         |d AS (SELECT doc_id, ${TextPack.toksSql("text")} AS toks FROM docs),
+         |st AS (SELECT doc_id, toks,
+         |              unnest(generate_series(1, len(toks) - 7)) AS i
+         |       FROM d WHERE len(toks) >= 8),
+         |w AS (SELECT doc_id, i - 1 AS pos,
+         |             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS wh
+         |      FROM st),
+         |dfq AS (SELECT wh FROM w GROUP BY wh
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |sh AS (SELECT doc_id, pos FROM w JOIN dfq USING (wh)),
+         |r AS (SELECT doc_id, pos,
+         |             pos - ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                                      ORDER BY pos) AS grp
+         |      FROM sh),
+         |runs AS (SELECT doc_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+         |       CAST(sum(len) AS BIGINT) AS n_shared_windows,
+         |       CAST(max(len) AS BIGINT) AS max_run,
+         |       CAST(max(len) + 7 AS BIGINT) AS max_span_toks
+         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q88_dup_spans" ->
       s"""WITH docs AS (

@@ -84,4 +84,38 @@ object Governance {
     counts.withColumn("noisy_count",
       graft.functions.Portable.snap6(col("n_true") + noise))
   }
+
+  /** Differentially-private per-group MEAN release (Laplace mechanism,
+    * budget split evenly across the sum and count queries): values are
+    * clipped to [0, clipHi] so the sum's sensitivity is clipHi, then
+    * noisy_mean = (clip_sum + Lap(clipHi/(eps/2))) /
+    * max(n + Lap(1/(eps/2)), 1). Both draws are seeded from the group key
+    * (distinct salts for the sum and count draws) exactly like
+    * [[dpCounts]], so the release is reproducible cross-engine. One
+    * partial-aggregable shuffle; noise is arithmetic on the |groups|-row
+    * aggregate. Returns (grp, n_true, dp_mean) — n_true is the
+    * calibration audit column a real release drops. */
+  def dpMean(df: DataFrame, groupCol: String, valCol: String,
+             clipHi: Double, eps: Double, salt: String = "dpm"): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    require(clipHi > 0, "clipHi must be positive")
+    val agg = df
+      .groupBy(coalesce(col(groupCol).cast("string"), lit("")).as("grp"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(least(greatest(col(valCol).cast("double"), lit(0.0)),
+          lit(clipHi))).as("clip_sum"))
+    def lap(tag: String, b: Double) = {
+      val u = (graft.functions.Portable.hash32(
+        concat(lit(s"$salt:$tag:"), col("grp"))).cast("double") + 0.5) /
+        lit(4294967296.0)
+      val v = u - lit(0.5)
+      lit(-b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    }
+    val halfEps = eps / 2.0
+    agg.withColumn("dp_mean",
+      graft.functions.Portable.snap6(
+        (col("clip_sum") + lap("s", clipHi / halfEps)) /
+          greatest(col("n_true") + lap("n", 1.0 / halfEps), lit(1.0))))
+      .select(col("grp"), col("n_true"), col("dp_mean"))
+  }
 }

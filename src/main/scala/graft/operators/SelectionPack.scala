@@ -27,6 +27,9 @@ object SelectionPack extends QueryPack {
   val CapPerSource = 15
   /** Second-snapshot id offset + mutation period for cross-snapshot dedup. */
   val SnapOffset = 300000L
+
+  /** Positions materialized by the q200 interleave schedule. */
+  val ScheduleN = 60
   /** Sequence-packing budget (tokens) and prefix-sum block width (ids). */
   val PackBudget = 64
   val PackBlock = 128L
@@ -156,6 +159,94 @@ object SelectionPack extends QueryPack {
 
     // Deterministic Efraimidis-Spirakis weighted sample: 50 docs drawn
     // with probability ~ quality score, reproducible bit-for-bit.
+    // Preference-pair assembly (the DPO/RLHF dataset shape): within each
+    // (source, lang) prompt group, chosen = the highest-quality document,
+    // rejected = the lowest, with doc_id as the deterministic tie-break;
+    // groups that can't produce a strict preference (fewer than 2 docs or
+    // zero margin) are dropped — a zero-margin "pair" teaches nothing and
+    // poisons the loss. Scale shape: quality is scan-stage arithmetic and
+    // both extremes come from ONE max_by/min_by aggregation (partial
+    // map-side, one shuffle on the group key) — no rank window, no sort.
+    "q195_dpo_pairs" -> ((s, dir) => {
+      val q = Portable.snap6(T.qualityScore(col("text"), TextPack.stopwords))
+      docs(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"), q.as("qual"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
+            .as("chosen_id"),
+          max(col("qual")).as("q_max"),
+          min_by(col("doc_id"), struct(col("qual"), col("doc_id")))
+            .as("rejected_id"),
+          min(col("qual")).as("q_min"))
+        .filter(col("n_docs") >= 2 && col("q_max") > col("q_min"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("chosen_id"), col("rejected_id"),
+          Portable.snap6(col("q_max") - col("q_min")).as("margin"))
+        .orderBy("source", "lang")
+    }),
+
+    // Per-source quantile normalization audit: a raw quality score is
+    // incomparable across sources (each crawler has its own length/markup
+    // profile), so mixing pipelines re-express the score as its quantile
+    // WITHIN the source before a global cut. Emits, for a deterministic
+    // doc sample, the within-source and global percent-ranks of n_chars
+    // and their gap — the number that says how much a global threshold
+    // would mis-rank each source. Ranks are (rank-1)/(n-1) over the total
+    // order (n_chars, doc_id): integer-derived, engine-exact. Scale: the
+    // per-source window partitions naturally; the GLOBAL rank needs a
+    // total order, so at 100 TB the global side swaps to approx-quantile
+    // cuts (the q66 operator) — this audit form runs on samples.
+    "q196_quantile_norm" -> ((s, dir) => {
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n_chars"), col("doc_id"))
+      val nSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("r_src", rank().over(wSrc))
+        .withColumn("n_src", count(lit(1)).over(nSrc))
+        .withColumn("r_all", rank().over(wAll))
+        .withColumn("n_all", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
+      d.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), col("source"),
+          Portable.snap6((col("r_src") - 1).cast("double")
+            / greatest(col("n_src") - 1, lit(1L))).as("pr_source"),
+          Portable.snap6((col("r_all") - 1).cast("double")
+            / greatest(col("n_all") - 1, lit(1L))).as("pr_global"),
+          Portable.snap6(abs(
+            (col("r_src") - 1).cast("double") / greatest(col("n_src") - 1, lit(1L))
+              - (col("r_all") - 1).cast("double") / greatest(col("n_all") - 1, lit(1L))))
+            .as("rank_gap"))
+        .orderBy("doc_id")
+    }),
+
+    // Weighted fair interleave — the SCHEDULE a training mix actually
+    // realizes: each source advances a virtual clock at 1/weight per
+    // document (start-time fair queueing), and the global reading order
+    // merges by (virtual_time, source). A weight-3 source lands 3 docs in
+    // the stream for every 1 from a weight-1 source — deterministically,
+    // with no RNG at read time. Within-source order is the q178-style
+    // seeded hash shuffle. Scale: per-source windows partition naturally;
+    // the global merge materializes only the first ScheduleN positions
+    // via orderBy+limit (TakeOrdered — no full global sort shuffles).
+    "q200_interleave_schedule" -> ((s, dir) => {
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("shuf"), col("doc_id"))
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          (lit(1.0) + (Portable.hash32m(col("source")) % 4).cast("double"))
+            .as("w"),
+          Portable.hash32(concat(lit("sched:"), col("doc_id").cast("string")))
+            .as("shuf"))
+        .withColumn("rn", row_number().over(wSrc))
+        .withColumn("vt", Portable.snap6(col("rn").cast("double") / col("w")))
+      d.orderBy(col("vt"), col("source"), col("rn")).limit(ScheduleN)
+        .select(col("vt"), col("source"), col("rn"), col("doc_id"))
+    }),
+
     "q82_weighted_sample" -> ((s, dir) => {
       Selection.weightedSample(
           docs(s, dir).select(col("doc_id"),
@@ -260,6 +351,65 @@ object SelectionPack extends QueryPack {
        |     ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q195_dpo_pairs" -> {
+      val q = Portable.snap6Sql(
+        graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))
+      s"""WITH d AS (SELECT source, lang, doc_id,
+         |             ${TextPack.toksSql("text")} AS toks, text
+         |           FROM documents),
+         |q AS (SELECT source, lang, doc_id, ($q) AS qual FROM d),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY source, lang
+         |                           ORDER BY qual DESC, doc_id) AS rc,
+         |        ROW_NUMBER() OVER (PARTITION BY source, lang
+         |                           ORDER BY qual ASC, doc_id) AS rr,
+         |        count(*) OVER (PARTITION BY source, lang) AS nd,
+         |        max(qual) OVER (PARTITION BY source, lang) AS q_max,
+         |        min(qual) OVER (PARTITION BY source, lang) AS q_min
+         |      FROM q),
+         |c AS (SELECT source, lang, nd, doc_id AS chosen_id, q_max, q_min
+         |      FROM r WHERE rc = 1),
+         |j AS (SELECT source, lang, doc_id AS rejected_id FROM r WHERE rr = 1)
+         |SELECT c.source, c.lang, CAST(nd AS BIGINT) AS n_docs,
+         |       chosen_id, rejected_id,
+         |       ${Portable.snap6Sql("q_max - q_min")} AS margin
+         |FROM c JOIN j USING (source, lang)
+         |WHERE nd >= 2 AND q_max > q_min
+         |ORDER BY source, lang""".stripMargin
+    },
+
+    "q196_quantile_norm" -> {
+      val prS = "CAST(r_src - 1 AS DOUBLE) / greatest(n_src - 1, 1)"
+      val prG = "CAST(r_all - 1 AS DOUBLE) / greatest(n_all - 1, 1)"
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |         rank() OVER (PARTITION BY source
+         |                      ORDER BY n_chars, doc_id) AS r_src,
+         |         count(*) OVER (PARTITION BY source) AS n_src,
+         |         rank() OVER (ORDER BY n_chars, doc_id) AS r_all,
+         |         count(*) OVER () AS n_all
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |       ${Portable.snap6Sql(prS)} AS pr_source,
+         |       ${Portable.snap6Sql(prG)} AS pr_global,
+         |       ${Portable.snap6Sql(s"abs($prS - $prG)")} AS rank_gap
+         |FROM r WHERE doc_id % 17 = 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "q200_interleave_schedule" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(1 + (${Portable.hash32mSql("source")} % 4) AS DOUBLE) AS w,
+         |         ${Portable.hash32Sql("'sched:' || CAST(doc_id AS VARCHAR)")}
+         |           AS shuf
+         |  FROM documents),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |                                   ORDER BY shuf, doc_id) AS rn
+         |      FROM d)
+         |SELECT ${Portable.snap6Sql("CAST(rn AS DOUBLE) / w")} AS vt,
+         |       source, CAST(rn AS INTEGER) AS rn, doc_id
+         |FROM r ORDER BY vt, source, rn LIMIT $ScheduleN""".stripMargin,
+
     "q69_paragraph_dedup" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          |s AS (SELECT doc_id, toks,

@@ -62,6 +62,33 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * highest-cosine corpus vectors with a DIFFERENT label — the "closest
+    * wrong answers" a retrieval/embedding model trains against (in-batch
+    * random negatives are too easy; these are the pairs that move the
+    * loss). Inputs carry labels: corpus (id, vec, label), queries (qid,
+    * qvec, qlabel). Exact form — query side broadcast, corpus scanned
+    * once, top-k per query via rank window over only the label-mismatched
+    * pairs. At 100 TB the corpus side swaps to the IVF index (q36's
+    * operator) exactly like the ANN queries; this exact form is also the
+    * recall oracle for that swap. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("id_c"),
+      toDoubleArray(col("vec")).as("vec_c"),
+      sqNorm(toDoubleArray(col("vec"))).as("n2_c"),
+      col("label").as("lbl_c"))
+    val q = queries.select(col("qid").as("id_q"),
+      toDoubleArray(col("qvec")).as("vec_q"),
+      sqNorm(toDoubleArray(col("qvec"))).as("n2_q"),
+      col("qlabel").as("lbl_q"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("id_c") =!= col("id_q") && col("lbl_c") =!= col("lbl_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Assign each row to its highest-cosine centroid: (id, vec, cid).
     *
     * Argmax as `max_by` aggregation, not a row_number window: the window

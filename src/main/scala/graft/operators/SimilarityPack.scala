@@ -75,6 +75,24 @@ object SimilarityPack extends QueryPack {
         .orderBy("keep_id")
     }),
 
+    // Hard-negative mining: per query, the 3 nearest corpus vectors whose
+    // LABEL differs — the contrastive-training pairs that actually move
+    // the loss (random negatives are trivially separable). Exact top-k
+    // with the query side broadcast; the 100 TB path swaps the corpus
+    // scan for the IVF index exactly like q36.
+    "q197_hard_negatives" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val q = Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.hardNegatives(c, q, k = 3)
+        .select(col("qid"), col("rank"), col("id").as("neg_id"), col("sim"))
+        .orderBy("qid", "rank")
+    }),
+
     // Brute-force exact top-5 ANN baseline.
     "q35_ann_bruteforce" -> ((s, dir) => {
       Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k = 5)
@@ -370,6 +388,21 @@ object SimilarityPack extends QueryPack {
          |SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS group_size,
          |       CAST(count(*) - 1 AS BIGINT) AS n_dropped
          |FROM labels GROUP BY comp ORDER BY keep_id""".stripMargin,
+
+    "q197_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |      FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.qid, e.vec_id AS neg_id,
+         |                  ${cosSql("e.embedding", "q.qvec")} AS sim
+         |           FROM e CROSS JOIN q
+         |           WHERE e.vec_id <> q.qid AND e.label <> q.qlabel),
+         |ranked AS (SELECT qid, neg_id, sim,
+         |                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                        ORDER BY sim DESC, neg_id) AS INTEGER) AS rank
+         |           FROM scored)
+         |SELECT qid, rank, neg_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q35_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

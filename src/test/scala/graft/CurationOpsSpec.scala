@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Augment, Dedup, Similarity}
+import graft.sources.Tables
+
+/** Semantic invariants for the q192–q200 round-5 operators — properties
+  * the DuckDB hash compare can't certify: run-merge arithmetic against a
+  * driver-side replay, kappa bounds, DP noise calibration, fair-queue
+  * interleave ratios, hard-negative label exclusion, and span-plan
+  * coverage bounds. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0)
+
+  test("q192: dup runs match a driver-side island replay on a crafted corpus") {
+    // two docs share a verbatim 12-token quote (positions 2..13 of a) and
+    // an isolated 8-token window elsewhere; W=8
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val win = (1 to 8).map(i => s"w$i").mkString(" ")
+    val a = s"a1 a2 $quote a3 a4 $win a5"
+    val b = s"b1 $quote b2 b3 b4 b5 b6 b7 $win"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = Dedup.dupRuns(docs, w = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+          r.getAs[Long]("max_span_toks"))).toMap
+    // the 12-token quote yields a run of 12-8+1 = 5 consecutive starts in
+    // both docs; the isolated window yields a run of 1
+    assert(out(1L) === (2L, 5L, 12L))
+    assert(out(2L) === (2L, 5L, 12L))
+  }
+
+  test("q192: contract query spans cover at least the full planted copies") {
+    val rows = run("q192_dup_runs").collect()
+    assert(rows.nonEmpty)
+    // every %6 doc is fully copied, so its longest run must cover the
+    // whole doc: max_span_toks == its window count + 7
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val copied = byId.keys.filter(id => id < 100000L && id % 6 == 0)
+    assert(copied.nonEmpty)
+    copied.foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Long]("max_span_toks") >=
+        r.getAs[Long]("n_shared_windows") / r.getAs[Long]("n_runs") + 7 - 1)
+      val twin = byId(id + 100000L)
+      assert(twin.getAs[Long]("max_span_toks") === r.getAs[Long]("max_span_toks"),
+        "a verbatim copy must mirror the original's longest span")
+    }
+  }
+
+  test("q193: kappa is bounded, consistent with its own confusion counts") {
+    val r = run("q193_cohen_kappa").collect().head
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n === n11 + n10 + n01 + n00)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa >= -1.0 && kappa <= 1.0)
+    // both raters are monotone in length, so agreement must beat chance
+    assert(kappa > 0.0)
+    assert(r.getAs[Double]("po") >= 0.0 && r.getAs[Double]("po") <= 1.0)
+  }
+
+  test("q194: planted mutations are detected, clean column is quiet") {
+    val rows = run("q194_schema_drift").collect()
+      .map(r => r.getAs[String]("cname") -> r).toMap
+    assert(rows.keySet === Set("lang", "source", "n_chars"))
+    // lang: every 7th B-side doc nulled -> null_drift must fire
+    assert(rows("lang").getAs[Boolean]("null_drift"))
+    assert(rows("lang").getAs[Long]("null_b") > 0)
+    // source is untouched: no drift on either signal
+    assert(!rows("source").getAs[Boolean]("null_drift"))
+    assert(!rows("source").getAs[Boolean]("distinct_drift"))
+    assert(rows("source").getAs[Long]("null_a") === 0L)
+  }
+
+  test("q195: chosen strictly outranks rejected within every group") {
+    val rows = run("q195_dpo_pairs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2)
+      assert(r.getAs[Double]("margin") > 0.0)
+      assert(r.getAs[Long]("chosen_id") !== r.getAs[Long]("rejected_id"))
+    }
+  }
+
+  test("q196: percent ranks are calibrated within [0,1] and gap is |diff|") {
+    val rows = run("q196_quantile_norm").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, g) = (r.getAs[Double]("pr_source"), r.getAs[Double]("pr_global"))
+      assert(s >= 0.0 && s <= 1.0)
+      assert(g >= 0.0 && g <= 1.0)
+      assert(math.abs(r.getAs[Double]("rank_gap") - math.abs(s - g)) < 2e-6)
+    }
+  }
+
+  test("q197: hard negatives never share the query's label, ranks dense") {
+    val lbl = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = run("q197_hard_negatives").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rs.length),
+        "ranks must be dense from 1")
+      rs.foreach { r =>
+        assert(lbl(r.getAs[Long]("neg_id")) !== lbl(qid),
+          s"negative for $qid shares its label")
+      }
+      // sims are non-increasing with rank
+      val sims = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q197: operator agrees with brute force when labels never collide") {
+    // give every vector a unique label: label-exclusion filters only the
+    // self-pair, so hardNegatives must equal bruteForceTopK
+    val e = Tables.table(spark, sf0, "embeddings").limit(200)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("vec_id").cast("int").as("label"))
+    val q = e.filter(col("id") % 50 === 0)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("label").as("qlabel"))
+    val hard = Similarity.hardNegatives(e, q, k = 3)
+      .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = Similarity.bruteForceTopK(
+        e.select("id", "vec"), q.select("qid", "qvec"), k = 3)
+      .select("qid", "rank", "id").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hard === brute)
+  }
+
+  test("q198: span plan spends ~15% budget, coverage bounded by plan size") {
+    val rows = run("q198_span_mask").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, spans, masked) = (r.getAs[Long]("n_toks"),
+        r.getAs[Int]("n_spans"), r.getAs[Long]("n_masked"))
+      assert(spans === math.floor(n * 0.15 / 4).toInt)
+      assert(masked <= spans.toLong * 4, "overlaps can only shrink coverage")
+      if (spans > 0) assert(masked >= 4, "at least one whole span covered")
+      assert(masked <= n)
+    }
+  }
+
+  test("q198: operator is deterministic across repartitionings") {
+    val d = Tables.table(spark, sf0, "documents")
+    val once = Augment.spanMaskPlan(d, "doc_id", "text", 0.15, 4)
+      .select("doc_id", "span_hash").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val again = Augment.spanMaskPlan(d.repartition(7), "doc_id", "text", 0.15, 4)
+      .select("doc_id", "span_hash").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(once === again)
+  }
+
+  test("q199: DP mean stays within the Laplace tail bound of the clipped truth") {
+    val rows = run("q199_group_dp_mean").collect()
+    assert(rows.length === 20)
+    val truth = Tables.table(spark, sf0, "documents")
+      .groupBy(col("source"))
+      .agg(avg(least(greatest(col("n_chars").cast("double"), lit(0.0)),
+        lit(2000.0))).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (m, n) = truth(r.getAs[String]("source"))
+      // noisy_sum err <= b_s * ln(1/2e-6), noisy_n err likewise: with
+      // b_s=4000, b_n=2 and n=25-ish groups the mean can move a lot —
+      // assert only the release is finite and the audit column is exact
+      assert(r.getAs[Long]("n_true") === n)
+      assert(!r.getAs[Double]("dp_mean").isNaN)
+      assert(math.abs(r.getAs[Double]("dp_mean") - m) <=
+        (4000.0 * 14 + 2.0 * 14 * m) / math.max(n - 2.0 * 14, 1.0),
+        "DP mean outside the 1e-6-tail Laplace envelope")
+    }
+  }
+
+  test("q200: interleave realizes the per-source weights fairly") {
+    val rows = run("q200_interleave_schedule").collect()
+    assert(rows.length === 60)
+    // virtual times are non-decreasing in schedule order (rows arrive
+    // already ordered by the contract orderBy)
+    val vts = rows.map(_.getAs[Double]("vt"))
+    assert(vts.zip(vts.tail).forall { case (a, b) => a <= b })
+    // within each source the rn sequence is dense from 1: no skips
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val rns = rs.map(_.getAs[Int]("rn")).sorted.toSeq
+      assert(rns === (1 to rns.length))
+    }
+    // a source with weight w reaches vt<=T about w*T times: check the
+    // heaviest source appears at least as often as the lightest
+    val wOf = rows.map(r => r.getAs[String]("source") ->
+      r.getAs[Int]("rn")).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    if (wOf.size >= 2) {
+      val counts = rows.groupBy(_.getAs[String]("source")).view
+        .mapValues(_.length).toMap
+      assert(counts.values.max >= counts.values.min)
+    }
+  }
+}

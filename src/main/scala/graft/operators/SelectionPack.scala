@@ -159,6 +159,50 @@ object SelectionPack extends QueryPack {
 
     // Deterministic Efraimidis-Spirakis weighted sample: 50 docs drawn
     // with probability ~ quality score, reproducible bit-for-bit.
+    // Preference-DATASET capstone: the q100 pattern applied to the
+    // preference layer — re-crawled frame -> exact dedup (min-id keeper)
+    // -> quality scoring -> per-group chosen/rejected pairs -> per-shard
+    // curriculum order (highest-margin pairs first), ONE declarative
+    // plan. Every stage is load-bearing for the hash: the rejected-side
+    // tie-break is LARGEST id, so a dedup regression would surface the
+    // 500k-offset re-crawl ids in the output; a quality or margin bug
+    // flips pair members; the shard hash and rank pin the layout. Scale:
+    // dedup shuffles 128-bit hashes, pairs are one max_by/min_by
+    // aggregation, the curriculum window partitions by shard.
+    "q201_preference_capstone" -> ((s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      val frame = base.unionAll(base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + MixCopyOffset).as("doc_id"),
+          col("source"), col("lang"), col("text")))
+      val hashed = frame.withColumn("ch", Dedup.contentHash(col("text")))
+      val keepers = hashed.groupBy("ch").agg(min(col("doc_id")).as("doc_id"))
+      val surv = hashed.join(keepers, Seq("ch", "doc_id"))
+      val q = Portable.snap6(T.qualityScore(col("text"), TextPack.stopwords))
+      val pairs = surv
+        .select(col("source"), col("lang"), col("doc_id"), q.as("qual"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          max_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
+            .as("chosen_id"),
+          max(col("qual")).as("q_max"),
+          min_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
+            .as("rejected_id"),
+          min(col("qual")).as("q_min"))
+        .filter(col("n_docs") >= 2 && col("q_max") > col("q_min"))
+        .withColumn("margin", Portable.snap6(col("q_max") - col("q_min")))
+        .withColumn("shard",
+          (Portable.hash32m(concat(lit("pshard:"), col("source"),
+            lit(":"), col("lang"))) % 4).cast("int"))
+      val wSh = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard")
+        .orderBy(col("margin").desc, col("source"), col("lang"))
+      pairs.withColumn("rn", row_number().over(wSh))
+        .select(col("shard"), col("rn"), col("source"), col("lang"),
+          col("chosen_id"), col("rejected_id"), col("margin"))
+        .orderBy("shard", "rn")
+    }),
+
     // Preference-pair assembly (the DPO/RLHF dataset shape): within each
     // (source, lang) prompt group, chosen = the highest-quality document,
     // rejected = the lowest, with doc_id as the deterministic tie-break;
@@ -351,6 +395,46 @@ object SelectionPack extends QueryPack {
        |     ELSE CAST([] AS VARCHAR[]) END""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q201_preference_capstone" -> {
+      val q = Portable.snap6Sql(
+        graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))
+      s"""WITH docs AS (
+         |  SELECT doc_id, source, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $MixCopyOffset AS doc_id, source, lang, text
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |h AS (SELECT *, ${DedupPack.contentHashSql("text")} AS ch FROM docs),
+         |k AS (SELECT ch, min(doc_id) AS doc_id FROM h GROUP BY ch),
+         |sv AS (SELECT h.* FROM h JOIN k USING (ch, doc_id)),
+         |qv AS (SELECT source, lang, doc_id, ($q) AS qual
+         |       FROM (SELECT source, lang, doc_id, text,
+         |               ${TextPack.toksSql("text")} AS toks FROM sv)),
+         |r AS (SELECT *,
+         |        ROW_NUMBER() OVER (PARTITION BY source, lang
+         |                           ORDER BY qual DESC, doc_id) AS rc,
+         |        ROW_NUMBER() OVER (PARTITION BY source, lang
+         |                           ORDER BY qual ASC, doc_id DESC) AS rr,
+         |        count(*) OVER (PARTITION BY source, lang) AS nd,
+         |        max(qual) OVER (PARTITION BY source, lang) AS q_max,
+         |        min(qual) OVER (PARTITION BY source, lang) AS q_min
+         |      FROM qv),
+         |c AS (SELECT source, lang, nd, doc_id AS chosen_id, q_max, q_min
+         |      FROM r WHERE rc = 1),
+         |j AS (SELECT source, lang, doc_id AS rejected_id FROM r WHERE rr = 1),
+         |p AS (SELECT c.source, c.lang, chosen_id, rejected_id,
+         |        ${Portable.snap6Sql("q_max - q_min")} AS margin,
+         |        CAST(${Portable.hash32mSql(
+                   "'pshard:' || c.source || ':' || c.lang")} % 4 AS INTEGER)
+         |          AS shard
+         |      FROM c JOIN j USING (source, lang)
+         |      WHERE nd >= 2 AND q_max > q_min)
+         |SELECT shard,
+         |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+         |             ORDER BY margin DESC, source, lang) AS INTEGER) AS rn,
+         |       source, lang, chosen_id, rejected_id, margin
+         |FROM p ORDER BY shard, rn""".stripMargin
+    },
+
     "q195_dpo_pairs" -> {
       val q = Portable.snap6Sql(
         graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))

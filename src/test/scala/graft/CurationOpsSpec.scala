@@ -176,6 +176,39 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q201: capstone drops every re-crawl id and orders shards by margin") {
+    val rows = run("q201_preference_capstone").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the rejected tie-break is MAX id, so a failed dedup would surface
+      // a 500k-offset re-crawl id here — none may appear
+      assert(r.getAs[Long]("chosen_id") < 500000L)
+      assert(r.getAs[Long]("rejected_id") < 500000L)
+      assert(r.getAs[Double]("margin") > 0.0)
+    }
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rn"))
+      val margins = ordered.map(_.getAs[Double]("margin"))
+      assert(margins.zip(margins.tail).forall { case (a, b) => a >= b },
+        "curriculum order within a shard must be margin-descending")
+      assert(ordered.map(_.getAs[Int]("rn")).toSeq === (1 to rs.length))
+    }
+  }
+
+  test("plan shapes: q195 aggregates without a rank window; q198 operator is shuffle-free") {
+    val dpo = SparkEntry.queries("q195_dpo_pairs")(spark, sf0)
+    val dpoPlan = dpo.queryExecution.executedPlan.toString
+    assert(!dpoPlan.contains("Window"),
+      "q195 must realize chosen/rejected via max_by/min_by aggregation, not a rank window")
+    // the span plan itself (before the contract orderBy) must not shuffle:
+    // pure scan-stage higher-order-function arithmetic
+    val span = Augment.spanMaskPlan(
+      Tables.table(spark, sf0, "documents"), "doc_id", "text", 0.15, 4)
+    val spanPlan = span.queryExecution.executedPlan.toString
+    assert(!spanPlan.contains("Exchange"),
+      "spanMaskPlan must stay scan-stage (no Exchange in the physical plan)")
+  }
+
   test("q200: interleave realizes the per-source weights fairly") {
     val rows = run("q200_interleave_schedule").collect()
     assert(rows.length === 60)

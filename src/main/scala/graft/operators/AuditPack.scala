@@ -150,13 +150,17 @@ object AuditPack extends QueryPack {
         .withColumn("nchars2",
           when(col("side") === "b" && col("doc_id") % DriftCharsPadMod === 0,
             col("n_chars") + DriftCharsPad).otherwise(col("n_chars")))
+      val nullLong = lit(null).cast("long")
       val long = d.select(col("side"),
         explode(array(
-          struct(lit("lang").as("cname"), col("lang2").cast("string").as("v")),
-          struct(lit("source").as("cname"), col("source").cast("string").as("v")),
-          struct(lit("n_chars").as("cname"), col("nchars2").cast("string").as("v"))))
+          struct(lit("lang").as("cname"), col("lang2").cast("string").as("v"),
+            nullLong.as("vn")),
+          struct(lit("source").as("cname"), col("source").cast("string").as("v"),
+            nullLong.as("vn")),
+          struct(lit("n_chars").as("cname"), col("nchars2").cast("string").as("v"),
+            col("nchars2").cast("long").as("vn"))))
           .as("kv"))
-        .select(col("side"), col("kv.cname"), col("kv.v"))
+        .select(col("side"), col("kv.cname"), col("kv.v"), col("kv.vn"))
       def side(sd: String, c: Column) = when(col("side") === sd, c)
       long.groupBy("cname")
         .agg(sum(when(col("side") === "a", 1L).otherwise(0L)).as("n_a"),
@@ -166,7 +170,11 @@ object AuditPack extends QueryPack {
           sum(when(col("side") === "b" && col("v").isNull, 1L).otherwise(0L))
             .as("null_b"),
           count_distinct(side("a", col("v"))).as("distinct_a"),
-          count_distinct(side("b", col("v"))).as("distinct_b"))
+          count_distinct(side("b", col("v"))).as("distinct_b"),
+          count(side("a", col("vn"))).as("nn_a"),
+          count(side("b", col("vn"))).as("nn_b"),
+          coalesce(sum(side("a", col("vn"))), lit(0L)).as("sum_a"),
+          coalesce(sum(side("b", col("vn"))), lit(0L)).as("sum_b"))
         // integer cross-multiplies: null-rate shift > 1% or distinct count
         // outside [1/2, 2]x — no float thresholds to disagree on
         .withColumn("null_drift",
@@ -175,6 +183,14 @@ object AuditPack extends QueryPack {
         .withColumn("distinct_drift",
           col("distinct_b") * 2 < col("distinct_a") ||
             col("distinct_b") > col("distinct_a") * 2)
+        // numeric columns also watch the MEAN: a >1% relative shift of
+        // sum/count between sides (exact integer cross-multiply; false
+        // for non-numeric columns, whose vn is all-null)
+        .withColumn("mean_drift",
+          col("nn_a") > 0 && col("nn_b") > 0 && col("sum_a") > 0 &&
+            abs(col("sum_a") * col("nn_b") - col("sum_b") * col("nn_a")) * 100
+              > col("sum_a") * col("nn_b"))
+        .drop("nn_a", "nn_b", "sum_a", "sum_b")
         .orderBy("cname")
     }),
 
@@ -977,23 +993,33 @@ object AuditPack extends QueryPack {
          |        CASE WHEN side = 'b' AND doc_id % $DriftCharsPadMod = 0
          |             THEN n_chars + $DriftCharsPad ELSE n_chars END AS nchars2
          |      FROM d),
-         |l AS (SELECT side, 'lang' AS cname, CAST(lang2 AS VARCHAR) AS v FROM m
+         |l AS (SELECT side, 'lang' AS cname, CAST(lang2 AS VARCHAR) AS v,
+         |             CAST(NULL AS BIGINT) AS vn FROM m
          |      UNION ALL
-         |      SELECT side, 'source', CAST(source AS VARCHAR) FROM m
+         |      SELECT side, 'source', CAST(source AS VARCHAR),
+         |             CAST(NULL AS BIGINT) FROM m
          |      UNION ALL
-         |      SELECT side, 'n_chars', CAST(nchars2 AS VARCHAR) FROM m),
+         |      SELECT side, 'n_chars', CAST(nchars2 AS VARCHAR),
+         |             CAST(nchars2 AS BIGINT) FROM m),
          |g AS (SELECT cname,
          |        CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
          |        CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
          |        CAST(sum(CASE WHEN side = 'a' AND v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_a,
          |        CAST(sum(CASE WHEN side = 'b' AND v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_b,
          |        CAST(count(DISTINCT CASE WHEN side = 'a' THEN v END) AS BIGINT) AS distinct_a,
-         |        CAST(count(DISTINCT CASE WHEN side = 'b' THEN v END) AS BIGINT) AS distinct_b
+         |        CAST(count(DISTINCT CASE WHEN side = 'b' THEN v END) AS BIGINT) AS distinct_b,
+         |        CAST(count(CASE WHEN side = 'a' THEN vn END) AS BIGINT) AS nn_a,
+         |        CAST(count(CASE WHEN side = 'b' THEN vn END) AS BIGINT) AS nn_b,
+         |        CAST(coalesce(sum(CASE WHEN side = 'a' THEN vn END), 0) AS BIGINT) AS sum_a,
+         |        CAST(coalesce(sum(CASE WHEN side = 'b' THEN vn END), 0) AS BIGINT) AS sum_b
          |      FROM l GROUP BY cname)
          |SELECT cname, n_a, n_b, null_a, null_b, distinct_a, distinct_b,
          |       abs(null_a * n_b - null_b * n_a) * 100 > n_a * n_b AS null_drift,
          |       distinct_b * 2 < distinct_a OR distinct_b > distinct_a * 2
-         |         AS distinct_drift
+         |         AS distinct_drift,
+         |       nn_a > 0 AND nn_b > 0 AND sum_a > 0 AND
+         |         abs(sum_a * nn_b - sum_b * nn_a) * 100 > sum_a * nn_b
+         |         AS mean_drift
          |FROM g ORDER BY cname""".stripMargin,
 
     "q199_group_dp_mean" -> {

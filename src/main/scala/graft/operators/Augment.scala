@@ -59,8 +59,14 @@ object Augment {
     * is one pass. */
   def spanMaskPlan(df: DataFrame, idCol: String, textCol: String,
                    frac: Double, spanW: Int, salt: String = "span"): DataFrame = {
+    // frac <= 1 makes n_spans > 0 imply n_toks >= spanW/frac >= spanW, so
+    // the start modulo (n_toks - spanW + 1) is always positive; a larger
+    // frac would hit modulo-by-zero/negative on short docs
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    require(spanW >= 1, "spanW must be >= 1")
     val n = size(split(col(textCol), " "))
-    val nSpans = floor(n * lit(frac) / lit(spanW)).cast("int")
+    val nSpans = when(n >= spanW, floor(n * lit(frac) / lit(spanW)))
+      .otherwise(lit(0L)).cast("int")
     val starts = when(col("n_spans") > 0,
       transform(sequence(lit(1), col("n_spans")), k =>
         graft.functions.Portable.hash32(

@@ -296,6 +296,29 @@ object Selection {
   /** DuckDB twin of [[qualityLogit]] — expects `text` and a `toks` column
     * (the [[TextPack.toksSql]] split) in scope. ONE definition of the
     * weights, interpolated into both engines' plans. */
+  /** Preference-pair aggregation (the DPO/RLHF dataset shape): per group,
+    * chosen = the max-quality member and rejected = the min-quality member,
+    * realized as ONE max_by/min_by aggregation (map-side partial, no rank
+    * window). Tie-breaks: chosen always takes the smallest id among the
+    * maxima; rejected takes the smallest id among the minima when
+    * `rejectedMinId` (the q195 contract), or the LARGEST when false (the
+    * q201 capstone uses max-id so an upstream dedup regression surfaces
+    * re-crawl ids in the output). Groups without a strict preference
+    * (n < 2 or zero margin) are dropped. Input needs (groupCols..., idCol,
+    * qualCol); output: groupCols + (n_docs, chosen_id, q_max, rejected_id,
+    * q_min). */
+  def preferencePairs(df: DataFrame, groupCols: Seq[String], idCol: String,
+                      qualCol: String, rejectedMinId: Boolean = true): DataFrame = {
+    val rejTie = if (rejectedMinId) col(idCol) else -col(idCol)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        max_by(col(idCol), struct(col(qualCol), -col(idCol))).as("chosen_id"),
+        max(col(qualCol)).as("q_max"),
+        min_by(col(idCol), struct(col(qualCol), rejTie)).as("rejected_id"),
+        min(col(qualCol)).as("q_min"))
+      .filter(col("n_docs") >= 2 && col("q_max") > col("q_min"))
+  }
+
   def qualityLogitSql(stopwords: Seq[String]): String = {
     val hits = s"len(list_filter(toks, t -> t IN (${stopwords.map(w => s"'$w'").mkString(", ")})))"
     s"""CASE WHEN len(toks) = 0 THEN 0.0 ELSE

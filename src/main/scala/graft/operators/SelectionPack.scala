@@ -157,8 +157,6 @@ object SelectionPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // Deterministic Efraimidis-Spirakis weighted sample: 50 docs drawn
-    // with probability ~ quality score, reproducible bit-for-bit.
     // Preference-DATASET capstone: the q100 pattern applied to the
     // preference layer — re-crawled frame -> exact dedup (min-id keeper)
     // -> quality scoring -> per-group chosen/rejected pairs -> per-shard
@@ -179,17 +177,9 @@ object SelectionPack extends QueryPack {
       val keepers = hashed.groupBy("ch").agg(min(col("doc_id")).as("doc_id"))
       val surv = hashed.join(keepers, Seq("ch", "doc_id"))
       val q = Portable.snap6(T.qualityScore(col("text"), TextPack.stopwords))
-      val pairs = surv
-        .select(col("source"), col("lang"), col("doc_id"), q.as("qual"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          max_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
-            .as("chosen_id"),
-          max(col("qual")).as("q_max"),
-          min_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
-            .as("rejected_id"),
-          min(col("qual")).as("q_min"))
-        .filter(col("n_docs") >= 2 && col("q_max") > col("q_min"))
+      val pairs = Selection.preferencePairs(
+          surv.select(col("source"), col("lang"), col("doc_id"), q.as("qual")),
+          Seq("source", "lang"), "doc_id", "qual", rejectedMinId = false)
         .withColumn("margin", Portable.snap6(col("q_max") - col("q_min")))
         .withColumn("shard",
           (Portable.hash32m(concat(lit("pshard:"), col("source"),
@@ -213,17 +203,10 @@ object SelectionPack extends QueryPack {
     // map-side, one shuffle on the group key) — no rank window, no sort.
     "q195_dpo_pairs" -> ((s, dir) => {
       val q = Portable.snap6(T.qualityScore(col("text"), TextPack.stopwords))
-      docs(s, dir)
-        .select(col("source"), col("lang"), col("doc_id"), q.as("qual"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          max_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
-            .as("chosen_id"),
-          max(col("qual")).as("q_max"),
-          min_by(col("doc_id"), struct(col("qual"), col("doc_id")))
-            .as("rejected_id"),
-          min(col("qual")).as("q_min"))
-        .filter(col("n_docs") >= 2 && col("q_max") > col("q_min"))
+      Selection.preferencePairs(
+          docs(s, dir)
+            .select(col("source"), col("lang"), col("doc_id"), q.as("qual")),
+          Seq("source", "lang"), "doc_id", "qual")
         .select(col("source"), col("lang"), col("n_docs"),
           col("chosen_id"), col("rejected_id"),
           Portable.snap6(col("q_max") - col("q_min")).as("margin"))
@@ -291,6 +274,8 @@ object SelectionPack extends QueryPack {
         .select(col("vt"), col("source"), col("rn"), col("doc_id"))
     }),
 
+    // Deterministic Efraimidis-Spirakis weighted sample: 50 docs drawn
+    // with probability ~ quality score, reproducible bit-for-bit.
     "q82_weighted_sample" -> ((s, dir) => {
       Selection.weightedSample(
           docs(s, dir).select(col("doc_id"),

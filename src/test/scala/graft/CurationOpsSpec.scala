@@ -70,7 +70,14 @@ class CurationOpsSpec extends SparkSpec {
     // lang: every 7th B-side doc nulled -> null_drift must fire
     assert(rows("lang").getAs[Boolean]("null_drift"))
     assert(rows("lang").getAs[Long]("null_b") > 0)
-    // source is untouched: no drift on either signal
+    // n_chars: every 5th B-side doc padded +40 -> the numeric MEAN signal
+    // must fire (null/distinct alone cannot see this mutation)
+    assert(rows("n_chars").getAs[Boolean]("mean_drift"))
+    assert(!rows("n_chars").getAs[Boolean]("null_drift"))
+    // non-numeric columns never fire the mean signal
+    assert(!rows("lang").getAs[Boolean]("mean_drift"))
+    assert(!rows("source").getAs[Boolean]("mean_drift"))
+    // source is untouched: no drift on either categorical signal
     assert(!rows("source").getAs[Boolean]("null_drift"))
     assert(!rows("source").getAs[Boolean]("distinct_drift"))
     assert(rows("source").getAs[Long]("null_a") === 0L)
@@ -221,14 +228,25 @@ class CurationOpsSpec extends SparkSpec {
       val rns = rs.map(_.getAs[Int]("rn")).sorted.toSeq
       assert(rns === (1 to rns.length))
     }
-    // a source with weight w reaches vt<=T about w*T times: check the
-    // heaviest source appears at least as often as the lightest
-    val wOf = rows.map(r => r.getAs[String]("source") ->
-      r.getAs[Int]("rn")).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-    if (wOf.size >= 2) {
-      val counts = rows.groupBy(_.getAs[String]("source")).view
-        .mapValues(_.length).toMap
-      assert(counts.values.max >= counts.values.min)
+    // a source with weight w reaches vt <= T about w*T times: the heaviest
+    // source must land at least as many schedule slots as the lightest.
+    // Weights replayed driver-side from the operator's own hash rule.
+    def weightOf(source: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(source.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(8)
+      1L + (java.lang.Long.parseLong(hex, 16) %
+        graft.functions.Portable.M) % 4
+    }
+    val counts = rows.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.length).toMap
+    val byWeight = counts.keys.groupBy(weightOf)
+    if (byWeight.size >= 2) {
+      val heaviest = byWeight(byWeight.keys.max).map(counts).max
+      val lightest = byWeight(byWeight.keys.min).map(counts).min
+      assert(heaviest >= lightest,
+        s"weight-${byWeight.keys.max} source scheduled less than " +
+          s"weight-${byWeight.keys.min} source")
     }
   }
 }

@@ -24,16 +24,10 @@ class StreamingPreferenceSpec extends SparkSpec {
     // zero-margin group: never valid
     ("s4", "fr", 40L, 0.6), ("s4", "fr", 41L, 0.6))
 
-  private def batchPairs = arrivals.toDF("source", "lang", "doc_id", "qual")
-    .groupBy("source", "lang")
-    .agg(count(lit(1)).as("n_docs"),
-      max_by(col("doc_id"), struct(col("qual"), -col("doc_id")))
-        .as("chosen_id"),
-      max(col("qual")).as("q_max"),
-      min_by(col("doc_id"), struct(col("qual"), col("doc_id")))
-        .as("rejected_id"),
-      min(col("qual")).as("q_min"))
-    .filter(col("n_docs") >= 2 && col("q_max") > col("q_min"))
+  // the ACTUAL batch operator (q195's aggregation), not a re-typed copy
+  private def batchPairs = graft.operators.Selection.preferencePairs(
+      arrivals.toDF("source", "lang", "doc_id", "qual"),
+      Seq("source", "lang"), "doc_id", "qual")
     .select(col("source"), col("lang"),
       col("chosen_id"), col("rejected_id"),
       (col("q_max") - col("q_min")).as("margin"))

@@ -13,7 +13,54 @@ object MultimodalPack extends QueryPack {
 
   import Multimodal._
 
+  /** q202 VAD geometry: non-overlapping window of 8 byte-samples; a
+    * window is ACTIVE when its byte-code sum clears the threshold (mean
+    * code >= 80 — letters-dense audio stand-in; space-dense windows dip
+    * below). */
+  val VadWindow = 8
+  val VadThreshold = 640
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // VAD-style activity segmentation over a sampled payload — the audio
+    // preprocessing shape (voice-activity detection) on the fake codec:
+    // treat each byte as a sample, cut non-overlapping 8-sample windows,
+    // mark a window ACTIVE when its energy (byte-code sum) clears the
+    // threshold, then merge consecutive active windows into segments with
+    // a single aggregate() fold carrying (current run, best run, segment
+    // count). Entirely scan-stage higher-order-function arithmetic — no
+    // explode, no shuffle, one pass over 100 TB of media; the same island
+    // merge as q192 but realized per-row instead of via a window function.
+    // ASCII subset pinned on both sides (the q28 convention) so byte
+    // semantics match DuckDB's character arithmetic.
+    "q202_vad_segments" -> ((s, dir) => {
+      val d = graft.sources.Tables.table(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .filter(length(col("text")) === octet_length(col("text")))
+        // at least one full window — the oracle's unnest(range(...)) drops
+        // shorter docs, so both sides must exclude them explicitly
+        .filter(length(col("text")) >= VadWindow)
+      val codes = transform(split(col("text"), ""), c => ascii(c))
+      val nw = floor(length(col("text")) / VadWindow).cast("int")
+      val energies = when(nw > 0,
+        transform(sequence(lit(0), nw - 1), w =>
+          aggregate(slice(codes, w * VadWindow + 1, lit(VadWindow)),
+            lit(0), (acc, x) => acc + x)))
+        .otherwise(array().cast("array<int>"))
+      val flags = transform(energies, e => e >= VadThreshold)
+      val zero = struct(lit(0).as("cur"), lit(0).as("best"), lit(0).as("segs"))
+      val fold = aggregate(flags, zero, (acc, f) => struct(
+        when(f, acc.getField("cur") + 1).otherwise(0).as("cur"),
+        greatest(acc.getField("best"),
+          when(f, acc.getField("cur") + 1).otherwise(0)).as("best"),
+        (acc.getField("segs") +
+          when(f && acc.getField("cur") === 0, 1).otherwise(0)).as("segs")))
+      d.select(col("doc_id"), nw.as("n_windows"),
+          size(filter(flags, f => f)).as("n_active"),
+          fold.getField("segs").as("n_segments"),
+          fold.getField("best").as("longest_run"))
+        .orderBy("doc_id")
+    }),
 
     // Ingest + decode: typed metadata out of the binary header.
     "q26_media_meta" -> ((s, dir) => {
@@ -208,6 +255,38 @@ object MultimodalPack extends QueryPack {
          |       END AS BIGINT) AS min_frame
          |FROM documents
          |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q202_vad_segments" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 10 = 0
+         |    AND length(text) = octet_length(encode(text))
+         |    AND length(text) >= $VadWindow),
+         |win AS (SELECT doc_id, text,
+         |          unnest(range(0, length(text) // $VadWindow)) AS wi
+         |        FROM d),
+         |en AS (SELECT doc_id, CAST(wi AS INT) AS wi,
+         |         list_sum(list_transform(generate_series(1, $VadWindow),
+         |           p -> ascii(substring(text,
+         |                  CAST(wi * $VadWindow + p AS INT), 1)))) AS e
+         |       FROM win),
+         |v AS (SELECT doc_id, wi, e >= $VadThreshold AS f FROM en),
+         |r AS (SELECT doc_id, wi,
+         |        wi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi) AS g
+         |      FROM v WHERE f),
+         |runs AS (SELECT doc_id, g, count(*) AS len FROM r GROUP BY 1, 2),
+         |seg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+         |               CAST(max(len) AS INT) AS longest_run
+         |        FROM runs GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS INT) AS n_windows,
+         |               CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS INT)
+         |                 AS n_active
+         |        FROM v GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_windows, t.n_active,
+         |       coalesce(s.n_segments, 0) AS n_segments,
+         |       coalesce(s.longest_run, 0) AS longest_run
+         |FROM tot t LEFT JOIN seg s USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
     "q28_byte_histogram" ->

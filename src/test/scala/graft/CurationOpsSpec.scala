@@ -183,6 +183,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q202: segment fold matches a driver-side replay over the real sample") {
+    import graft.operators.MultimodalPack.{VadWindow, VadThreshold}
+    val rows = run("q202_vad_segments").collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.table(spark, sf0, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val flags = t.getBytes("UTF-8").grouped(VadWindow).toSeq
+        .filter(_.length == VadWindow)
+        .map(_.map(_.toInt).sum >= VadThreshold)
+      var (cur, best, segs) = (0, 0, 0)
+      flags.foreach { f =>
+        if (f) { if (cur == 0) segs += 1; cur += 1; best = math.max(best, cur) }
+        else cur = 0
+      }
+      assert(r.getAs[Int]("n_windows") === flags.length)
+      assert(r.getAs[Int]("n_active") === flags.count(identity))
+      assert(r.getAs[Int]("n_segments") === segs)
+      assert(r.getAs[Int]("longest_run") === best)
+    }
+  }
+
   test("q201: capstone drops every re-crawl id and orders shards by margin") {
     val rows = run("q201_preference_capstone").collect()
     assert(rows.nonEmpty)

@@ -158,6 +158,35 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The 100 TB path for [[hardNegatives]]: search only the query's IVF
+    * bucket (the q36 layout) and exclude same-label members there — the
+    * label column simply travels with the index rows, so the bucket scan
+    * costs the same as plain IVF search. Inputs: corpus (id, vec, label),
+    * queries (qid, qvec, qlabel), centroids (cid, cvec). Labels are
+    * re-joined after assignment here; a materialized index
+    * ([[ivfWriteIndex]]-style) would store them alongside cid. */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame,
+                       centroids: DataFrame, k: Int): DataFrame = {
+    val corpusB = assign(corpus.select(col("id"), col("vec")),
+        centroids, "id", "vec")
+      .select(col("cid"), col("id").as("id_c"), col("vec").as("vec_c"),
+        col("n2").as("n2_c"))
+      .join(corpus.select(col("id").as("id_c"), col("label").as("lbl_c")),
+        "id_c")
+    val queriesB = assign(queries.select(col("qid"), col("qvec")),
+        centroids, "qid", "qvec")
+      .select(col("cid"), col("qid").as("id_q"), col("qvec").as("vec_q"),
+        col("n2").as("n2_q"))
+      .join(queries.select(col("qid").as("id_q"), col("qlabel").as("lbl_q")),
+        "id_q")
+    val scored = broadcast(queriesB).join(corpusB, "cid")
+      .filter(col("id_c") =!= col("id_q") && col("lbl_c") =!= col("lbl_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Train IVF centroids with k-means (seeded) — real centroids instead of
     * arbitrary sample vectors; returns (cid, cvec) in the [[assign]]
     * contract. At 100 TB the fit runs on a sample; assignment of the full

@@ -93,6 +93,23 @@ object SimilarityPack extends QueryPack {
         .orderBy("qid", "rank")
     }),
 
+    // q197's 100 TB path made concrete: hard negatives mined inside the
+    // query's IVF bucket only (the q36 layout with the label column
+    // riding the index rows). Same bucket-scan cost as plain IVF search;
+    // recall vs the exact q197 is the q174-style tradeoff.
+    "q203_ivf_hard_negatives" -> ((s, dir) => {
+      val c = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label"))
+      val q = Tables.table(s, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      Similarity.ivfHardNegatives(c, q, centroids(s, dir), k = 3)
+        .select(col("qid"), col("rank"), col("id").as("neg_id"), col("sim"))
+        .orderBy("qid", "rank")
+    }),
+
     // Brute-force exact top-5 ANN baseline.
     "q35_ann_bruteforce" -> ((s, dir) => {
       Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k = 5)
@@ -388,6 +405,29 @@ object SimilarityPack extends QueryPack {
          |SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS group_size,
          |       CAST(count(*) - 1 AS BIGINT) AS n_dropped
          |FROM labels GROUP BY comp ORDER BY keep_id""".stripMargin,
+
+    "q203_ivf_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $NumCentroids),
+         |asg AS (SELECT vec_id, cid,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, cid) AS rn
+         |        FROM e CROSS JOIN c),
+         |buckets AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, cid FROM buckets WHERE vec_id % 50 = 0),
+         |cand AS (SELECT q.qid, b.vec_id AS neg_id
+         |         FROM q JOIN buckets b ON b.cid = q.cid AND b.vec_id <> q.qid),
+         |scored AS (SELECT cand.qid, cand.neg_id,
+         |                  ${cosSql("eq.embedding", "en.embedding")} AS sim
+         |           FROM cand JOIN e eq ON eq.vec_id = cand.qid
+         |                     JOIN e en ON en.vec_id = cand.neg_id
+         |           WHERE en.label <> eq.label),
+         |ranked AS (SELECT qid, neg_id, sim,
+         |                  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |                        ORDER BY sim DESC, neg_id) AS INTEGER) AS rank
+         |           FROM scored)
+         |SELECT qid, rank, neg_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
     "q197_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),

@@ -123,6 +123,22 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q203: IVF hard negatives exclude the label and recall the exact miner") {
+    val lbl = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivf = run("q203_ivf_hard_negatives").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(lbl(r.getAs[Long]("neg_id")) !== lbl(r.getAs[Long]("qid")))
+    }
+    val exact = run("q197_hard_negatives").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neg_id"))).toSet
+    val hits = ivf.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neg_id")))
+      .count(exact.contains)
+    assert(hits > 0, "bucketed mining must recall part of the exact top-k")
+  }
+
   test("q197: operator agrees with brute force when labels never collide") {
     // give every vector a unique label: label-exclusion filters only the
     // self-pair, so hardNegatives must equal bruteForceTopK

@@ -325,6 +325,32 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Arrival-order n-gram novelty: per document, the fraction of its
+    // distinct 3-grams no EARLIER document (lower doc_id = earlier
+    // arrival) already contained — the marginal-diversity signal a
+    // dedup'd corpus still needs (a doc can be 0% duplicate yet 0% novel
+    // when its phrasing is fully covered by predecessors; dedup keeps it,
+    // a diversity-budgeted mix downweights it). One shuffle on the gram
+    // hash for the global first-seen table (min partial-aggregates
+    // map-side), joined back to the per-doc grams — cost Σ df, never
+    // pairwise.
+    "q205_ngram_novelty" -> ((s, dir) => {
+      val sh = Dedup.shingles(
+        Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
+        .select(col("doc_id"), md5(col("sh")).as("gh"))
+        .localCheckpoint(false) // first-seen pass + per-doc pass share it
+      val firstSeen = sh.groupBy("gh").agg(min(col("doc_id")).as("first_id"))
+      sh.join(firstSeen, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // Maximal duplicated-span runs: q88 counts WHICH 8-token windows are
     // shared; this merges consecutive shared window starts into maximal
     // spans (Lee et al. exact-substring granularity) — a verbatim L-token
@@ -697,6 +723,18 @@ object DedupPack extends QueryPack {
         |       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_ref,
         |       TRUE AS no_false_negatives, TRUE AS fp_ok
         |FROM documents""".stripMargin,
+
+    "q205_ngram_novelty" ->
+      s"""WITH sh AS (${shinglesSql("documents")}),
+         |g AS (SELECT doc_id, md5(sh) AS gh FROM sh),
+         |fs AS (SELECT gh, min(doc_id) AS first_id FROM g GROUP BY gh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_novel,
+         |       ROUND(CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 6) AS novelty
+         |FROM g JOIN fs USING (gh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q192_dup_runs" ->
       s"""WITH docs AS (

@@ -30,6 +30,12 @@ object PipelinePack extends QueryPack {
   val ShuffleEpochs = 2
   val ShuffleShards = 8L
 
+  /** q204 purged temporal split: train before the cut, test from
+    * cut + 3 days, the gap purged (embargo = 259200 s). */
+  val EmbargoCut = "2024-01-20 00:00:00"
+  val EmbargoTestFrom = "2024-01-23 00:00:00"
+  val EmbargoSeconds = 259200L
+
   /** Sampling temperature for the q154 mix plan: p_i ∝ tokens_i^alpha.
     * alpha=1 is proportional (big sources dominate), alpha=0 is uniform
     * (q95's plan); 0.7 is the usual multilingual/multi-source compromise
@@ -74,6 +80,44 @@ object PipelinePack extends QueryPack {
 
     // Deterministic md5-bucket train/val/test split: layout-independent
     // (unlike rand(seed)), exhaustive and disjoint by construction.
+    // Purged temporal split with an embargo gap — the time-series-ML
+    // split that prevents TEMPORAL leakage (a model must not train on
+    // events adjacent to its test window; label horizons straddle the
+    // cut): train = events strictly before the cut, test = events at or
+    // after cut + embargo, the gap rows are PURGED. The audit emits the
+    // ledger plus the proof: the minimum per-user gap between last train
+    // event and first test event, in exact epoch seconds — by
+    // construction >= the embargo, and the flag pins it. One shuffle on
+    // user_id for the per-user extremes; the split itself is scan-stage.
+    "q204_embargo_split" -> ((s, dir) => {
+      val cut = lit(EmbargoCut).cast("timestamp")
+      val testFrom = lit(EmbargoTestFrom).cast("timestamp")
+      val e = Tables.table(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          when(col("ts") < cut, "train")
+            .when(col("ts") >= testFrom, "test")
+            .otherwise("purged").as("part"))
+      // ts is TIMESTAMP_NTZ; the cast to TIMESTAMP reads the naive value
+      // in the session zone (UTC per the driver contract), so the epoch
+      // matches DuckDB's naive epoch_us exactly
+      val epochS = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+      val perUser = e.groupBy("user_id")
+        .agg(max(when(col("part") === "train", epochS)).as("last_train_s"),
+          min(when(col("part") === "test", epochS)).as("first_test_s"))
+        .filter(col("last_train_s").isNotNull && col("first_test_s").isNotNull)
+      val gaps = perUser.agg(
+        count(lit(1)).as("n_users_both"),
+        min(col("first_test_s") - col("last_train_s")).as("min_gap_s"))
+      val sizes = e.groupBy()
+        .agg(sum(when(col("part") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("part") === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("part") === "purged", 1L).otherwise(0L)).as("n_purged"))
+      sizes.crossJoin(broadcast(gaps))
+        .select(col("n_train"), col("n_test"), col("n_purged"),
+          col("n_users_both"), col("min_gap_s"),
+          (col("min_gap_s") >= EmbargoSeconds).as("embargo_ok"))
+    }),
+
     "q50_hash_split" -> ((s, dir) => {
       docs(s, dir)
         .select(col("doc_id"), CorpusOps.hashSplit(col("doc_id")).as("split"))
@@ -450,6 +494,35 @@ object PipelinePack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q204_embargo_split" ->
+      s"""WITH e AS (
+         |  SELECT user_id, ts,
+         |         CASE WHEN ts < TIMESTAMP '$EmbargoCut' THEN 'train'
+         |              WHEN ts >= TIMESTAMP '$EmbargoTestFrom' THEN 'test'
+         |              ELSE 'purged' END AS part
+         |  FROM events),
+         |pu AS (SELECT user_id,
+         |         max(CASE WHEN part = 'train'
+         |                  THEN epoch_us(ts) // 1000000 END)
+         |           AS last_train_s,
+         |         min(CASE WHEN part = 'test'
+         |                  THEN epoch_us(ts) // 1000000 END)
+         |           AS first_test_s
+         |       FROM e GROUP BY user_id),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n_users_both,
+         |             min(first_test_s - last_train_s) AS min_gap_s
+         |      FROM pu
+         |      WHERE last_train_s IS NOT NULL AND first_test_s IS NOT NULL),
+         |sz AS (SELECT
+         |         CAST(sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |         CAST(sum(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+         |         CAST(sum(CASE WHEN part = 'purged' THEN 1 ELSE 0 END) AS BIGINT) AS n_purged
+         |       FROM e)
+         |SELECT n_train, n_test, n_purged, n_users_both,
+         |       CAST(min_gap_s AS BIGINT) AS min_gap_s,
+         |       min_gap_s >= $EmbargoSeconds AS embargo_ok
+         |FROM sz CROSS JOIN g""".stripMargin,
+
     "q50_hash_split" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -224,6 +224,33 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q204: embargo split partitions exhaustively and the gap proof holds") {
+    val r = run("q204_embargo_split").collect().head
+    val total = Tables.table(spark, sf0, "events").count()
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_test") +
+      r.getAs[Long]("n_purged") === total)
+    assert(r.getAs[Long]("n_train") > 0 && r.getAs[Long]("n_test") > 0)
+    assert(r.getAs[Long]("n_purged") > 0, "the embargo window must purge rows")
+    // by construction every cross-split user's gap spans the purged window
+    assert(r.getAs[Boolean]("embargo_ok"))
+    assert(r.getAs[Long]("min_gap_s") >= 259200L)
+  }
+
+  test("q205: novelty is 1 for first arrivals and cumulative over arrival order") {
+    val rows = run("q205_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    val byId = rows.sortBy(_.getAs[Long]("doc_id"))
+    // the earliest doc contains only first-seen grams
+    assert(byId.head.getAs[Double]("novelty") === 1.0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+      val nov = r.getAs[Double]("novelty")
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+    // novelty must actually discriminate: some docs below 1.0
+    assert(rows.exists(_.getAs[Double]("novelty") < 1.0))
+  }
+
   test("q201: capstone drops every re-crawl id and orders shards by margin") {
     val rows = run("q201_preference_capstone").collect()
     assert(rows.nonEmpty)

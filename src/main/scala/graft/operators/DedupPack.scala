@@ -325,6 +325,39 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Duplication LOCALITY accounting: of all exact-dup pairs, how many
+    // live WITHIN one source vs ACROSS sources — the number that decides
+    // whether per-source (cheap, shardable by source) dedup suffices or
+    // the shuffle must be global. Frame plants both kinds: every 6th doc
+    // re-ingested under its own source, every 10th under a 'recrawl'
+    // source. Pair counts come from two grouped aggregations over
+    // (hash, source) counts — C(n,2) arithmetic, never a pair self-join
+    // (the q175 shape), so cost is independent of clique sizes.
+    "q207_dup_locality" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val frame = d
+        .unionAll(d.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + CopyOffset).as("doc_id"),
+            col("source"), col("text")))
+        .unionAll(d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2 * CopyOffset).as("doc_id"),
+            lit("recrawl").as("source"), col("text")))
+      val keyed = frame.select(md5(col("text")).as("h"), col("source"))
+      val perHS = keyed.groupBy("h", "source").agg(count(lit(1)).as("ns"))
+      val perH = perHS.groupBy("h").agg(
+        sum(col("ns")).as("n"),
+        sum(expr("(ns * (ns - 1)) div 2")).as("within_pairs"))
+      perH.filter(col("n") > 1)
+        .agg(count(lit(1)).as("n_groups_multi"),
+          sum(expr("(n * (n - 1)) div 2")).as("n_pairs"),
+          sum(col("within_pairs")).as("n_within"),
+          sum(expr("(n * (n - 1)) div 2") - col("within_pairs"))
+            .as("n_cross"))
+        .withColumn("frac_cross",
+          round(col("n_cross").cast("double") / col("n_pairs"), 6))
+    }),
+
     // Arrival-order n-gram novelty: per document, the fraction of its
     // distinct 3-grams no EARLIER document (lower doc_id = earlier
     // arrival) already contained — the marginal-diversity signal a
@@ -723,6 +756,31 @@ object DedupPack extends QueryPack {
         |       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_ref,
         |       TRUE AS no_false_negatives, TRUE AS fp_ok
         |FROM documents""".stripMargin,
+
+    "q207_dup_locality" ->
+      s"""WITH frame AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id, source, text
+         |  FROM documents WHERE doc_id % 6 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * CopyOffset} AS doc_id,
+         |         'recrawl' AS source, text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |k AS (SELECT md5(text) AS h, source FROM frame),
+         |phs AS (SELECT h, source, count(*) AS ns FROM k GROUP BY 1, 2),
+         |ph AS (SELECT h, sum(ns) AS n,
+         |              sum((ns * (ns - 1)) // 2) AS within_pairs
+         |       FROM phs GROUP BY h),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_groups_multi,
+         |               CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS n_pairs,
+         |               CAST(sum(within_pairs) AS BIGINT) AS n_within,
+         |               CAST(sum((n * (n - 1)) // 2 - within_pairs) AS BIGINT)
+         |                 AS n_cross
+         |        FROM ph WHERE n > 1)
+         |SELECT n_groups_multi, n_pairs, n_within, n_cross,
+         |       ROUND(CAST(n_cross AS DOUBLE) / n_pairs, 6) AS frac_cross
+         |FROM agg""".stripMargin,
 
     "q205_ngram_novelty" ->
       s"""WITH sh AS (${shinglesSql("documents")}),

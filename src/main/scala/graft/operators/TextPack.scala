@@ -336,6 +336,36 @@ object TextPack extends QueryPack {
     // rejected the doc), not just the verdict — the reject-reason ledger a
     // curation pipeline reports. Zero-token docs fail the null-propagating
     // rules on both engines (CASE WHEN NULL -> ELSE branch).
+    // Filter-attribution ablation over the q65 rule set — the report a
+    // pipeline tunes thresholds with: per rule, how many docs FAIL it at
+    // all vs fail it EXCLUSIVELY (mask == that bit alone — exactly the
+    // docs that rule's removal would regain). Joint failures need no rule
+    // change; exclusive failures are each rule's real marginal cost. One
+    // scan, one 10-counter aggregate over the shared mask expression.
+    "q206_filter_attribution" -> ((s, dir) => {
+      val ts = T.tokenStats(col("text"))
+      val n = ts.getField("ws_tokens")
+      val avgLen = T.avgTokenLength(col("text"))
+      val alphaOk = ts.getField("alpha_tokens") >= n * 0.8
+      val stopHits = T.vocabHitsText(col("text"), stopwords)
+      val mask =
+        when(n >= MinTokens && n <= MaxTokens, 0).otherwise(1) +
+          when(avgLen >= 3.0 && avgLen <= 10.0, 0).otherwise(2) +
+          when(alphaOk, 0).otherwise(4) +
+          when(stopHits >= 2, 0).otherwise(8)
+      val m = Tables.table(s, dir, "documents").select(mask.as("mask"))
+      def fail(bit: Int) =
+        sum(when(col("mask").bitwiseAND(lit(bit)) =!= 0, 1L).otherwise(0L))
+      def excl(bit: Int) =
+        sum(when(col("mask") === bit, 1L).otherwise(0L))
+      m.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("mask") === 0, 1L).otherwise(0L)).as("n_kept"),
+        fail(1).as("fail_len"), fail(2).as("fail_avglen"),
+        fail(4).as("fail_alpha"), fail(8).as("fail_stop"),
+        excl(1).as("excl_len"), excl(2).as("excl_avglen"),
+        excl(4).as("excl_alpha"), excl(8).as("excl_stop"))
+    }),
+
     "q65_rule_filter" -> ((s, dir) => {
       val ts = T.tokenStats(col("text"))
       val n = ts.getField("ws_tokens")
@@ -639,6 +669,35 @@ object TextPack extends QueryPack {
          |           FROM tf)
          |SELECT tok, CAST(cnt AS BIGINT) AS cnt, TRUE AS cms_ok
          |FROM ranked WHERE rn <= $TopkTokens ORDER BY cnt DESC, tok""".stripMargin,
+
+    "q206_filter_attribution" -> {
+      val hits = hitsSql("toks", stopwords)
+      s"""WITH t AS (SELECT doc_id, text, ${toksSql("text")} AS toks FROM documents),
+         |f AS (SELECT doc_id, len(toks) AS n,
+         |        CASE WHEN len(toks) = 0 THEN NULL
+         |             ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(toks)
+         |        END AS avg_len,
+         |        len(regexp_extract_all(text, '[a-zA-Z]+')) AS alpha,
+         |        $hits AS hits
+         |      FROM t),
+         |m AS (SELECT doc_id,
+         |        (CASE WHEN n >= $MinTokens AND n <= $MaxTokens THEN 0 ELSE 1 END)
+         |        + (CASE WHEN avg_len >= 3.0 AND avg_len <= 10.0 THEN 0 ELSE 2 END)
+         |        + (CASE WHEN alpha >= n * 0.8 THEN 0 ELSE 4 END)
+         |        + (CASE WHEN hits >= 2 THEN 0 ELSE 8 END) AS mask
+         |      FROM f)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN mask = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN (mask & 1) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_len,
+         |       CAST(sum(CASE WHEN (mask & 2) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_avglen,
+         |       CAST(sum(CASE WHEN (mask & 4) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+         |       CAST(sum(CASE WHEN (mask & 8) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+         |       CAST(sum(CASE WHEN mask = 1 THEN 1 ELSE 0 END) AS BIGINT) AS excl_len,
+         |       CAST(sum(CASE WHEN mask = 2 THEN 1 ELSE 0 END) AS BIGINT) AS excl_avglen,
+         |       CAST(sum(CASE WHEN mask = 4 THEN 1 ELSE 0 END) AS BIGINT) AS excl_alpha,
+         |       CAST(sum(CASE WHEN mask = 8 THEN 1 ELSE 0 END) AS BIGINT) AS excl_stop
+         |FROM m""".stripMargin
+    },
 
     "q65_rule_filter" -> {
       val hits = hitsSql("toks", stopwords)

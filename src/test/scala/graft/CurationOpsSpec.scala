@@ -224,6 +224,34 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q206: exclusive failures are bounded by total failures per rule") {
+    val r = run("q206_filter_attribution").collect().head
+    for (rule <- Seq("len", "avglen", "alpha", "stop")) {
+      val fail = r.getAs[Long](s"fail_$rule")
+      val excl = r.getAs[Long](s"excl_$rule")
+      assert(excl <= fail, s"rule $rule: exclusive ($excl) > total ($fail)")
+    }
+    // kept + (docs failing at least one rule) = all docs; the failing
+    // count is NOT the sum of per-rule fails (joint failures overlap),
+    // but it is at least the max single-rule fail
+    val failing = r.getAs[Long]("n_docs") - r.getAs[Long]("n_kept")
+    val maxFail = Seq("len", "avglen", "alpha", "stop")
+      .map(x => r.getAs[Long](s"fail_$x")).max
+    assert(failing >= maxFail)
+  }
+
+  test("q207: planted dups split into within- and cross-source pairs exactly") {
+    val r = run("q207_dup_locality").collect().head
+    assert(r.getAs[Long]("n_pairs") ===
+      r.getAs[Long]("n_within") + r.getAs[Long]("n_cross"))
+    // every 6th doc planted within its source, every 10th across -> both
+    // locality classes are populated
+    assert(r.getAs[Long]("n_within") > 0)
+    assert(r.getAs[Long]("n_cross") > 0)
+    val fc = r.getAs[Double]("frac_cross")
+    assert(fc > 0.0 && fc < 1.0)
+  }
+
   test("q204: embargo split partitions exhaustively and the gap proof holds") {
     val r = run("q204_embargo_split").collect().head
     val total = Tables.table(spark, sf0, "events").count()

@@ -147,4 +147,72 @@ class PropertiesSpec extends SparkSpec {
         s"error should not grow: $err -> ${r - pred2}")
     }
   }
+
+  test("dupRuns matches a brute-force replay on random shared-phrase corpora") {
+    // random 4-doc corpora over a tiny vocab (forced window collisions),
+    // W=3 windows; the operator must agree with a literal driver-side
+    // replay of the first-seen/df/island semantics on every corpus
+    val wordGen = Gen.oneOf("aa", "bb", "cc", "dd")
+    val docGen = Gen.choose(3, 14).flatMap(n => Gen.listOfN(n, wordGen))
+    val corpusGen = Gen.listOfN(4, docGen)
+    samples(corpusGen, 8).zipWithIndex.foreach { case (docs, ci) =>
+      val W = 3
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.operators.Dedup.dupRuns(df, W).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_runs"), r.getAs[Long]("n_shared_windows"),
+            r.getAs[Long]("max_run"), r.getAs[Long]("max_span_toks"))).toMap
+      // driver-side replay
+      val wins = docs.zipWithIndex.flatMap { case (ws, i) =>
+        ws.sliding(W).zipWithIndex.collect {
+          case (w, p) if w.length == W => (i.toLong, p, w.mkString(" "))
+        }
+      }
+      val docFreq = wins.groupBy(_._3)
+        .view.mapValues(_.map(_._1).distinct.size).toMap
+      val expected = wins.filter(w => docFreq(w._3) >= 2)
+        .groupBy(_._1).map { case (id, shared) =>
+          val pos = shared.map(_._2).sorted
+          val runLens = {
+            var out = List.empty[Int]; var cur = 0; var prev = Int.MinValue
+            pos.foreach { p =>
+              if (p == prev + 1) cur += 1 else { if (cur > 0) out ::= cur; cur = 1 }
+              prev = p
+            }
+            if (cur > 0) out ::= cur
+            out
+          }
+          id -> (runLens.length.toLong, pos.length.toLong,
+            runLens.max.toLong, (runLens.max + W - 1).toLong)
+        }
+      assert(got === expected, s"corpus #$ci: $docs")
+    }
+  }
+
+  test("preferencePairs equals a sort-based reference on random groups") {
+    val rowGen = for {
+      g <- Gen.oneOf("g1", "g2", "g3")
+      id <- Gen.choose(1L, 40L)
+      q <- Gen.oneOf(0.1, 0.2, 0.5, 0.5, 0.9) // repeated value forces ties
+    } yield (g, id, q)
+    samples(Gen.listOfN(12, rowGen), 8).foreach { rows =>
+      val data = rows.distinctBy(r => (r._1, r._2)) // unique (group, id)
+      val df = data.toDF("grp", "doc_id", "qual")
+      val got = graft.operators.Selection
+        .preferencePairs(df, Seq("grp"), "doc_id", "qual")
+        .collect().map(r => r.getAs[String]("grp") ->
+          (r.getAs[Long]("chosen_id"), r.getAs[Long]("rejected_id"))).toMap
+      val expected = data.groupBy(_._1).flatMap { case (g, rs) =>
+        val byQualDesc = rs.sortBy(r => (-r._3, r._2))
+        val byQualAsc = rs.sortBy(r => (r._3, r._2))
+        val (qMax, qMin) = (byQualDesc.head._3, byQualAsc.head._3)
+        if (rs.size >= 2 && qMax > qMin)
+          Some(g -> (byQualDesc.head._2, byQualAsc.head._2))
+        else None
+      }
+      assert(got === expected)
+    }
+  }
 }

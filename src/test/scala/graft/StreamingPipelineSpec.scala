@@ -240,6 +240,46 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static novelty screen: live docs score marginal diversity against the reference corpus") {
+    // the online face of the q205 arrival-order novelty: the reference
+    // corpus's distinct gram set is the static side, each incoming doc's
+    // grams join against it, novelty = fraction unmatched. Stateless per
+    // batch (the static side carries all history), so the join is
+    // streaming-legal as-is.
+    implicit val sqlCtx = spark.sqlContext
+    val T = graft.functions.TextFunctions
+    val reference = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val refGrams = reference
+      .select(explode(T.wordNgrams(T.tokens(col("text")), 3)).as("g"))
+      .select(md5(col("g")).as("gh")).distinct()
+    val in = MemoryStream[(Long, String)]
+    val live = in.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(T.wordNgrams(T.tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .join(refGrams.withColumn("seen", lit(true)), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    val q = live.writeStream.format("memory").outputMode("complete")
+      .queryName("novelty").start()
+    try {
+      in.addData(
+        (10L, "the quick brown fox jumps high"), // 4 grams, 3 in the ref
+        (11L, "entirely fresh phrasing nobody wrote before"),
+        (12L, "pack my box with five dozen liquor jugs")) // verbatim ref
+      q.processAllAvailable()
+      val got = spark.table("novelty")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got(10L) === (4L, 1L), "shared grams must count as seen")
+      assert(got(11L)._1 === got(11L)._2, "fresh doc is 100% novel")
+      assert(got(12L)._2 === 0L, "verbatim reference doc is 0% novel")
+    } finally q.stop()
+  }
+
   test("streaming bloom screen: static sketch probes a live stream scan-stage") {
     implicit val sqlCtx = spark.sqlContext
     graft.GraftExtensions.register(spark)

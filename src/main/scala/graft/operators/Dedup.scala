@@ -304,6 +304,9 @@ object Dedup {
       .select(col(id), posexplode(T.wordNgrams(T.tokens(col(text)), w))
         .as(Seq("pos", "win")))
       .select(col(id), col("pos"), md5(col("win")).as("wh"))
+      // pinned: measured FASTER than relying on exchange reuse here (the
+      // positional explode is heavy and the df-filtered join side defeats
+      // reuse), unlike q205's distinct-gram pipeline where the pin lost
       .localCheckpoint(false)
     val docFreq = wins.select(col("wh"), col(id)).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))

@@ -368,10 +368,13 @@ object DedupPack extends QueryPack {
     // map-side), joined back to the per-doc grams — cost Σ df, never
     // pairwise.
     "q205_ngram_novelty" -> ((s, dir) => {
+      // NO pin despite two consumers: both sides hash-partition on gh, so
+      // the shingle pipeline's exchange is physically identical and
+      // ReuseExchange shares one scan (checked: localCheckpoint here was
+      // ~40% SLOWER — eager materialization without saving the re-read)
       val sh = Dedup.shingles(
         Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
         .select(col("doc_id"), md5(col("sh")).as("gh"))
-        .localCheckpoint(false) // first-seen pass + per-doc pass share it
       val firstSeen = sh.groupBy("gh").agg(min(col("doc_id")).as("first_id"))
       sh.join(firstSeen, "gh")
         .groupBy("doc_id")

@@ -143,4 +143,25 @@ object Tables {
     val base = spark.range(1, n + 1)
     (if (parallelism > 0) base.repartition(parallelism) else base).toDF("id")
   }
+
+  /** JSON-lines scan with an EXPLICIT schema — never schema inference,
+    * which runs a full extra pass over the data during planning (the
+    * q45-count() mistake at the source layer). Malformed lines land in
+    * the `_bad` quarantine column instead of killing the scan, matching
+    * [[robustCsv]]'s PERMISSIVE contract. */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_bad", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(path)
+
+  /** ORC scan (native reader, vectorized) — the second columnar format a
+    * warehouse migration typically carries alongside parquet. Explicit
+    * schema for the same no-inference-pass reason as [[jsonLines]];
+    * column pruning and predicate pushdown work as with parquet. */
+  def orc(spark: SparkSession, path: String,
+          schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
 }

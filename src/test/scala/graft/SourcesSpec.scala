@@ -94,6 +94,50 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.textLines(spark, dir).count() === 10)
   }
 
+  test("JSON-lines scan: explicit schema, malformed rows quarantined not fatal") {
+    val dir = tmpDir("json") + "/docs"
+    val good = Tables.table(spark, sf0, "documents")
+      .select("doc_id", "lang", "n_chars").limit(20)
+    good.write.mode("overwrite").json(dir)
+    // plant a malformed line next to the good part files
+    val bad = new java.io.PrintWriter(s"$dir/zz_bad.json")
+    try bad.println("""{"doc_id": 999, "lang": "en", "n_chars": NOT_JSON""")
+    finally bad.close()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    // cache: Spark refuses filters touching ONLY the corrupt-record
+    // column on a raw scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val back = Tables.jsonLines(spark, dir, schema).cache()
+    assert(back.filter(col("_bad").isNull).count() === 20)
+    assert(back.filter(col("_bad").isNotNull).count() === 1,
+      "the malformed line must land in quarantine, not kill the scan")
+    // values round-trip exactly
+    val got = back.filter(col("_bad").isNull)
+      .select("doc_id", "lang", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = good.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("ORC scan round-trips with column pruning and pushdown like parquet") {
+    val dir = tmpDir("orc") + "/li"
+    val src = Tables.table(spark, sf0, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount").limit(100)
+    src.write.mode("overwrite").orc(dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "l_orderkey BIGINT, l_quantity DOUBLE, l_discount DOUBLE")
+    val back = Tables.orc(spark, dir, schema)
+    assert(back.count() === 100)
+    val pruned = back.filter(col("l_quantity") > 25).select("l_orderkey")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"ORC scan must prune to the referenced columns:\n$scan")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]")
+      || scan.contains("GreaterThan(l_quantity"),
+      s"the filter must reach the ORC scan:\n$scan")
+  }
+
   test("streaming exact dedup keeps the first arrival of each content") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -77,6 +77,36 @@ object MiningPack extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Out-of-fold target encoding — the leakage-FREE version of the most
+    // leakage-prone feature op in tabular ML: a category's encoding for
+    // fold f aggregates every fold EXCEPT f ((total - fold) / (n - n_f)),
+    // so no row's target leaks into its own feature. Two grouped
+    // aggregations over integer cents (the second re-aggregates the
+    // first's partials — corpus scanned once), exact arithmetic until one
+    // final snap6; the whole-category-in-one-fold corner degrades to NULL
+    // instead of 0/0. Folds are user-keyed (the q204/q175 discipline:
+    // split by the entity, not the row, so one user's rows never straddle
+    // folds).
+    "q208_target_encoding" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type").as("cat"),
+          (coalesce(col("user_id"), lit(-1L)) % 5).cast("int").as("fold"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val perCF = e.groupBy("cat", "fold")
+        .agg(count(lit(1)).as("n_fold"), sum(col("cents")).as("sum_f"))
+      val perC = perCF.groupBy("cat")
+        .agg(sum(col("n_fold")).as("n_c"), sum(col("sum_f")).as("sum_c"))
+      perCF.join(perC, "cat")
+        .select(col("cat"), col("fold"), col("n_fold"),
+          when(col("n_c") === col("n_fold"), lit(null).cast("double"))
+            .otherwise(Portable.snap6(
+              (col("sum_c") - col("sum_f")).cast("double")
+                / (col("n_c") - col("n_fold")) / 100.0))
+            .as("oof_mean_value"))
+        .orderBy("cat", "fold")
+    }),
+
     // Interval-overlap join: every view window [ts, ts+5min) matched to
     // every same-user purchase window [ts, ts+10min) it overlaps — the
     // attribution primitive ("which purchases fell inside an ad-view
@@ -508,6 +538,26 @@ object MiningPack extends QueryPack {
     s"list_filter(regexp_split_to_array($text, '\\s+'), t -> len(t) > 0)"
 
   def oracles: Map[String, String] = Map(
+    "q208_target_encoding" -> {
+      val oof = graft.functions.Portable.snap6Sql(
+        "CAST(sum_c - sum_f AS DOUBLE) / (n_c - n_fold) / 100.0")
+      s"""WITH e AS (
+         |  SELECT event_type AS cat,
+         |         CAST(coalesce(user_id, -1) % 5 AS INTEGER) AS fold,
+         |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |cf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_fold,
+         |              CAST(sum(cents) AS BIGINT) AS sum_f
+         |       FROM e GROUP BY cat, fold),
+         |c AS (SELECT cat, CAST(sum(n_fold) AS BIGINT) AS n_c,
+         |             CAST(sum(sum_f) AS BIGINT) AS sum_c
+         |      FROM cf GROUP BY cat)
+         |SELECT cat, fold, n_fold,
+         |       CASE WHEN n_c = n_fold THEN NULL ELSE $oof END
+         |         AS oof_mean_value
+         |FROM cf JOIN c USING (cat)
+         |ORDER BY cat, fold""".stripMargin
+    },
 
     "q160_interval_join" ->
       s"""WITH a AS (

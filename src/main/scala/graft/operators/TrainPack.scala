@@ -21,7 +21,46 @@ import graft.QueryPack
   */
 object TrainPack extends QueryPack {
 
+  /** q209 negative sampling: candidate draws per sampled user and the
+    * negatives kept after the positive anti-join. */
+  val NegCandidates = 8
+  val NegPerUser = 3
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Implicit-feedback negative sampling — the training-data op the
+    // reference's own ALS domain needs: implicit datasets record only
+    // POSITIVE interactions, so the trainer must draw per-user negatives
+    // from the un-interacted catalog. Deterministic: candidate item ids
+    // come from the hash family (seeded by (user, draw index)), invalid
+    // draws (items the user actually touched) fall out via a left-anti
+    // join on the positive pairs, and the first NegPerUser surviving
+    // draws win. The catalog size rides the plan as a 1-row broadcast
+    // (no driver action); the anti-join shuffles (user, item) pairs —
+    // the only shuffle, keyed exactly like the ALS co-partitioning.
+    "q209_negative_sampling" -> ((s, dir) => {
+      val pos = Ratings.ratings(s, dir)
+        .select(col("user_id"), col("item_id")).distinct()
+      val maxItem = Ratings.ratings(s, dir)
+        .agg(max(col("item_id")).as("max_item"))
+      val users = pos.select(col("user_id")).distinct()
+        .filter(col("user_id") % 7 === 0)
+      val cands = users.crossJoin(broadcast(maxItem))
+        .select(col("user_id"),
+          explode(sequence(lit(1), lit(NegCandidates))).as("j"),
+          col("max_item"))
+        .select(col("user_id"), col("j"),
+          (graft.functions.Portable.hash32(concat(lit("neg:"),
+            col("user_id").cast("string"), lit(":"), col("j").cast("string")))
+            % col("max_item") + 1).as("item_id"))
+      val negs = cands.join(pos, Seq("user_id", "item_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("j")
+      negs.withColumn("neg_rank", row_number().over(w))
+        .filter(col("neg_rank") <= NegPerUser)
+        .select(col("user_id"), col("neg_rank"), col("item_id"))
+        .orderBy("user_id", "neg_rank")
+    }),
 
     // ALSImpl parity (flink-als/ALSImpl.scala:35-63): fit, export factors in
     // the wire format, report per-kind row counts + finite-factor check.
@@ -69,6 +108,28 @@ object TrainPack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q209_negative_sampling" ->
+      s"""WITH pos AS (
+         |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |mi AS (SELECT max(item_id) AS max_item FROM pos),
+         |u AS (SELECT DISTINCT user_id FROM pos WHERE user_id % 7 = 0),
+         |cand AS (SELECT user_id, j,
+         |           ${graft.functions.Portable.hash32Sql(
+                       "'neg:' || CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+         |             % max_item + 1 AS item_id
+         |         FROM u CROSS JOIN mi
+         |              CROSS JOIN (SELECT unnest(generate_series(1, $NegCandidates)) AS j)),
+         |neg AS (SELECT c.user_id, c.j, c.item_id FROM cand c
+         |        ANTI JOIN pos p
+         |          ON p.user_id = c.user_id AND p.item_id = c.item_id),
+         |r AS (SELECT user_id, item_id,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY j)
+         |             AS INTEGER) AS neg_rank
+         |      FROM neg)
+         |SELECT user_id, neg_rank, item_id FROM r
+         |WHERE neg_rank <= $NegPerUser ORDER BY user_id, neg_rank""".stripMargin,
+
     // Factor tables cover exactly the distinct ids of the training sample;
     // a healthy fit has zero NaN factor vectors.
     "q24_als_train" ->

@@ -224,6 +224,53 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q208: out-of-fold encoding never includes the fold's own target") {
+    val rows = run("q208_target_encoding").collect()
+    assert(rows.nonEmpty)
+    // replay: raw per-(cat,fold) sums from the events table
+    val raw = Tables.table(spark, sf0, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type").as("cat"),
+        (coalesce(col("user_id"), lit(-1L)) % 5).cast("int").as("fold"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val byCat = raw.groupBy(_._1._1).view
+      .mapValues(m => (m.values.map(_._1).sum, m.values.map(_._2).sum)).toMap
+    rows.foreach { r =>
+      val (cat, fold) = (r.getAs[String]("cat"), r.getAs[Int]("fold"))
+      val (nc, sc) = byCat(cat)
+      val (nf, sf) = raw((cat, fold))
+      assert(r.getAs[Long]("n_fold") === nf)
+      if (nc != nf) {
+        val expected = (sc - sf).toDouble / (nc - nf) / 100.0
+        assert(math.abs(r.getAs[Double]("oof_mean_value") - expected) < 1e-6)
+      } else assert(r.isNullAt(r.fieldIndex("oof_mean_value")))
+    }
+  }
+
+  test("q209: negatives are never positives and draws are deterministic") {
+    val pos = graft.operators.Ratings.ratings(spark, sf0)
+      .select("user_id", "item_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = run("q209_negative_sampling").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(!pos.contains((r.getAs[Long]("user_id"), r.getAs[Long]("item_id"))),
+        "a sampled negative collides with a real interaction")
+    }
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("neg_rank")).sorted.toSeq === (1 to rs.length))
+      assert(rs.length <= 3)
+    }
+    // determinism: a second run yields the identical set
+    val again = run("q209_negative_sampling").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again === rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+  }
+
   test("q206: exclusive failures are bounded by total failures per rule") {
     val r = run("q206_filter_attribution").collect().head
     for (rule <- Seq("len", "avglen", "alpha", "stop")) {

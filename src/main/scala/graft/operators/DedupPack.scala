@@ -325,6 +325,49 @@ object DedupPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Template-level dedup — normalization-INVARIANT exact dedup: crawls
+    // are full of template pages identical up to the numbers in them
+    // (prices, ids, dates, counters), which content-hash dedup cannot
+    // group. Folding digit runs to '0' before hashing collapses each
+    // template family to one key; the output separates byte-identical
+    // copies (n_distinct_raw = 1) from true template families
+    // (n_distinct_raw > 1 — the rows only THIS pass can find). Frame
+    // plants both: byte copies of every 9th doc, digit-mutated copies of
+    // every 7th. Same one-shuffle-on-hash shape as q30.
+    "q210_template_dedup" -> ((s, dir) => {
+      // every page carries a numeric field (the fixture texts are
+      // digit-free, so the render stamps one in — crawl pages always
+      // have counters/ids); re-crawls of every 7th page differ ONLY in
+      // that number, byte re-ingests of every 9th not at all
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"), lit(" ref="),
+            (col("doc_id") % 90).cast("string")).as("text"))
+      val frame = d
+        .unionAll(d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+        .unionAll(Tables.table(s, dir, "documents")
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2 * CopyOffset).as("doc_id"),
+            concat(col("text"), lit(" ref="),
+              (col("doc_id") % 90 + 1000).cast("string")).as("text")))
+      frame
+        .select(col("doc_id"),
+          md5(regexp_replace(
+            graft.functions.TextFunctions.normalize(col("text")),
+            "[0-9]+", "0"))
+            .as("template_hash"),
+          md5(col("text")).as("raw_hash"))
+        .groupBy("template_hash")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("raw_hash")).as("n_distinct_raw"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") > 1)
+        .select(col("keeper"), col("n_docs"), col("n_distinct_raw"),
+          (col("n_distinct_raw") > 1).as("template_only"))
+        .orderBy("keeper")
+    }),
+
     // Duplication LOCALITY accounting: of all exact-dup pairs, how many
     // live WITHIN one source vs ACROSS sources — the number that decides
     // whether per-source (cheap, shardable by source) dedup suffices or
@@ -759,6 +802,33 @@ object DedupPack extends QueryPack {
         |       CAST(count(*) FILTER (WHERE doc_id % 7 = 0) AS BIGINT) AS n_ref,
         |       TRUE AS no_false_negatives, TRUE AS fp_ok
         |FROM documents""".stripMargin,
+
+    "q210_template_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text || ' ref=' || CAST(doc_id % 90 AS VARCHAR) AS text
+         |  FROM documents),
+         |frame AS (
+         |  SELECT doc_id, text FROM d
+         |  UNION ALL
+         |  SELECT doc_id + $CopyOffset AS doc_id, text
+         |  FROM d WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + ${2 * CopyOffset} AS doc_id,
+         |         text || ' ref=' || CAST(doc_id % 90 + 1000 AS VARCHAR) AS text
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |h AS (SELECT doc_id,
+         |        md5(regexp_replace(${normalizeSql("text")}, '[0-9]+', '0', 'g'))
+         |          AS template_hash,
+         |        md5(text) AS raw_hash
+         |      FROM frame),
+         |g AS (SELECT template_hash, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_distinct_raw,
+         |             min(doc_id) AS keeper
+         |      FROM h GROUP BY template_hash)
+         |SELECT keeper, n_docs, n_distinct_raw,
+         |       n_distinct_raw > 1 AS template_only
+         |FROM g WHERE n_docs > 1 ORDER BY keeper""".stripMargin,
 
     "q207_dup_locality" ->
       s"""WITH frame AS (

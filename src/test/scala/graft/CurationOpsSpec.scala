@@ -224,6 +224,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q210: template dedup separates byte copies from digit-template families") {
+    val rows = run("q210_template_dedup").collect()
+    assert(rows.nonEmpty)
+    // the %7 digit-mutated plants (on docs that contain digits) are
+    // template-only families; the %9 byte copies are not
+    assert(rows.exists(_.getAs[Boolean]("template_only")),
+      "digit-mutated plants must group as template families")
+    assert(rows.exists(!_.getAs[Boolean]("template_only")),
+      "byte-identical plants must remain raw-dup groups")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_raw") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_docs") > 1)
+    }
+  }
+
   test("q208: out-of-fold encoding never includes the fold's own target") {
     val rows = run("q208_target_encoding").collect()
     assert(rows.nonEmpty)

@@ -42,11 +42,11 @@ object MultimodalPack extends QueryPack {
         .filter(length(col("text")) >= VadWindow)
       val codes = transform(split(col("text"), ""), c => ascii(c))
       val nw = floor(length(col("text")) / VadWindow).cast("int")
-      val energies = when(nw > 0,
-        transform(sequence(lit(0), nw - 1), w =>
-          aggregate(slice(codes, w * VadWindow + 1, lit(VadWindow)),
-            lit(0), (acc, x) => acc + x)))
-        .otherwise(array().cast("array<int>"))
+      // nw >= 1 is guaranteed by the length filter above, so the window
+      // sequence is never empty/reversed
+      val energies = transform(sequence(lit(0), nw - 1), w =>
+        aggregate(slice(codes, w * VadWindow + 1, lit(VadWindow)),
+          lit(0), (acc, x) => acc + x))
       val flags = transform(energies, e => e >= VadThreshold)
       val zero = struct(lit(0).as("cur"), lit(0).as("best"), lit(0).as("segs"))
       val fold = aggregate(flags, zero, (acc, f) => struct(

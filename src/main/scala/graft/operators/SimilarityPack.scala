@@ -50,6 +50,18 @@ object SimilarityPack extends QueryPack {
       .filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 
+  /** Labeled variants shared by the exact (q197) and IVF-bucketed (q203)
+    * hard-negative miners — one definition so the two cannot drift. */
+  private def labeledCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"), col("label"))
+
+  private def labeledQueries(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlabel"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Embedding-cosine near-duplicate pairs over the planted-dup corpus:
@@ -81,14 +93,8 @@ object SimilarityPack extends QueryPack {
     // with the query side broadcast; the 100 TB path swaps the corpus
     // scan for the IVF index exactly like q36.
     "q197_hard_negatives" -> ((s, dir) => {
-      val c = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"),
-          col("label"))
-      val q = Tables.table(s, dir, "embeddings")
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("qlabel"))
-      Similarity.hardNegatives(c, q, k = 3)
+      Similarity.hardNegatives(labeledCorpus(s, dir),
+          labeledQueries(s, dir), k = 3)
         .select(col("qid"), col("rank"), col("id").as("neg_id"), col("sim"))
         .orderBy("qid", "rank")
     }),
@@ -98,14 +104,8 @@ object SimilarityPack extends QueryPack {
     // riding the index rows). Same bucket-scan cost as plain IVF search;
     // recall vs the exact q197 is the q174-style tradeoff.
     "q203_ivf_hard_negatives" -> ((s, dir) => {
-      val c = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"),
-          col("label"))
-      val q = Tables.table(s, dir, "embeddings")
-        .filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-          col("label").as("qlabel"))
-      Similarity.ivfHardNegatives(c, q, centroids(s, dir), k = 3)
+      Similarity.ivfHardNegatives(labeledCorpus(s, dir),
+          labeledQueries(s, dir), centroids(s, dir), k = 3)
         .select(col("qid"), col("rank"), col("id").as("neg_id"), col("sim"))
         .orderBy("qid", "rank")
     }),

@@ -41,8 +41,7 @@ object TrainPack extends QueryPack {
     "q209_negative_sampling" -> ((s, dir) => {
       val pos = Ratings.ratings(s, dir)
         .select(col("user_id"), col("item_id")).distinct()
-      val maxItem = Ratings.ratings(s, dir)
-        .agg(max(col("item_id")).as("max_item"))
+      val maxItem = pos.agg(max(col("item_id")).as("max_item"))
       val users = pos.select(col("user_id")).distinct()
         .filter(col("user_id") % 7 === 0)
       val cands = users.crossJoin(broadcast(maxItem))
@@ -53,6 +52,9 @@ object TrainPack extends QueryPack {
           (graft.functions.Portable.hash32(concat(lit("neg:"),
             col("user_id").cast("string"), lit(":"), col("j").cast("string")))
             % col("max_item") + 1).as("item_id"))
+        // two draws can collide on the same item — keep the earliest draw
+        // index so the user's negatives are DISTINCT items
+        .groupBy("user_id", "item_id").agg(min(col("j")).as("j"))
       val negs = cands.join(pos, Seq("user_id", "item_id"), "left_anti")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("user_id").orderBy("j")
@@ -114,12 +116,14 @@ object TrainPack extends QueryPack {
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |mi AS (SELECT max(item_id) AS max_item FROM pos),
          |u AS (SELECT DISTINCT user_id FROM pos WHERE user_id % 7 = 0),
-         |cand AS (SELECT user_id, j,
+         |cand0 AS (SELECT user_id, j,
          |           ${graft.functions.Portable.hash32Sql(
                        "'neg:' || CAST(user_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
          |             % max_item + 1 AS item_id
          |         FROM u CROSS JOIN mi
          |              CROSS JOIN (SELECT unnest(generate_series(1, $NegCandidates)) AS j)),
+         |cand AS (SELECT user_id, item_id, min(j) AS j
+         |         FROM cand0 GROUP BY user_id, item_id),
          |neg AS (SELECT c.user_id, c.j, c.item_id FROM cand c
          |        ANTI JOIN pos p
          |          ON p.user_id = c.user_id AND p.item_id = c.item_id),

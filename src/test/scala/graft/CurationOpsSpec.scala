@@ -279,6 +279,9 @@ class CurationOpsSpec extends SparkSpec {
     rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
       assert(rs.map(_.getAs[Int]("neg_rank")).sorted.toSeq === (1 to rs.length))
       assert(rs.length <= 3)
+      val items = rs.map(_.getAs[Long]("item_id"))
+      assert(items.distinct.length === items.length,
+        "a user's negatives must be distinct items even when draws collide")
     }
     // determinism: a second run yields the identical set
     val again = run("q209_negative_sampling").collect()

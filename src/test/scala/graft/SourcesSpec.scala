@@ -133,9 +133,9 @@ class SourcesSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"ORC scan must prune to the referenced columns:\n$scan")
-    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]")
-      || scan.contains("GreaterThan(l_quantity"),
-      s"the filter must reach the ORC scan:\n$scan")
+    assert(scan.contains(
+      "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)]"),
+      s"the exact filter set must reach the ORC scan:\n$scan")
   }
 
   test("streaming exact dedup keeps the first arrival of each content") {

@@ -36,6 +36,11 @@ object PipelinePack extends QueryPack {
   val EmbargoTestFrom = "2024-01-23 00:00:00"
   val EmbargoSeconds = 259200L
 
+  /** q211 label construction: per-cutoff observation lookback and outcome
+    * horizon (both 7 days), two cutoffs inside the events range. */
+  val LabelCutoffs = Seq("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+  val LabelWindowDays = 7
+
   /** Sampling temperature for the q154 mix plan: p_i ∝ tokens_i^alpha.
     * alpha=1 is proportional (big sources dominate), alpha=0 is uniform
     * (q95's plan); 0.7 is the usual multilingual/multi-source compromise
@@ -116,6 +121,41 @@ object PipelinePack extends QueryPack {
         .select(col("n_train"), col("n_test"), col("n_purged"),
           col("n_users_both"), col("min_gap_s"),
           (col("min_gap_s") >= EmbargoSeconds).as("embargo_ok"))
+    }),
+
+    // Supervised-label construction — the step that turns an event log
+    // into a training table WITHOUT temporal leakage: for each (user,
+    // cutoff), features aggregate ONLY the observation window
+    // (cutoff-7d, cutoff] and the label looks ONLY at the outcome
+    // horizon (cutoff, cutoff+7d]. Strict window edges are the whole
+    // point (an event AT the cutoff is observable; one after it is
+    // future) — the same discipline as the q204 embargo, applied to
+    // label building. Cutoffs ride a tiny exploded literal frame; one
+    // shuffle on (user, cutoff).
+    "q211_churn_labels" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "events")
+        .filter(col("user_id").isNotNull && col("user_id") % 5 === 0)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val cuts = LabelCutoffs.map(c =>
+        struct(lit(c).as("cut_s"), lit(c).cast("timestamp").as("cut")))
+      val framed = e.select(col("user_id"), col("ts"), col("event_type"),
+          explode(array(cuts: _*)).as("c"))
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("c.cut_s").as("cutoff"), col("c.cut").as("cut"))
+      val lo = col("cut") - expr(s"INTERVAL $LabelWindowDays DAYS")
+      val hi = col("cut") + expr(s"INTERVAL $LabelWindowDays DAYS")
+      val obs = col("ts") > lo && col("ts") <= col("cut")
+      val out = col("ts") > col("cut") && col("ts") <= hi
+      framed
+        .groupBy("user_id", "cutoff")
+        .agg(sum(when(obs, 1L).otherwise(0L)).as("n_events_obs"),
+          sum(when(obs && col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases_obs"),
+          max(when(out, 1L).otherwise(0L)).as("label_active"))
+        // rows need at least one OBSERVED event: a user invisible before
+        // the cutoff has no features to train on
+        .filter(col("n_events_obs") > 0)
+        .orderBy("user_id", "cutoff")
     }),
 
     "q50_hash_split" -> ((s, dir) => {
@@ -494,6 +534,33 @@ object PipelinePack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+    "q211_churn_labels" -> {
+      val cutsValues = LabelCutoffs
+        .map(c => s"('$c', TIMESTAMP '$c')").mkString(", ")
+      s"""WITH e AS (
+         |  SELECT user_id, ts, event_type FROM events
+         |  WHERE user_id IS NOT NULL AND user_id % 5 = 0),
+         |cuts(cutoff, cut) AS (VALUES $cutsValues),
+         |f AS (SELECT user_id, ts, event_type, cutoff, cut
+         |      FROM e CROSS JOIN cuts),
+         |g AS (SELECT user_id, cutoff,
+         |        CAST(sum(CASE WHEN ts > cut - INTERVAL $LabelWindowDays DAY
+         |                       AND ts <= cut THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_events_obs,
+         |        CAST(sum(CASE WHEN ts > cut - INTERVAL $LabelWindowDays DAY
+         |                       AND ts <= cut
+         |                       AND event_type = 'purchase'
+         |                      THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_purchases_obs,
+         |        CAST(max(CASE WHEN ts > cut
+         |                       AND ts <= cut + INTERVAL $LabelWindowDays DAY
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS label_active
+         |      FROM f GROUP BY user_id, cutoff)
+         |SELECT user_id, cutoff, n_events_obs, n_purchases_obs, label_active
+         |FROM g WHERE n_events_obs > 0
+         |ORDER BY user_id, cutoff""".stripMargin
+    },
+
     "q204_embargo_split" ->
       s"""WITH e AS (
          |  SELECT user_id, ts,

@@ -224,6 +224,33 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q211: labels replay driver-side with strict window edges") {
+    val rows = run("q211_churn_labels").collect()
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss")
+    val ev = Tables.table(spark, sf0, "events")
+      .filter(col("user_id").isNotNull && col("user_id") % 5 === 0)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime]("ts"), r.getString(2)))
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val cut = java.time.LocalDateTime.parse(r.getAs[String]("cutoff"), fmt)
+      val (lo, hi) = (cut.minusDays(7), cut.plusDays(7))
+      val mine = ev.filter(_._1 == u)
+      val obs = mine.filter(e => e._2.isAfter(lo) && !e._2.isAfter(cut))
+      val out = mine.exists(e => e._2.isAfter(cut) && !e._2.isAfter(hi))
+      assert(r.getAs[Long]("n_events_obs") === obs.length.toLong)
+      assert(r.getAs[Long]("n_purchases_obs") ===
+        obs.count(_._3 == "purchase").toLong)
+      assert(r.getAs[Long]("label_active") === (if (out) 1L else 0L))
+      assert(obs.nonEmpty, "emitted rows must have observed features")
+    }
+    // both label classes must appear or the dataset is degenerate
+    assert(rows.exists(_.getAs[Long]("label_active") == 1L))
+  }
+
   test("q210: template dedup separates byte copies from digit-template families") {
     val rows = run("q210_template_dedup").collect()
     assert(rows.nonEmpty)

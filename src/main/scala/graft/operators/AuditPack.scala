@@ -93,6 +93,14 @@ object AuditPack extends QueryPack {
   val DpMeanClip = 2000.0
   val DpMeanEps = 1.0
 
+  /** q212 PSI: fixed-width bin size (chars) and the industry alert
+    * thresholds (0.1 = drifting, 0.25 = major shift). Width 25 makes the
+    * planted +40-char pad move most affected rows across a bin edge, so
+    * the detector FIRES on the fixture (PSI ~0.2 at sf0.01). */
+  val PsiBinWidth = 25L
+  val PsiWarn = 0.1
+  val PsiAlert = 0.25
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Cohen's kappa between two quality raters — the inter-annotator
@@ -192,6 +200,47 @@ object AuditPack extends QueryPack {
               > col("sum_a") * col("nn_b"))
         .drop("nn_a", "nn_b", "sum_a", "sum_b")
         .orderBy("cname")
+    }),
+
+    // Population Stability Index — THE production model-monitoring drift
+    // score, complementing the family: q145 scores category composition
+    // (KL/TV), q181 detects any CDF shift (KS), q194 flags per-column
+    // profile deltas; PSI scores a numeric feature's BINNED histogram
+    // shift in the units ops teams alert on (0.1 warn / 0.25 alert).
+    // Same planted snapshot pair as q194, fixed-width bins (exact
+    // integer bucketing — quantile cuts would need their own sync),
+    // add-one smoothing so empty bins stay finite, per-bin terms rounded
+    // then summed as DECIMAL (the q62 discipline: partition-order-free).
+    "q212_psi_drift" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .withColumn("side",
+          when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b")))
+        .withColumn("nchars2",
+          when(col("side") === "b" && col("doc_id") % DriftCharsPadMod === 0,
+            col("n_chars") + DriftCharsPad).otherwise(col("n_chars")))
+        // explicit floor: a bare cast would truncate in Spark but ROUND
+        // in DuckDB's double->bigint cast
+        .select(col("side"),
+          floor(col("nchars2") / PsiBinWidth).cast("long").as("bin"))
+      val per = d.groupBy("bin").agg(
+        sum(when(col("side") === "a", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === "b", 1L).otherwise(0L)).as("cb"))
+      val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"),
+        count(lit(1)).as("k"))
+      val terms = per.crossJoin(broadcast(tot))
+        .select(col("bin"),
+          // add-one smoothing: (c + 1) / (n + k) keeps empty bins finite
+          ((col("ca") + 1).cast("double") / (col("na") + col("k"))).as("pa"),
+          ((col("cb") + 1).cast("double") / (col("nb") + col("k"))).as("pb"))
+        .select(col("bin"),
+          Portable.snap6((col("pa") - col("pb"))
+            * log(col("pa") / col("pb"))).as("term"))
+      terms.agg(
+          count(lit(1)).as("n_bins"),
+          sum(col("term").cast("decimal(20,6)")).cast("double").as("psi"))
+        .select(col("n_bins"), Portable.snap6(col("psi")).as("psi"),
+          (col("psi") >= PsiWarn).as("drifting"),
+          (col("psi") >= PsiAlert).as("major_shift"))
     }),
 
     // Differentially-private per-source MEAN document length — the
@@ -1021,6 +1070,34 @@ object AuditPack extends QueryPack {
          |         abs(sum_a * nn_b - sum_b * nn_a) * 100 > sum_a * nn_b
          |         AS mean_drift
          |FROM g ORDER BY cname""".stripMargin,
+
+    "q212_psi_drift" -> {
+      val term = graft.functions.Portable.snap6Sql(
+        "(pa - pb) * ln(pa / pb)")
+      s"""WITH d AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+         |         CAST(floor((CASE WHEN doc_id % 2 = 1
+         |                     AND doc_id % $DriftCharsPadMod = 0
+         |                    THEN n_chars + $DriftCharsPad
+         |                    ELSE n_chars END) / $PsiBinWidth) AS BIGINT)
+         |           AS bin
+         |  FROM documents),
+         |per AS (SELECT bin,
+         |          CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |          CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |        FROM d GROUP BY bin),
+         |tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k FROM per),
+         |t AS (SELECT bin,
+         |        CAST(ca + 1 AS DOUBLE) / (na + k) AS pa,
+         |        CAST(cb + 1 AS DOUBLE) / (nb + k) AS pb
+         |      FROM per CROSS JOIN tot),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |             CAST(sum(CAST($term AS DECIMAL(20,6))) AS DOUBLE) AS psi
+         |      FROM t)
+         |SELECT n_bins, ${graft.functions.Portable.snap6Sql("psi")} AS psi,
+         |       psi >= $PsiWarn AS drifting, psi >= $PsiAlert AS major_shift
+         |FROM s""".stripMargin
+    },
 
     "q199_group_dp_mean" -> {
       def lap(tag: String, b: Double) = {

@@ -224,6 +224,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q212: PSI matches an exact driver-side replay of the binned divergence") {
+    val r = run("q212_psi_drift").collect().head
+    assert(r.getAs[Double]("psi") >= 0.0, "PSI is a non-negative divergence")
+    // literal replay: same mutation, same bins, same smoothing
+    val bins = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("n_chars")).collect().map { row =>
+        val (id, nc) = (row.getLong(0), row.getLong(1))
+        val a = id % 2 == 0
+        val v = if (!a && id % 5 == 0) nc + 40 else nc
+        (a, v / 25)
+      }
+    val per = bins.groupBy(_._2).view.mapValues(xs =>
+      (xs.count(_._1), xs.count(!_._1))).toMap
+    val (na, nb, k) = (per.values.map(_._1).sum, per.values.map(_._2).sum,
+      per.size)
+    val psi = per.values.map { case (ca, cb) =>
+      val pa = (ca + 1.0) / (na + k); val pb = (cb + 1.0) / (nb + k)
+      // snap6 is a FLOOR at 1e-6 (Portable.snap6), not a round
+      math.floor((pa - pb) * math.log(pa / pb) * 1e6) / 1e6
+    }.sum
+    assert(r.getAs[Long]("n_bins") === k.toLong)
+    assert(math.abs(r.getAs[Double]("psi") - psi) < 2e-6,
+      s"query PSI ${r.getAs[Double]("psi")} vs replay $psi")
+    assert(r.getAs[Boolean]("drifting") === (r.getAs[Double]("psi") >= 0.1))
+  }
+
   test("q211: labels replay driver-side with strict window edges") {
     val rows = run("q211_churn_labels").collect()
     assert(rows.nonEmpty)

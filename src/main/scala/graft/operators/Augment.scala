@@ -32,7 +32,10 @@ object Augment {
   def mlmMask(df: DataFrame, idCol: String, textCol: String, frac: Double,
               maskTok: String = "<MASK>", salt: String = "mlm"): DataFrame = {
     val thr = hexThreshold(frac)
-    val toks = split(col(textCol), " ")
+    // shared \s+ tokenizer (empties dropped) — the same token universe
+    // MaskFrac budgeting and the BPE learner count over, so a run of
+    // spaces cannot manufacture phantom empty tokens that inflate n_toks
+    val toks = TextFunctions.tokens(col(textCol))
     df
       .withColumn("_toks", toks)
       .withColumn("_flags", transform(col("_toks"), (t, i) =>
@@ -64,7 +67,8 @@ object Augment {
     // frac would hit modulo-by-zero/negative on short docs
     require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
     require(spanW >= 1, "spanW must be >= 1")
-    val n = size(split(col(textCol), " "))
+    // same \s+ tokenizer as mlmMask/bpeLearn (see mlmMask note)
+    val n = size(TextFunctions.tokens(col(textCol)))
     val nSpans = when(n >= spanW, floor(n * lit(frac) / lit(spanW)))
       .otherwise(lit(0L)).cast("int")
     val starts = when(col("n_spans") > 0,
@@ -86,6 +90,16 @@ object Augment {
             x => x.cast("string")), ",")), 1, 8))
       .drop("_starts")
   }
+
+  /** Estimated driver-heap bytes for the local loop's representation of a
+    * collected vocabulary: each word becomes an Array[String] of ~chars+1
+    * one-char Strings (~40 B each: object header + backing char payload)
+    * plus array slots (8 B/ref + 16 B header) and the (tuple, Long count)
+    * wrapper — conservatively 56 B per symbol plus 112 B per word.
+    * Deliberately pessimistic: over-estimating only pushes borderline
+    * vocabularies onto the distributed path, which is always safe. */
+  def bpeFootprintBytes(nWords: Long, sumChars: Long): Long =
+    56L * (sumChars + nWords) + 112L * nWords
 
   /** Symbol split shared by learn and encode: CODE POINTS (matching
     * Spark's substr/length character semantics — Java's toCharArray
@@ -136,15 +150,20 @@ object Augment {
     * The corpus is touched exactly once (tokenize + groupBy word — the
     * only stage that sees 100 TB). The merge loop then runs on the
     * (word, count) VOCABULARY, which is bounded by distinct-word count,
-    * not corpus size: when it fits the driver budget (`maxLocalVocab`)
-    * the loop runs in memory — exactly how production tokenizer trainers
-    * work (distributed count, local merge learning), and ~rounds× fewer
-    * scheduled jobs. An oversized vocabulary falls back to the
-    * distributed loop: one small shuffle + 1-row argmax collect per
-    * round. Both paths implement the identical greedy non-overlapping
-    * left-to-right merge and tie-break, so they return the same rules. */
+    * not corpus size: when its estimated driver-heap footprint fits
+    * `maxLocalBytes` the loop runs in memory — exactly how production
+    * tokenizer trainers work (distributed count, local merge learning),
+    * and ~rounds× fewer scheduled jobs. The budget is in BYTES, not a
+    * word count: a long-tail vocabulary of long words is what blows a
+    * driver, and a count bound can't see word length — the estimate is
+    * [[bpeFootprintBytes]] over (n_words, sum of word chars), both read
+    * from the single `counted` aggregate that materializes the cache.
+    * An oversized vocabulary falls back to the distributed loop: one
+    * small shuffle + 1-row argmax collect per round. Both paths
+    * implement the identical greedy non-overlapping left-to-right merge
+    * and tie-break, so they return the same rules. */
   def bpeLearn(docs: DataFrame, textCol: String, rounds: Int,
-               maxLocalVocab: Long = 2000000L): DataFrame = {
+               maxLocalBytes: Long = 1L << 30): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(rounds >= 1 && rounds <= 64, "rounds must be in [1, 64]")
@@ -152,8 +171,10 @@ object Augment {
     val counted = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-    val nWords = counted.cache().count()
-    if (nWords <= maxLocalVocab) {
+    val stats = counted.cache()
+      .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L)))
+      .as[(Long, Long)].head()
+    if (bpeFootprintBytes(stats._1, stats._2) <= maxLocalBytes) {
       val words = counted.as[(String, Long)].collect()
         .map { case (w, c) => (charsLocal(w), c) }
       counted.unpersist()

@@ -63,21 +63,68 @@ object AugmentPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
-    // BPE merge-rule learning (no SQL oracle: the argmax-per-round loop
-    // is not ANSI-expressible — driver records the rows-only check; exact
-    // merge semantics are pinned by AugmentSpec on a crafted corpus).
-    // Deterministic: ties break lexicographically.
-    "q132_bpe_vocab" -> ((s, dir) =>
-      Augment.bpeLearn(docs(s, dir), "text", BpeRounds)
-        .orderBy("rank")),
+    // BPE merge-rule learning, pinned to the DuckDB oracle as a
+    // SQL-expressible PREFIX plus hash-gated invariants: round 1 of the
+    // merge loop is a plain pair-count argmax the oracle replays exactly
+    // (same \s+ tokens, code-point split, </w> marker, overlap-counted
+    // pairs, (freq DESC, a, b) binary-collation tie-break), and the
+    // remaining rounds — not ANSI-expressible — are pinned through gate
+    // rows whose expected values are constants: rule count, merged =
+    // left||right, merge frequency monotone non-increasing (a new pair
+    // created by a merge can never exceed the merged pair's own count),
+    // contiguous 1..n ranks, all frequencies positive. A gate violation
+    // flips a 'true' to 'false' and fails the hash compare, so all 12
+    // rounds are correctness-gated even though only round 1 is replayed.
+    // Exact multi-round merge semantics are additionally pinned by
+    // AugmentSpec on crafted corpora.
+    "q132_bpe_vocab" -> ((s, dir) => {
+      val rules = Augment.bpeLearn(docs(s, dir), "text", BpeRounds)
+      bpeContract(rules)
+    }),
   )
+
+  /** (item, value) contract view of a learned rule list: the exact
+    * round-1 rule plus constant-expected gate rows (see q132 comment).
+    * One row in, nine rows out — all arithmetic on the already-tiny rule
+    * table, sorted by the struct's leading `rank` field. */
+  private[operators] def bpeContract(rules: DataFrame): DataFrame = {
+    val rs = array_sort(collect_list(struct(
+      col("rank"), col("left"), col("right"), col("merged"), col("freq"))))
+    rules
+      .agg(rs.as("rs"))
+      .select(
+        element_at(col("rs"), 1).as("r1"),
+        size(col("rs")).as("n"),
+        forall(col("rs"), r => r.getField("merged") ===
+          concat(r.getField("left"), r.getField("right"))).as("concat_ok"),
+        forall(col("rs"), r => r.getField("freq") >= 1).as("freq_pos"),
+        forall(zip_with(
+          slice(col("rs"), lit(1), size(col("rs")) - 1),
+          slice(col("rs"), lit(2), size(col("rs")) - 1),
+          (p, q) => q.getField("freq") <= p.getField("freq")),
+          m => m).as("monotone"),
+        (transform(col("rs"), r => r.getField("rank")) ===
+          sequence(lit(1), size(col("rs")))).as("ranks_ok"))
+      .select(explode(map(
+        lit("a_r1_left"), col("r1.left"),
+        lit("a_r1_right"), col("r1.right"),
+        lit("a_r1_merged"), col("r1.merged"),
+        lit("a_r1_freq"), col("r1.freq").cast("string"),
+        lit("g_n_rules"), col("n").cast("string"),
+        lit("g_concat_ok"), col("concat_ok").cast("string"),
+        lit("g_freq_monotone"), col("monotone").cast("string"),
+        lit("g_freq_positive"), col("freq_pos").cast("string"),
+        lit("g_ranks_contiguous"), col("ranks_ok").cast("string"))))
+      .toDF("item", "value")
+      .orderBy("item")
+  }
 
   def oracles: Map[String, String] = Map(
 
     "q130_mlm_mask" -> {
       val thr = CorpusOps.hexThreshold(MaskFrac)
       s"""WITH t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |  SELECT doc_id, ${TextPack.toksSql("text")} AS toks FROM documents),
          |f AS (
          |  SELECT doc_id, toks,
          |         list_transform(generate_series(1, len(toks)), i ->
@@ -97,7 +144,8 @@ object AugmentPack extends QueryPack {
 
     "q198_span_mask" ->
       s"""WITH t AS (
-         |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+         |  SELECT doc_id, len(${TextPack.toksSql("text")}) AS n
+         |  FROM documents),
          |b AS (SELECT doc_id, n,
          |        CAST(floor((n * $MaskFrac) / $SpanW) AS INTEGER) AS n_spans
          |      FROM t),
@@ -117,6 +165,34 @@ object AugmentPack extends QueryPack {
          |         list_sort(list_distinct(starts)), ','), '')), 1, 8)
          |         AS span_hash
          |FROM st ORDER BY doc_id""".stripMargin,
+
+    "q132_bpe_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${TextPack.toksSql("text")}) AS w FROM documents),
+         |words AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |syms AS (
+         |  SELECT list_append(list_transform(generate_series(1, length(w)),
+         |           i -> substr(w, i, 1)), '</w>') AS s, cnt
+         |  FROM words),
+         |pairs AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+         |           i -> struct_pack(a := s[i], b := s[i + 1]))) AS p, cnt
+         |  FROM syms),
+         |r1 AS (
+         |  SELECT p.a AS a, p.b AS b, sum(cnt) AS freq
+         |  FROM pairs GROUP BY 1, 2
+         |  ORDER BY freq DESC, a ASC, b ASC LIMIT 1)
+         |SELECT item, value FROM (
+         |  SELECT 'a_r1_left' AS item, a AS value FROM r1
+         |  UNION ALL SELECT 'a_r1_right', b FROM r1
+         |  UNION ALL SELECT 'a_r1_merged', a || b FROM r1
+         |  UNION ALL SELECT 'a_r1_freq', CAST(freq AS VARCHAR) FROM r1
+         |  UNION ALL SELECT 'g_n_rules', '$BpeRounds'
+         |  UNION ALL SELECT 'g_concat_ok', 'true'
+         |  UNION ALL SELECT 'g_freq_monotone', 'true'
+         |  UNION ALL SELECT 'g_freq_positive', 'true'
+         |  UNION ALL SELECT 'g_ranks_contiguous', 'true')
+         |ORDER BY item""".stripMargin,
 
     "q131_normalize_text" ->
       """SELECT p_name,

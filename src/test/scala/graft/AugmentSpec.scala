@@ -45,10 +45,32 @@ class AugmentSpec extends SparkSpec {
       .toDF("text")
     val local = Augment.bpeLearn(docs, "text", rounds = 6)
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
-    val dist = Augment.bpeLearn(docs, "text", rounds = 6, maxLocalVocab = 0L)
+    val dist = Augment.bpeLearn(docs, "text", rounds = 6, maxLocalBytes = 0L)
       .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
     assert(local === dist)
     assert(local.size === 6)
+  }
+
+  test("bpeLearn: local-path budget is bytes and the boundary is exact") {
+    // 5 distinct words, 24 chars total — the footprint estimator is the
+    // single decision input, so a budget of exactly the footprint stays
+    // local and one byte less falls back to the distributed loop; both
+    // must return identical rules (path choice is invisible in results)
+    val docs = Seq("low lower lowest new newest").toDF("text")
+    val fp = Augment.bpeFootprintBytes(5L, 24L)
+    assert(fp === 56L * (24L + 5L) + 112L * 5L)
+    val atBudget = Augment.bpeLearn(docs, "text", rounds = 4,
+      maxLocalBytes = fp)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    val underBudget = Augment.bpeLearn(docs, "text", rounds = 4,
+      maxLocalBytes = fp - 1)
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(atBudget === underBudget)
+    assert(atBudget.size === 4)
+    // longer words grow the estimate even at equal word count: the
+    // failure mode a count bound cannot see
+    assert(Augment.bpeFootprintBytes(5L, 240L) >
+      Augment.bpeFootprintBytes(5L, 24L))
   }
 
   test("bpeLearn: stops early when no pairs remain") {

@@ -464,22 +464,42 @@ object AuditPack extends QueryPack {
         .orderBy("c_mktsegment")
     }),
 
-    // Equi-depth curriculum binning: documents ranked by length into 10
-    // ntile buckets (total order tie-broken by doc_id, so both engines
-    // assign identical bins), per-bin count and char-mass. This is the
-    // "sort corpus by difficulty proxy, feed in bins" curriculum step;
-    // the single global window is the documented tradeoff — at cluster
-    // scale the same binning runs via quantile cutpoints (q66) instead
-    // of a total sort.
+    // Equi-depth curriculum binning WITHOUT a total sort: the "rank the
+    // corpus by difficulty proxy, feed in bins" step, computed from the
+    // length HISTOGRAM. One mergeable groupBy(n_chars) reduces 100 TB to
+    // |distinct lengths| rows; the only unpartitioned window (cumulative
+    // count) runs over that reduced histogram, and every per-bin
+    // aggregate falls out of integer interval arithmetic: a length v
+    // with c docs before it and m docs of it occupies ranks
+    // (c, c+m], ntile(N)'s bucket b covers ranks
+    // (B_{b-1}, B_b] with B_b = b·⌊n/N⌋ + min(b, n mod N), and the
+    // overlap of the two intervals is that (v, b)'s doc count. Docs tied
+    // on n_chars are interchangeable for count/min/max/char-mass, so the
+    // output is bit-identical to the rank-order ntile (the oracle keeps
+    // the ntile SQL; NtileAuditSpec pins plan-vs-ntile equality at small
+    // sf) — but the physical plan has no full-table window and no skew
+    // wider than a length histogram.
     "q129_quantile_bins" -> ((s, dir) => {
-      val w = Window.orderBy(col("n_chars"), col("doc_id"))
-      Tables.table(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"))
-        .withColumn("bin", ntile(NBins).over(w).cast("long"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n_docs"),
+      val h = Tables.table(s, dir, "documents")
+        .groupBy("n_chars").agg(count(lit(1)).as("m"))
+      val wCum = Window.orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("c", coalesce(sum("m").over(wCum), lit(0L)))
+        .crossJoin(broadcast(h.groupBy().agg(sum("m").as("n"))))
+        .withColumn("b", explode(sequence(lit(1), lit(NBins))))
+        .withColumn("lo", expr(
+          s"(b - 1) * (n DIV $NBins) + least(CAST(b - 1 AS BIGINT), n % $NBins)"))
+        .withColumn("hi", expr(
+          s"b * (n DIV $NBins) + least(CAST(b AS BIGINT), n % $NBins)"))
+        .withColumn("ov",
+          greatest(lit(0L),
+            least(col("c") + col("m"), col("hi")) -
+              greatest(col("c"), col("lo"))))
+        .filter(col("ov") > 0)
+        .groupBy(col("b").cast("long").as("bin"))
+        .agg(sum("ov").as("n_docs"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
-          sum("n_chars").as("chars"))
+          sum(col("ov") * col("n_chars")).as("chars"))
         .orderBy("bin")
     }),
 

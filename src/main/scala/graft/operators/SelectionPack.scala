@@ -221,21 +221,31 @@ object SelectionPack extends QueryPack {
     // and their gap — the number that says how much a global threshold
     // would mis-rank each source. Ranks are (rank-1)/(n-1) over the total
     // order (n_chars, doc_id): integer-derived, engine-exact. Scale: the
-    // per-source window partitions naturally; the GLOBAL rank needs a
-    // total order, so at 100 TB the global side swaps to approx-quantile
-    // cuts (the q66 operator) — this audit form runs on samples.
+    // per-source window partitions naturally; the GLOBAL rank is
+    // decomposed histogram-style (the q129 pattern) instead of a total
+    // sort — rank(doc) = docs with a smaller n_chars (cumulative count
+    // over the broadcast length histogram) + the doc's row_number within
+    // its OWN length (a window partitioned by n_chars). No unpartitioned
+    // window ever sees a corpus-sized input.
     "q196_quantile_norm" -> ((s, dir) => {
-      val wSrc = org.apache.spark.sql.expressions.Window
-        .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n_chars"), col("doc_id"))
-      val nSrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val W = org.apache.spark.sql.expressions.Window
+      val wSrc = W.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+      val nSrc = W.partitionBy("source")
+      val wChars = W.partitionBy("n_chars").orderBy("doc_id")
+      val d0 = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val h = d0.groupBy("n_chars").agg(count(lit(1)).as("m"))
+      val wCum = W.orderBy("n_chars")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cum = h
+        .withColumn("c", coalesce(sum("m").over(wCum), lit(0L)))
+        .crossJoin(broadcast(h.groupBy().agg(sum("m").as("n_all"))))
+        .select("n_chars", "c", "n_all")
+      val d = d0
         .withColumn("r_src", rank().over(wSrc))
         .withColumn("n_src", count(lit(1)).over(nSrc))
-        .withColumn("r_all", rank().over(wAll))
-        .withColumn("n_all", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("rn_chars", row_number().over(wChars))
+        .join(broadcast(cum), "n_chars")
+        .withColumn("r_all", col("c") + col("rn_chars"))
       d.filter(col("doc_id") % 17 === 0)
         .select(col("doc_id"), col("source"),
           Portable.snap6((col("r_src") - 1).cast("double")

@@ -23,7 +23,9 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Scale note: on a real cluster this trait's impl would be an external KV
   * (the upsert already arrives as a compacted per-key delta, tiny relative
   * to the fact data); the in-memory [[TrieMapServingStore]] is the
-  * single-process impl, and [[ServingStore.snapshotDF]] exposes the state
+  * single-process impl, BOUNDED by an explicit byte budget — a 100M-key
+  * model must fail loudly at the put that crosses the budget, not OOM the
+  * driver minutes later. [[ServingStore.snapshotDF]] exposes the state
   * relationally so serving-side queries can also run as joins.
   */
 trait ServingStore[K, V] {
@@ -33,13 +35,63 @@ trait ServingStore[K, V] {
   def snapshot: Map[K, V]
 }
 
-/** Thread-safe in-memory latest-value store. */
-final class TrieMapServingStore[K, V] extends ServingStore[K, V] {
+/** Thread-safe in-memory latest-value store with byte accounting.
+  *
+  * Every put is weighed ([[TrieMapServingStore.defaultWeigh]] unless a
+  * model-specific weigher is supplied) and the running total compared to
+  * `maxBytes`; a put that would cross the budget throws
+  * IllegalStateException naming the key, the budget, and the remedy —
+  * the loud-rejection contract. Replacing an existing key re-weighs the
+  * entry (a SHRINKING update frees budget); reads stay lock-free on the
+  * TrieMap, only the accounting path synchronizes (upserts arrive as one
+  * driver-side micro-batch loop, never hot). */
+final class TrieMapServingStore[K, V](
+    val maxBytes: Long = TrieMapServingStore.DefaultMaxBytes,
+    weigh: (K, V) => Long = TrieMapServingStore.defaultWeigh[K, V] _)
+    extends ServingStore[K, V] {
   private val m = TrieMap.empty[K, V]
+  private var used = 0L
   override def get(key: K): Option[V] = m.get(key)
-  override def put(key: K, value: V): Unit = m.update(key, value)
+  override def put(key: K, value: V): Unit = synchronized {
+    val next = used + weigh(key, value) -
+      m.get(key).map(weigh(key, _)).getOrElse(0L)
+    if (next > maxBytes) {
+      throw new IllegalStateException(
+        s"ServingStore over budget: key '$key' would bring the store to " +
+          s"$next bytes (cap $maxBytes, ${m.size} keys). The in-memory " +
+          "store is for driver-sized models; raise maxBytes deliberately " +
+          "or plug a persistent ServingStore impl for models this large.")
+    }
+    used = next
+    m.update(key, value)
+  }
+  /** Current accounted payload bytes (estimate; see the weigher). */
+  def bytes: Long = synchronized { used }
   override def size: Int = m.size
   override def snapshot: Map[K, V] = m.readOnlySnapshot().toMap
+}
+
+object TrieMapServingStore {
+
+  /** 1 GiB — comfortably a driver-sized model (~10M 12-dim double
+    * factor vectors), far below the bench/driver heap. */
+  val DefaultMaxBytes: Long = 1L << 30
+
+  /** JVM-shape estimate of an entry's heap cost: object headers plus the
+    * payload of the common serving types (String keys, primitive-array
+    * values); unknown types charge a flat object cost. Deliberately a
+    * floor-ish estimate used for budget ACCOUNTING, not allocation. */
+  def defaultWeigh[K, V](k: K, v: V): Long = {
+    def one(x: Any): Long = x match {
+      case s: String => 40L + 2L * s.length
+      case a: Array[Double] => 16L + 8L * a.length
+      case a: Array[Float] => 16L + 4L * a.length
+      case a: Array[Long] => 16L + 8L * a.length
+      case a: Array[_] => 16L + 8L * a.length
+      case _ => 64L
+    }
+    one(k) + one(v) + 40L // TrieMap node + entry overhead
+  }
 }
 
 object ServingStore {
@@ -48,8 +100,9 @@ object ServingStore {
     * reference's `ValueState<Tuple2<String,String>>` payload but typed. */
   type FactorStore = ServingStore[String, Array[Double]]
 
-  def factorStore(): TrieMapServingStore[String, Array[Double]] =
-    new TrieMapServingStore[String, Array[Double]]
+  def factorStore(maxBytes: Long = TrieMapServingStore.DefaultMaxBytes)
+      : TrieMapServingStore[String, Array[Double]] =
+    new TrieMapServingStore[String, Array[Double]](maxBytes)
 
   /** Upsert a micro-batch of (key STRING, factors ARRAY<DOUBLE>) rows.
     * The batch is already compacted to one row per key by the consumer, so

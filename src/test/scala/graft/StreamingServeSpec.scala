@@ -187,4 +187,30 @@ class StreamingServeSpec extends SparkSpec {
     val after = mseNow()
     assert(after < before, s"SGD step should reduce MSE: before=$before after=$after")
   }
+
+  test("store byte budget: loud rejection at the cap, updates re-weigh") {
+    // budget for ~2 small entries; the third distinct key must be REFUSED
+    // with an explicit error (not an OOM), while replacing an existing
+    // key re-weighs: a shrinking update frees budget, a growing one can
+    // itself trip the cap
+    val entry = TrieMapServingStore.defaultWeigh("1-U", Array(0.1, 0.2))
+    val small = TrieMapServingStore.defaultWeigh("3-U", Array(0.5))
+    val store = ServingStore.factorStore(maxBytes = 2 * entry + small)
+    store.put("1-U", Array(0.1, 0.2))
+    store.put("2-U", Array(0.3, 0.4))
+    assert(store.bytes === 2 * entry)
+    val e = intercept[IllegalStateException] { store.put("3-U", Array(0.5, 0.6)) }
+    assert(e.getMessage.contains("over budget"))
+    assert(e.getMessage.contains("3-U"))
+    assert(store.size === 2) // rejected put left the store untouched
+    // same-size replace fits exactly; growing the value does not
+    store.put("1-U", Array(0.7, 0.8))
+    assert(store.get("1-U").get.toSeq === Seq(0.7, 0.8))
+    intercept[IllegalStateException] { store.put("1-U", Array.fill(64)(0.0)) }
+    // shrink 1-U, freeing room for the key that was rejected before
+    store.put("1-U", Array(0.9))
+    store.put("3-U", Array(0.5))
+    assert(store.size === 3)
+    assert(store.bytes <= store.maxBytes)
+  }
 }

@@ -17,10 +17,11 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // profiling knobs (the driver sets neither): SPARK_GRAFT_ONLY=q36_ann_ivf
-    // restricts the query set; SPARK_GRAFT_REPEAT=3 re-runs each query after
-    // its timed cold run and prints warm seconds to stderr — cold minus warm
-    // isolates plan-setup cost (codegen compile + file listing) from
-    // steady-state execution. The reported JSON is always the COLD run.
+    // restricts the query set; SPARK_GRAFT_REPEAT=N re-runs each query N-1
+    // times after its timed cold run (default 2 → one warm pass) — cold
+    // minus warm isolates plan-setup cost (codegen compile + file listing)
+    // from steady-state execution, and both columns land in
+    // BENCH_DETAIL.json. The headline "value" is always the COLD total.
     // One-time session warm-up OUTSIDE the timed region: analyzer/optimizer
     // rule instantiation, shuffle + noop-sink machinery, codegen plumbing,
     // and the parquet read/write stack (footer reader, vectorized column
@@ -37,8 +38,12 @@ object Bench {
       .write.mode("overwrite").parquet(warmDir)
     spark.read.parquet(warmDir).write.format("noop").mode("overwrite").save()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // default 2: every bench run measures one warm pass per query, so the
+    // "fixed plan-setup amortizes at cluster scale" claim is MEASURED
+    // fleet-wide in every BENCH_DETAIL (cold vs warm columns), not
+    // per-anecdote; SPARK_GRAFT_REPEAT=1 turns the warm pass off
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").flatMap(_.toIntOption)
-      .getOrElse(1)
+      .getOrElse(2)
     // sorted name order: deterministic run order (hash-map order made
     // whichever query landed first absorb blame for one-time session
     // warm-up, shuffling per-query numbers across code changes)
@@ -55,7 +60,8 @@ object Bench {
           false
         }
       val cold = (System.nanoTime() - t0) / 1e9
-      if (ok) (2 to repeat).foreach { r =>
+      // best (min) warm seconds across repeat-1 re-runs, -1 if none ran ok
+      val warm = if (!ok) -1.0 else (2 to repeat).foldLeft(-1.0) { (best, r) =>
         val t = System.nanoTime()
         val warmOk =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -63,19 +69,25 @@ object Bench {
             System.err.println(s"[bench] $name warm run $r FAILED: ${e.getMessage}")
             false
           }
+        val secs = (System.nanoTime() - t) / 1e9
         // a failed warm run must not print a plausible-looking timing
         if (warmOk) System.err.println(
-          f"[bench] $name warm run $r: ${(System.nanoTime() - t) / 1e9}%.2f s (cold $cold%.2f)")
+          f"[bench] $name warm run $r: $secs%.2f s (cold $cold%.2f)")
+        if (!warmOk) best else if (best < 0) secs else math.min(best, secs)
       }
       // a failed query must not masquerade as a fast success
-      name -> (if (ok) cold else -1.0)
+      name -> (if (ok) cold else -1.0, warm)
     }
     def fmt(v: Double) = f"$v%.3f"
-    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
-    val qsFull = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def jmap(vs: Seq[(String, Double)]) =
+      vs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val total = fmt(results.map(_._2._1).filter(_ >= 0).sum)
+    val warmTotal = fmt(results.map(_._2._2).filter(_ >= 0).sum)
+    val qsFull = jmap(results.map { case (k, (c, _)) => k -> c })
+    val warmFull = jmap(results.map { case (k, (_, w)) => k -> w })
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"warm":$warmFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to
     // parse a JSON line out of it. With 150+ queries the full per-query map
     // is ~4.5 KB, so a single fat line gets truncated at the front and never
@@ -90,9 +102,9 @@ object Bench {
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }
     System.err.println(full)
-    val budget = 1600 // chars for the "queries" map in the stdout line
-    val slowestFirst = results.sortBy(-_._2)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val budget = 1500 // chars for the "queries" map in the stdout line
+    val slowestFirst = results.sortBy(-_._2._1)
+      .map { case (k, (c, _)) => s"\"" + k + "\":" + fmt(c) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowestFirst.foreach { s =>
@@ -100,7 +112,7 @@ object Bench {
     }
     val qsTop = kept.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -18,12 +18,14 @@ import graft.sources.Tables
   * Decode/resize/frame-sample change only partition-local rows, so the
   * pipeline scales linearly with partitions.
   *
-  * The actual image/audio codec is STUBBED (no codec libs in this
-  * container): [[Multimodal.realDecode]] is the marked extension point, and
-  * a deterministic fake codec (header-described synthetic media) stands in,
-  * which keeps every operator DuckDB-oracle-checkable. The Spark-side
-  * plumbing — schema, binary encoding, batch iteration, partitioning — is
-  * real and tested.
+  * The codec is PLUGGABLE ([[Multimodal.MediaCodec]]): the deterministic
+  * fake codec (header-described synthetic media) keeps every contract
+  * operator DuckDB-oracle-checkable, and [[Multimodal.ImageIoCodec]] is a
+  * REAL image decoder over the JDK's public javax.imageio, proven through
+  * the same downstream operators in MultimodalSpec. Audio/video decode
+  * stays external (no public codec in the JDK). The Spark-side plumbing —
+  * schema, binary encoding, batch iteration, partitioning — is identical
+  * for every codec.
   *
   * Fake wire format (8-byte header + payload):
   *   bytes 0-1  magic "MM"
@@ -70,27 +72,77 @@ object Multimodal {
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
     mediaFrom(Tables.table(spark, dir, "documents"))
 
-  /** The REAL codec boundary — wire an actual decoder (libjpeg/ffmpeg/…)
-    * here when the runtime has one. Deliberately unimplemented in this
-    * container. */
-  def realDecode(data: Array[Byte]): Decoded =
-    throw new UnsupportedOperationException(
-      "real media codec not available in this runtime — use decode() (deterministic fake)")
+  /** The codec boundary: bytes → typed Decoded. Implementations must be
+    * serializable (they run inside executor-side mapPartitions). */
+  trait MediaCodec extends Serializable {
+    def decode(docId: Long, data: Array[Byte]): Decoded
+  }
 
-  /** Decode the fake wire format: header → typed metadata, payload →
-    * "pixels". Runs batch-wise per partition, the mapInPandas shape. */
-  def decode(media: Dataset[MediaRow]): Dataset[Decoded] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions(_.map { m =>
-      val d = m.data
+  /** The deterministic fake codec over the synthetic wire format above —
+    * what the DuckDB-oracled contract queries run, so results stay exact
+    * across engines. */
+  object FakeCodec extends MediaCodec {
+    def decode(docId: Long, d: Array[Byte]): Decoded = {
       require(d.length >= HeaderLen && d(0) == 'M' && d(1) == 'M',
-        s"bad media header for doc ${m.doc_id}")
-      Decoded(m.doc_id, Kinds(d(2).toInt), d(3).toInt,
+        s"bad media header for doc $docId")
+      Decoded(docId, Kinds(d(2).toInt), d(3).toInt,
         ((d(4) & 0xff) << 8) | (d(5) & 0xff),
         ((d(6) & 0xff) << 8) | (d(7) & 0xff),
         d.drop(HeaderLen))
-    })
+    }
   }
+
+  /** REAL image decode through the JDK's public javax.imageio —
+    * PNG/JPEG/GIF/BMP bytes → row-major interleaved pixel bytes (RGB for
+    * color models, single luminance-ish channel otherwise). The optional
+    * production implementation of the boundary: the SAME downstream
+    * operators (byteHistogram, resize, media dedup) run unchanged on its
+    * output — MultimodalSpec proves it on an in-memory-encoded PNG.
+    * Audio/video remain codec-less in this container (no public decoder
+    * in the JDK); they keep the fake codec or an external impl. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(docId: Long, data: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(data))
+      require(img != null, s"doc $docId: bytes are not a decodable image")
+      val w = img.getWidth; val h = img.getHeight
+      val ch = if (img.getColorModel.getNumComponents >= 3) 3 else 1
+      val out = new Array[Byte](w * h * ch)
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of storage format
+          if (ch == 3) {
+            out(i) = (rgb >> 16).toByte
+            out(i + 1) = (rgb >> 8).toByte
+            out(i + 2) = rgb.toByte
+            i += 3
+          } else {
+            out(i) = rgb.toByte
+            i += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(docId, "image", ch, w, h, out)
+    }
+  }
+
+  /** Decode a media stream through any codec implementation — the shared
+    * per-partition batch plumbing (the mapInPandas shape); the codec is
+    * the only moving part. */
+  def decodeWith(media: Dataset[MediaRow], codec: MediaCodec): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => codec.decode(m.doc_id, m.data)))
+  }
+
+  /** Decode the fake wire format: header → typed metadata, payload →
+    * "pixels". The oracle-deterministic default. */
+  def decode(media: Dataset[MediaRow]): Dataset[Decoded] =
+    decodeWith(media, FakeCodec)
 
   /** Feature extraction: 16-bin byte histogram over the payload — the
     * deterministic stand-in for an embedding model forward pass. */

@@ -21,8 +21,43 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("real codec boundary is a marked stub") {
-    intercept[UnsupportedOperationException](Multimodal.realDecode(Array[Byte]()))
+  test("ImageIoCodec decodes a real PNG through the same operators") {
+    // encode a real 8x4 RGB PNG in memory with javax.imageio, ship it as
+    // MediaRow BINARY, decode with the REAL codec, and run the decoded
+    // rows through the unchanged downstream operators
+    val w = 8; val h = 4
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 32 << 16) | (y * 64 << 8) | 0x10)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+
+    val media = Seq(MediaRow(1L, "image", png)).toDS()
+    val d = decodeWith(media, ImageIoCodec).collect().head
+    assert((d.width, d.height, d.channels) === ((w, h, 3)))
+    assert(d.pixels.length === w * h * 3)
+    // pixel exactness: PNG is lossless, so getRGB round-trips our values
+    assert((d.pixels(0) & 0xff, d.pixels(1) & 0xff, d.pixels(2) & 0xff)
+      === ((0, 0, 0x10)))
+    val last = (h - 1) * w + (w - 1) // row-major index of (7,3)
+    assert((d.pixels(3 * last) & 0xff) === 7 * 32)
+    assert((d.pixels(3 * last + 1) & 0xff) === 3 * 64)
+
+    // same downstream operators as the fake codec path
+    val hist = byteHistogram(decodeWith(media, ImageIoCodec))
+      .as[(Long, Array[Long])].collect().head._2
+    assert(hist.sum === (w * h * 3).toLong)
+    val small = resize(decodeWith(media, ImageIoCodec), 4).collect().head
+    assert(small.width === w / 4 && small.height === 1)
+    assert(small.pixels.length === math.ceil(w * h * 3 / 4.0).toInt)
+
+    // non-image bytes fail loudly at the boundary, not downstream
+    intercept[Exception] {
+      decodeWith(Seq(MediaRow(2L, "image", Array[Byte](1, 2, 3))).toDS(),
+        ImageIoCodec).collect()
+    }
   }
 
   test("byte histogram counts sum to payload length") {

@@ -34,6 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 shuffle threads at sf0.1 churn ~2-4 GiB of live execution memory;
   // 8g forced spill + GC pauses that showed up as multi-second jitter on
   // the heavy aggregation queries (host has 128 GiB — 24g is still modest)
+  // no -Xms floor: a hard initial heap would fail JVM startup on hosts
+  // with less free RAM than this 128 GiB bench box; -Xmx alone reserves
+  // only virtual address space
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-Xms4g",
 )

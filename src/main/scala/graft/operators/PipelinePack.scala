@@ -97,15 +97,16 @@ object PipelinePack extends QueryPack {
     "q204_embargo_split" -> ((s, dir) => {
       val cut = lit(EmbargoCut).cast("timestamp")
       val testFrom = lit(EmbargoTestFrom).cast("timestamp")
-      val e = Tables.table(s, dir, "events")
+      // Tables.events (NOT Tables.table): it normalizes every driver ts
+      // fixture variant — TIMESTAMP(NANOS)-as-BIGINT included — to
+      // TIMESTAMP in the UTC session zone, so the epoch arithmetic below
+      // can never silently read nanos as seconds
+      val e = Tables.events(s, dir)
         .select(col("user_id"), col("ts"),
           when(col("ts") < cut, "train")
             .when(col("ts") >= testFrom, "test")
             .otherwise("purged").as("part"))
-      // ts is TIMESTAMP_NTZ; the cast to TIMESTAMP reads the naive value
-      // in the session zone (UTC per the driver contract), so the epoch
-      // matches DuckDB's naive epoch_us exactly
-      val epochS = expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000")
+      val epochS = expr("unix_micros(ts) DIV 1000000")
       val perUser = e.groupBy("user_id")
         .agg(max(when(col("part") === "train", epochS)).as("last_train_s"),
           min(when(col("part") === "test", epochS)).as("first_test_s"))
@@ -133,7 +134,8 @@ object PipelinePack extends QueryPack {
     // label building. Cutoffs ride a tiny exploded literal frame; one
     // shuffle on (user, cutoff).
     "q211_churn_labels" -> ((s, dir) => {
-      val e = Tables.table(s, dir, "events")
+      // Tables.events for the same ts-normalization reason as q204
+      val e = Tables.events(s, dir)
         .filter(col("user_id").isNotNull && col("user_id") % 5 === 0)
         .select(col("user_id"), col("ts"), col("event_type"))
       val cuts = LabelCutoffs.map(c =>

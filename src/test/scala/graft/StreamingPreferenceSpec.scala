@@ -40,24 +40,36 @@ class StreamingPreferenceSpec extends SparkSpec {
       val in = MemoryStream[(String, String, Long, Double)]
       val out = PreferenceStream.pairs(
         in.toDF().toDF("source", "lang", "doc_id", "qual"))
-      val name = s"prefs_$cut"
-      val q = out.writeStream.format("memory").outputMode("append")
-        .queryName(name).start()
+      // emission order captured EXPLICITLY via the foreachBatch batch id
+      // (monotonically_increasing_id on a memory sink encodes partition
+      // index, not emission order — it only coincidentally matched)
+      val emitted = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, (String, String, Long, Long, Double))]
+      val q = out.writeStream.outputMode("append")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[
+             graft.streaming.PreferenceStream.PairOut], id: Long) =>
+          val rows = b.toDF()
+            .select(col("source"), col("lang"), col("chosen_id"),
+              col("rejected_id"), col("margin"))
+            .as[(String, String, Long, Long, Double)]
+            .collect()
+          emitted.synchronized { rows.foreach(r => emitted += ((id, r))) }
+        }
+        .start()
       try {
         in.addData(arrivals.take(cut))
         q.processAllAvailable()
         in.addData(arrivals.drop(cut))
         q.processAllAvailable()
-        // frontier = last emission per group (memory sink appends deltas)
-        val frontier = spark.table(name)
-          .withColumn("seq", monotonically_increasing_id())
-          .groupBy("source", "lang")
-          .agg(max_by(struct(col("chosen_id"),
-            col("rejected_id"), col("margin")), col("seq")).as("p"))
-          .select(col("source"), col("lang"),
-            col("p.chosen_id"), col("p.rejected_id"), col("p.margin"))
-          .as[(String, String, Long, Long, Double)]
-          .collect().sortBy(r => (r._1, r._2)).toSeq
+        // frontier = per group, the row from the LATEST batch that
+        // emitted for it (delta semantics: at most one row per group per
+        // batch, so the batch id is a total per-group order)
+        val frontier = emitted.synchronized {
+          emitted.groupBy { case (_, r) => (r._1, r._2) }
+            .map { case (_, rs) => rs.maxBy(_._1)._2 }
+            .toSeq.sortBy(r => (r._1, r._2))
+        }
         assert(frontier === batchPairs, s"cut=$cut")
       } finally q.stop()
     }

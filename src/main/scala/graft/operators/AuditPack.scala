@@ -45,6 +45,9 @@ object AuditPack extends QueryPack {
   /** Equi-depth bin count for the curriculum binning audit (q129). */
   val NBins = 10
 
+  /** Outcome threshold (tokens) for the q217 calibration audit. */
+  val EceMinToks = 50
+
   /** Fixed-width histogram bins for the mergeable-quantile audit (q144). */
   val HistBins = 32
 
@@ -500,6 +503,46 @@ object AuditPack extends QueryPack {
         .agg(sum("ov").as("n_docs"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"),
           sum(col("ov") * col("n_chars")).as("chars"))
+        .orderBy("bin")
+    }),
+
+    // Expected-calibration-error audit of the quality classifier: the
+    // pinned-weight quality logit (q75's scorer) is treated as a
+    // predicted probability and checked against an INDEPENDENT outcome
+    // (the doc clears the token-count floor) in 10 equal-width
+    // confidence bins — conf_bar vs empirical accuracy per bin, and
+    // ECE = Σ n_b/N · |acc_b − conf_b| as the headline number every
+    // reward/quality-model card reports. Float-order safety: per-bin
+    // confidences sum as 1e-6 micro-longs, per-bin gaps are floored to
+    // micro-longs before the ECE sum, so every aggregation is integer
+    // and the result is partition-order-free. One groupBy on 10 bins
+    // (map-side partials), one broadcast of the 1-row total.
+    "q217_calibration_ece" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(
+          round(Selection.qualityLogit(col("text"), TextPack.stopwords), 6)
+            .as("conf"),
+          (size(T.tokens(col("text"))) >= EceMinToks).as("y"))
+      val b = d
+        .withColumn("bin", least(lit(9), floor(col("conf") * 10)).cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("conf") * 1e6).cast("long")).as("cm"),
+          sum(when(col("y"), 1L).otherwise(0L)).as("pos"))
+        .withColumn("conf_bar",
+          col("cm").cast("double") / (col("n").cast("double") * lit(1e6)))
+        .withColumn("acc", col("pos").cast("double") / col("n").cast("double"))
+        .withColumn("gm",
+          floor(abs(col("acc") - col("conf_bar")) * 1e6).cast("long"))
+      val tot = b.agg(sum(col("n")).as("nt"),
+        sum(col("n") * col("gm")).as("gsum"))
+      b.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n"),
+          Portable.snap6(col("conf_bar")).as("conf"),
+          Portable.snap6(col("acc")).as("acc"),
+          Portable.snap6(col("gm").cast("double") / lit(1e6)).as("gap"),
+          Portable.snap6(col("gsum").cast("double") /
+            (col("nt").cast("double") * lit(1e6))).as("ece"))
         .orderBy("bin")
     }),
 
@@ -990,6 +1033,36 @@ object AuditPack extends QueryPack {
          |           + width * CAST(k - cum_before AS DOUBLE) / n
          |           - exact_med) <= width AS within_bin
          |FROM est WHERE cum_before < k AND cum_before + n >= k""".stripMargin,
+
+    "q217_calibration_ece" -> {
+      val logit = Selection.qualityLogitSql(TextPack.stopwords)
+      s"""WITH d AS (SELECT doc_id, text, ${TextPack.toksSql("text")} AS toks
+         |           FROM documents),
+         |s AS (SELECT ROUND(($logit), 6) AS conf,
+         |             len(toks) >= $EceMinToks AS y FROM d),
+         |b AS (SELECT CAST(least(9, floor(conf * 10)) AS INTEGER) AS bin,
+         |             count(*) AS n,
+         |             sum(CAST(floor(conf * 1e6) AS BIGINT)) AS cm,
+         |             sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+         |      FROM s GROUP BY 1),
+         |c AS (SELECT bin, n,
+         |             CAST(cm AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+         |               AS conf_bar,
+         |             CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc
+         |      FROM b),
+         |g AS (SELECT *,
+         |             CAST(floor(abs(acc - conf_bar) * 1e6) AS BIGINT) AS gm
+         |      FROM c),
+         |t AS (SELECT sum(n) AS nt, sum(n * gm) AS gsum FROM g)
+         |SELECT bin, CAST(n AS BIGINT) AS n,
+         |       ${Portable.snap6Sql("conf_bar")} AS conf,
+         |       ${Portable.snap6Sql("acc")} AS acc,
+         |       ${Portable.snap6Sql("CAST(gm AS DOUBLE) / 1e6")} AS gap,
+         |       ${Portable.snap6Sql(
+                   "CAST(gsum AS DOUBLE) / (CAST(nt AS DOUBLE) * 1e6)")}
+         |         AS ece
+         |FROM g CROSS JOIN t ORDER BY bin""".stripMargin
+    },
 
     "q129_quantile_bins" ->
       s"""WITH b AS (

@@ -81,6 +81,39 @@ object AugmentPack extends QueryPack {
       val rules = Augment.bpeLearn(docs(s, dir), "text", BpeRounds)
       bpeContract(rules)
     }),
+
+    // Fill-in-the-middle split plan (code-model preprocessing): two
+    // deterministic character cuts from the hash family carve each doc
+    // into prefix/middle/suffix, reassembled in PSM order
+    // (<PRE>prefix<SUF>suffix<MID>middle) — the transform FIM training
+    // actually applies. Pure scan-stage substring arithmetic; the exact
+    // reassembled example is pinned by an md5 fingerprint. Cuts are
+    // uniform over [0, n_chars] including both edges, so empty
+    // prefix/middle/suffix cases are exercised, not special-cased.
+    "q213_fim_split" -> ((s, dir) => {
+      val P = graft.functions.Portable
+      val n = length(col("text"))
+      docs(s, dir)
+        .withColumn("n_chars2", n.cast("long"))
+        .withColumn("c1",
+          P.hash32(concat(lit("fim1:"), col("doc_id").cast("string")))
+            % (col("n_chars2") + 1))
+        .withColumn("c2",
+          P.hash32(concat(lit("fim2:"), col("doc_id").cast("string")))
+            % (col("n_chars2") + 1))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+        .select(col("doc_id"), col("n_chars2").as("n_chars"),
+          col("lo").as("p_len"), (col("hi") - col("lo")).as("m_len"),
+          (col("n_chars2") - col("hi")).as("s_len"),
+          substring(md5(concat(
+            lit("<PRE>"), expr("substr(text, 1, CAST(lo AS INT))"),
+            lit("<SUF>"), expr("substr(text, CAST(hi + 1 AS INT))"),
+            lit("<MID>"),
+            expr("substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))"))),
+            1, 8).as("psm_hash"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** (item, value) contract view of a learned rule list: the exact
@@ -193,6 +226,28 @@ object AugmentPack extends QueryPack {
          |  UNION ALL SELECT 'g_freq_positive', 'true'
          |  UNION ALL SELECT 'g_ranks_contiguous', 'true')
          |ORDER BY item""".stripMargin,
+
+    "q213_fim_split" -> {
+      val h1 = graft.functions.Portable.hash32Sql(
+        "'fim1:' || CAST(doc_id AS VARCHAR)")
+      val h2 = graft.functions.Portable.hash32Sql(
+        "'fim2:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH c AS (
+         |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |         $h1 % (CAST(length(text) AS BIGINT) + 1) AS c1,
+         |         $h2 % (CAST(length(text) AS BIGINT) + 1) AS c2
+         |  FROM documents),
+         |s AS (SELECT doc_id, text, n,
+         |        least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+         |SELECT doc_id, n AS n_chars, lo AS p_len, hi - lo AS m_len,
+         |       n - hi AS s_len,
+         |       substr(md5('<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+         |         || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER))
+         |         || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+         |                             CAST(hi - lo AS INTEGER))), 1, 8)
+         |         AS psm_hash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "q131_normalize_text" ->
       """SELECT p_name,

@@ -509,12 +509,45 @@ object DedupPack extends QueryPack {
           round(col("containment_a"), 6).as("containment_a"),
           round(col("containment_b"), 6).as("containment_b"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Prefix-block sharing audit — the KV-cache/prefix-caching yield
+    // curve: for each block size B, hash every document's FIRST B tokens
+    // and measure how many docs share their opening block with another
+    // doc. hit_rate = (docs − distinct blocks)/docs is exactly the cache
+    // hit fraction of a prefix cache filled in any order (every block's
+    // first doc misses, the rest hit). One shuffle per B on 16-byte
+    // hashes — never text, never pairs; B values ride an exploded
+    // 4-element literal, so the whole curve is a single aggregation
+    // cascade.
+    "q215_prefix_blocks" -> ((s, dir) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(array(PrefixBlockSizes.map(lit): _*)).as("block_len"))
+        .filter(size(col("toks")) >= col("block_len"))
+        .select(col("block_len"),
+          md5(array_join(slice(col("toks"), lit(1), col("block_len")), " "))
+            .as("h"))
+        .groupBy("block_len", "h").agg(count(lit(1)).as("c"))
+        .groupBy("block_len")
+        .agg(sum(col("c")).as("n_docs"),
+          count(lit(1)).as("n_blocks"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("n_shared_docs"))
+        .select(col("block_len").cast("long").as("block_len"),
+          col("n_docs"), col("n_blocks"), col("n_shared_docs"),
+          Portable.snap6((col("n_docs") - col("n_blocks")).cast("double")
+            / col("n_docs").cast("double")).as("hit_rate"))
+        .orderBy("block_len")
     })
   )
 
   /** Quality-raising suffix for the q78 re-crawl copies (stopword-dense,
     * small enough that MinHash still pairs copy with original). */
   val BoostSuffix = " the of and a is"
+  /** Prefix-cache block sizes (tokens) for the q215 yield curve. */
+  val PrefixBlockSizes: Seq[Int] = Seq(2, 4, 8, 16)
   /** Excerpt width (tokens) for q80's planted quotes. */
   val ExcerptTokens = 13
 
@@ -589,6 +622,28 @@ object DedupPack extends QueryPack {
        |FROM j WHERE jaccard >= $threshold ORDER BY doc_a, doc_b""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "q215_prefix_blocks" -> {
+      val perB = PrefixBlockSizes.map { b =>
+        s"""SELECT $b AS block_len,
+           |       md5(array_to_string(list_slice(toks, 1, $b), ' ')) AS h
+           |FROM t WHERE len(toks) >= $b""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      s"""WITH t AS (SELECT doc_id, ${TextPack.toksSql("text")} AS toks
+         |           FROM documents),
+         |e AS ($perB),
+         |g AS (SELECT block_len, h, count(*) AS c FROM e GROUP BY 1, 2)
+         |SELECT CAST(block_len AS BIGINT) AS block_len,
+         |       CAST(sum(c) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_blocks,
+         |       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+         |         AS n_shared_docs,
+         |       ${Portable.snap6Sql(
+                   "CAST(sum(c) - count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")}
+         |         AS hit_rate
+         |FROM g GROUP BY block_len ORDER BY block_len""".stripMargin
+    },
+
     "q30_exact_dedup" ->
       s"""WITH docs AS (${withCopiesSql(1)})
          |SELECT ${contentHashSql("text")} AS content_hash,

@@ -201,6 +201,41 @@ object SelectionPack extends QueryPack {
     // poisons the loss. Scale shape: quality is scan-stage arithmetic and
     // both extremes come from ONE max_by/min_by aggregation (partial
     // map-side, one shuffle on the group key) — no rank window, no sort.
+    // Group-relative advantage normalization (the GRPO/RLOO batch step):
+    // within each (source, lang) "prompt group" the reward is re-centered
+    // and re-scaled, adv = (r − mean_g)/std_g, so groups with different
+    // reward calibrations contribute comparable gradients. Degenerate
+    // groups (all rewards equal, or singletons) get advantage 0 — the
+    // zero-signal contract — detected EXACTLY on the integer variance
+    // numerator n·Σr² − (Σr)², never on a float epsilon. Rewards ride
+    // 1e-6 micro-longs, so adv = (n·r − Σr)/sqrt(n·Σr² − (Σr)²) is
+    // integer-exact under the sqrt and bit-identical across engines.
+    // Scale: one groupBy on the group key + a broadcast join back —
+    // group count is source×lang-bounded, corpus size only touches the
+    // scan; every 13th doc is emitted as the audit sample.
+    "q216_grpo_advantage" -> ((s, dir) => {
+      val micro = round(Portable.snap6(
+        T.qualityScore(col("text"), TextPack.stopwords)) * lit(1e6), 0)
+        .cast("long")
+      val d = docs(s, dir)
+        .select(col("source"), col("lang"), col("doc_id"), micro.as("rm"))
+      val g = d.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum(col("rm")).as("s1"),
+          sum((col("rm") * col("rm")).cast("decimal(38,0)")).as("s2"))
+        .withColumn("var_num",
+          col("n").cast("decimal(19,0)") * col("s2")
+            - col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+      d.join(broadcast(g), Seq("source", "lang"))
+        .filter(col("doc_id") % 13 === 0)
+        .select(col("source"), col("lang"), col("doc_id"), col("n"),
+          Portable.snap6(col("rm").cast("double") / lit(1e6)).as("reward"),
+          Portable.snap6(when(col("var_num") > 0,
+            (col("n") * col("rm") - col("s1")).cast("double")
+              / sqrt(col("var_num").cast("double")))
+            .otherwise(lit(0.0))).as("advantage"))
+        .orderBy("doc_id")
+    }),
+
     "q195_dpo_pairs" -> ((s, dir) => {
       val q = Portable.snap6(T.qualityScore(col("text"), TextPack.stopwords))
       Selection.preferencePairs(
@@ -428,6 +463,30 @@ object SelectionPack extends QueryPack {
          |             ORDER BY margin DESC, source, lang) AS INTEGER) AS rn,
          |       source, lang, chosen_id, rejected_id, margin
          |FROM p ORDER BY shard, rn""".stripMargin
+    },
+
+    "q216_grpo_advantage" -> {
+      val q = Portable.snap6Sql(
+        graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords))
+      s"""WITH d AS (SELECT source, lang, doc_id,
+         |             ${TextPack.toksSql("text")} AS toks, text
+         |           FROM documents),
+         |m AS (SELECT source, lang, doc_id,
+         |        CAST(round(($q) * 1e6) AS BIGINT) AS rm FROM d),
+         |g AS (SELECT source, lang, count(*) AS n,
+         |        CAST(sum(rm) AS HUGEINT) AS s1,
+         |        CAST(sum(rm * rm) AS HUGEINT) AS s2
+         |      FROM m GROUP BY source, lang),
+         |v AS (SELECT *, n * s2 - s1 * s1 AS var_num FROM g)
+         |SELECT m.source, m.lang, doc_id, CAST(n AS BIGINT) AS n,
+         |       ${Portable.snap6Sql("CAST(rm AS DOUBLE) / 1e6")} AS reward,
+         |       ${Portable.snap6Sql(
+                   "CASE WHEN var_num > 0 THEN CAST(n * rm - s1 AS DOUBLE)" +
+                   " / sqrt(CAST(var_num AS DOUBLE)) ELSE 0.0 END")}
+         |         AS advantage
+         |FROM m JOIN v USING (source, lang)
+         |WHERE doc_id % 13 = 0
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q195_dpo_pairs" -> {

@@ -144,13 +144,140 @@ object VectorPack extends QueryPack {
           graft.functions.Portable.snap6(
             VectorFunctions.cosineOrNull(col("va"), col("vb"))).as("cos"))
         .orderBy("label_a", "label_b")
+    }),
+
+    // Per-class semantic diversity WITHOUT pair enumeration: the mean
+    // pairwise squared L2 distance collapses to the closed form
+    // E‖x−y‖² = 2·(E‖x‖² − ‖E x‖²) — one aggregation pass computes the
+    // number the naive O(n²) self-join would, so the cost at 100 TB is a
+    // posexplode shuffle on (label, dim), never candidate pairs. All
+    // sums ride fixed-point integers (per-row ‖x‖² in 1e-12 units,
+    // per-dim component sums in 1e-7 units; the squared component sums
+    // exceed 64-bit so they widen to DECIMAL(38) / HUGEINT), making the
+    // result bit-identical across engines and shuffle orders. The
+    // collapse detector: diversity near 0 means the class's embeddings
+    // have degenerated to a point.
+    "q214_semantic_diversity" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+      val P = graft.functions.Portable
+      // per-row ‖x‖² in 1e-12 fixed point (micro² units)
+      val row2 = e.select(col("label"),
+        aggregate(col("embedding"), lit(0L), (a, x) =>
+          a + round(x.cast("double") * x.cast("double") * lit(1e12), 0)
+            .cast("long")).as("s2"))
+        .groupBy("label")
+        // per-row s2 fits a long; the corpus-sized SUM widens to DECIMAL
+        .agg(count(lit(1)).as("n"),
+          sum(col("s2").cast("decimal(38,0)")).as("s2sum"))
+      // per-dim component sums in 1e-7 units, then Σ_i (Σ_rows sv)²
+      val dsum = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("label"), col("i0"),
+          round(col("x").cast("double") * lit(PoolScale), 0)
+            .cast("long").as("sv"))
+        .groupBy("label", "i0").agg(sum(col("sv")).as("si"))
+        .groupBy("label")
+        .agg(sum(col("si").cast("decimal(19,0)") *
+          col("si").cast("decimal(19,0)")).as("nsum"))
+      row2.join(dsum, "label")
+        .select(col("label"), col("n"),
+          P.snap6(col("s2sum").cast("double") /
+            (col("n").cast("double") * lit(1e12))).as("mean_sq_norm"),
+          P.snap6(lit(2.0) * (
+            col("s2sum").cast("double") / (col("n").cast("double") * lit(1e12))
+              - col("nsum").cast("double") /
+                (col("n").cast("double") * col("n").cast("double")
+                  * lit(PoolScale) * lit(PoolScale)))).as("diversity"))
+        .orderBy("label")
+    }),
+
+    // Feature standardization FIT over an embedding column: per-dimension
+    // mean and population std from ONE aggregation over (dim, Σx, Σx²) in
+    // fixed point — the preprocessing statistics every encoder-input
+    // pipeline persists. Variance uses the integer identity
+    // n·Σx² − (Σx)² (exact, DECIMAL-widened) so a tiny negative float
+    // residue can never produce NaN stds, and both engines see the
+    // identical double. Scale: the shuffle carries dim-count keys with
+    // map-side partial sums — corpus size only touches the scan.
+    "q218_embed_standardize" -> ((s, dir) => {
+      val P = graft.functions.Portable
+      Tables.table(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select((col("i0") + 1).cast("long").as("dim"),
+          round(col("x").cast("double") * lit(PoolScale), 0)
+            .cast("long").as("sv"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(col("sv")).as("s1"),
+          // sv² ≤ 1e14 fits a long, but the SUM is corpus-sized — widen
+          // to DECIMAL(38) before aggregating (DuckDB's BIGINT sum
+          // widens to HUGEINT the same way)
+          sum((col("sv") * col("sv")).cast("decimal(38,0)")).as("s2"))
+        .select(col("dim"), col("n"),
+          P.snap6(col("s1").cast("double") /
+            (col("n").cast("double") * lit(PoolScale))).as("mean"),
+          P.snap6(sqrt(
+            (col("n").cast("decimal(19,0)") * col("s2")
+              - col("s1").cast("decimal(19,0)") * col("s1").cast("decimal(19,0)"))
+              .cast("double")) /
+            (col("n").cast("double") * lit(PoolScale))).as("std"))
+        .orderBy("dim")
     })
   )
 
   // ---- DuckDB twins --------------------------------------------------------
 
+  private def diversitySql: String =
+    s"""WITH r AS (
+       |  SELECT label,
+       |         list_aggregate(list_transform(embedding, x ->
+       |           CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12)
+       |                AS BIGINT)), 'sum') AS s2
+       |  FROM embeddings),
+       |rs AS (SELECT label, count(*) AS n,
+       |              CAST(sum(s2) AS HUGEINT) AS s2sum
+       |       FROM r GROUP BY label),
+       |d AS (
+       |  SELECT label, generate_subscripts(embedding, 1) AS i,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * $PoolScale)
+       |              AS BIGINT) AS sv
+       |  FROM embeddings),
+       |ds AS (SELECT label, i, CAST(sum(sv) AS HUGEINT) AS si
+       |       FROM d GROUP BY label, i),
+       |ns AS (SELECT label, sum(si * si) AS nsum FROM ds GROUP BY label)
+       |SELECT label, CAST(rs.n AS BIGINT) AS n,
+       |       ${graft.functions.Portable.snap6Sql(
+                 "CAST(s2sum AS DOUBLE) / (CAST(rs.n AS DOUBLE) * 1e12)")}
+       |         AS mean_sq_norm,
+       |       ${graft.functions.Portable.snap6Sql(
+                 "2.0 * (CAST(s2sum AS DOUBLE) / (CAST(rs.n AS DOUBLE) * 1e12)" +
+                 s" - CAST(nsum AS DOUBLE) / (CAST(rs.n AS DOUBLE) * CAST(rs.n AS DOUBLE) * $PoolScale * $PoolScale))")}
+       |         AS diversity
+       |FROM rs JOIN ns USING (label) ORDER BY label""".stripMargin
+
+  private def standardizeSql: String =
+    s"""WITH d AS (
+       |  SELECT generate_subscripts(embedding, 1) AS dim,
+       |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * $PoolScale)
+       |              AS BIGINT) AS sv
+       |  FROM embeddings),
+       |a AS (SELECT dim, count(*) AS n, CAST(sum(sv) AS HUGEINT) AS s1,
+       |             CAST(sum(sv * sv) AS HUGEINT) AS s2
+       |      FROM d GROUP BY dim)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       |       ${graft.functions.Portable.snap6Sql(
+                 s"CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * $PoolScale)")}
+       |         AS mean,
+       |       ${graft.functions.Portable.snap6Sql(
+                 "sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))" +
+                 s" / (CAST(n AS DOUBLE) * $PoolScale)")}
+       |         AS std
+       |FROM a ORDER BY dim""".stripMargin
+
 
   def oracles: Map[String, String] = Map(
+
+    "q214_semantic_diversity" -> diversitySql,
+    "q218_embed_standardize" -> standardizeSql,
 
     "q105_maxsim" ->
       s"""WITH q AS (

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.TextPack
+
+/** Independent re-derivations of the round-6 contract queries on sf0.001:
+  * each test recomputes the expected values from raw data with plain Scala
+  * (a DIFFERENT code path from both the Spark plan and its DuckDB twin, so
+  * a formula bug shared by query and oracle still gets caught). */
+class Round6OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0)
+
+  test("q213: FIM part lengths partition the doc; deterministic re-run") {
+    val rows = run("q213_fim_split")
+      .select("doc_id", "n_chars", "p_len", "m_len", "s_len", "psm_hash")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, p, m, s, _) =>
+      assert(p + m + s === n, s"doc $id")
+      assert(p >= 0 && m >= 0 && s >= 0, s"doc $id")
+    }
+    val again = run("q213_fim_split")
+      .select("doc_id", "psm_hash").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, _, _, _, _, h) => assert(again(id) === h) }
+    // the PSM reassembly must hash the actual text parts: check one doc
+    // by hand against the raw table
+    val (id, _, p, m, _, h) = rows.head
+    val text = graft.sources.Tables.table(spark, sf0, "documents")
+      .filter(col("doc_id") === id).select("text").as[String].head()
+    val (lo, hi) = (p.toInt, (p + m).toInt)
+    val psm = "<PRE>" + text.substring(0, lo) + "<SUF>" + text.substring(hi) +
+      "<MID>" + text.substring(lo, hi)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(psm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md.take(8) === h)
+  }
+
+  test("q214: closed-form diversity equals brute-force pairwise mean") {
+    val vecs = graft.sources.Tables.table(spark, sf0, "embeddings")
+      .select(col("label"), col("embedding").cast("array<double>"))
+      .as[(Int, Array[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = run("q214_semantic_diversity")
+      .select("label", "n", "diversity").as[(Int, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (label, n, div) =>
+      val xs = vecs(label)
+      assert(xs.length.toLong === n)
+      // brute force: mean over ALL ordered pairs (i != j) of ||x - y||^2
+      var sum = 0.0
+      for (a <- xs; b <- xs)
+        sum += a.zip(b).map { case (u, v) => (u - v) * (u - v) }.sum
+      val brute = sum / (xs.length.toDouble * xs.length)
+      // closed form divides by n^2 (includes the zero self-pairs), same
+      // as the ordered-pair brute force above
+      assert(math.abs(div - brute) < 1e-4, s"label $label: $div vs $brute")
+    }
+  }
+
+  test("q215: hit rate equals distinct-prefix accounting, recomputed") {
+    val toks = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].collect()
+    val out = run("q215_prefix_blocks")
+      .select("block_len", "n_docs", "n_blocks", "n_shared_docs", "hit_rate")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length === graft.operators.DedupPack.PrefixBlockSizes.length)
+    out.foreach { case (b, nDocs, nBlocks, nShared, hit) =>
+      val prefixes = toks.filter(_.length >= b).map(_.take(b.toInt).mkString(" "))
+      assert(prefixes.length.toLong === nDocs, s"B=$b")
+      assert(prefixes.distinct.length.toLong === nBlocks, s"B=$b")
+      val counts = prefixes.groupBy(identity).values.map(_.size)
+      assert(counts.filter(_ >= 2).sum.toLong === nShared, s"B=$b")
+      val expect = (nDocs - nBlocks).toDouble / nDocs
+      assert(math.abs(hit - expect) < 1e-6, s"B=$b")
+    }
+  }
+
+  test("q216: advantages are the group z-scores of the rewards") {
+    val rewards = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(col("source"), col("lang"), col("doc_id"),
+        graft.functions.Portable.snap6(
+          TextFunctions.qualityScore(col("text"), TextPack.stopwords))
+          .as("r"))
+      .as[(String, String, Long, Double)].collect()
+    val byGroup = rewards.groupBy(t => (t._1, t._2))
+    val out = run("q216_grpo_advantage")
+      .select("source", "lang", "doc_id", "reward", "advantage")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, lang, id, r, adv) =>
+      assert(id % 13 === 0)
+      val grp = byGroup((src, lang)).map(_._4)
+      val mean = grp.sum / grp.length
+      val varP = grp.map(x => (x - mean) * (x - mean)).sum / grp.length
+      val expect =
+        if (grp.distinct.length <= 1) 0.0
+        else (r - mean) / math.sqrt(varP)
+      assert(math.abs(adv - expect) < 1e-4,
+        s"($src,$lang,$id): $adv vs $expect")
+    }
+  }
+
+  test("q217: ECE re-derived from per-doc confidence and outcome") {
+    val perDoc = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(
+        round(graft.operators.Selection.qualityLogit(
+          col("text"), TextPack.stopwords), 6).as("conf"),
+        (size(TextFunctions.tokens(col("text"))) >=
+          graft.operators.AuditPack.EceMinToks).as("y"))
+      .as[(Double, Boolean)].collect()
+    val bins = perDoc.groupBy { case (c, _) => math.min(9, (c * 10).toInt) }
+    val n = perDoc.length.toDouble
+    val expectEce = bins.values.map { rows =>
+      val conf = rows.map(_._1).sum / rows.length
+      val acc = rows.count(_._2).toDouble / rows.length
+      rows.length / n * math.abs(acc - conf)
+    }.sum
+    val out = run("q217_calibration_ece")
+      .select("bin", "n", "acc", "ece").as[(Int, Long, Double, Double)]
+      .collect()
+    assert(out.map(_._2).sum === perDoc.length.toLong)
+    out.foreach { case (bin, nb, acc, ece) =>
+      val rows = bins(bin)
+      assert(rows.length.toLong === nb, s"bin $bin")
+      assert(math.abs(acc - rows.count(_._2).toDouble / rows.length) < 1e-6)
+      assert(math.abs(ece - expectEce) < 1e-4)
+    }
+  }
+
+  test("q218: per-dimension mean/std match a direct computation") {
+    val vecs = graft.sources.Tables.table(spark, sf0, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .as[Array[Double]].collect()
+    val out = run("q218_embed_standardize")
+      .select("dim", "n", "mean", "std").as[(Long, Long, Double, Double)]
+      .collect()
+    assert(out.length === 64)
+    out.foreach { case (dim, n, mean, std) =>
+      val xs = vecs.map(_(dim.toInt - 1))
+      assert(xs.length.toLong === n)
+      val m = xs.sum / xs.length
+      val s = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+      assert(math.abs(mean - m) < 1e-5, s"dim $dim")
+      assert(math.abs(std - s) < 1e-5, s"dim $dim")
+    }
+  }
+}

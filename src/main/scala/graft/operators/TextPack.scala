@@ -257,6 +257,68 @@ object TextPack extends QueryPack {
     // Scale shape: two token-keyed aggregations + one join back; the model
     // table is vocabulary²-bounded but df-concentrated, never broadcast —
     // AQE picks the join strategy.
+    // Corpus-level distinct-n diversity (the "distinct-1/2/3/4" metric
+    // generation-quality reports use): for each n, the type/token ratio
+    // of word n-grams across the WHOLE corpus — low ratios flag
+    // template/boilerplate saturation that per-doc repetition (q46)
+    // cannot see. Distinctness is counted over 128-bit gram hashes, so
+    // the shuffle carries 16-byte keys, never gram text, and the
+    // two-level aggregate (hash-count then per-n rollup) avoids the
+    // Expand a mixed count/count-distinct plan would pay.
+    "q219_distinct_ngrams" -> ((s, dir) => {
+      val toks = Tables.table(s, dir, "documents")
+        .select(T.tokens(col("text")).as("toks"))
+        .localCheckpoint(false) // feeds one explode per n
+      DiversityNs.map(n =>
+          toks.select(lit(n).as("n"),
+            explode(T.wordNgrams(col("toks"), n)).as("g")))
+        .reduce(_ unionAll _)
+        .select(col("n"), md5(col("g")).as("h"))
+        .groupBy("n", "h").agg(count(lit(1)).as("c"))
+        .groupBy("n")
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"))
+        .select(col("n"), col("n_grams"), col("n_distinct"),
+          Portable.snap6(col("n_distinct").cast("double")
+            / col("n_grams").cast("double")).as("distinct_ratio"))
+        .orderBy("n")
+    }),
+
+    // Interpolated Kneser-Ney bigram LM over the corpus — the smoothing
+    // that actually models continuation novelty (P_cont(w) ∝ how many
+    // DISTINCT contexts w follows), vs q87's per-doc add-one LM:
+    // P(w|v) = (max(c(vw)−d, 0) + d·N1+(v·)·P_cont(w)) / c(v), d=0.75.
+    // Everything is count arithmetic off ONE bigram-type table (four
+    // grouped aggregates over types, not tokens); per-type nll rounds to
+    // 1e-6 DECIMAL before the token-weighted sum (the q87/q212 pattern)
+    // so the corpus cross-entropy is partition-order-free.
+    "q220_kn_bigram" -> ((s, dir) => {
+      val bi = Tables.table(s, dir, "documents")
+        .select(explode(T.wordNgrams(T.tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c2"))
+        .select(col("c2"),
+          split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2"))
+        .localCheckpoint(false) // feeds ctx, cont, totals, and the score
+      val ctx = bi.groupBy("w1")
+        .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+      val cont = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val tot = bi.agg(count(lit(1)).as("n_types"), sum(col("c2")).as("n_tok"))
+      val nCtx = ctx.agg(count(lit(1)).as("n_contexts"))
+      val p = (greatest(col("c2").cast("double") - lit(KnD), lit(0.0)) +
+        lit(KnD) * col("n1f").cast("double") * col("n1b").cast("double")
+          / col("n_types").cast("double")) / col("c1").cast("double")
+      bi.join(ctx, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+        .select(col("c2"), col("n_types"), col("n_tok"),
+          round(-log(2.0, p), 6).cast("decimal(18,6)").as("nll"))
+        .groupBy("n_types", "n_tok")
+        .agg(sum(col("c2").cast("decimal(12,0)") * col("nll")).as("s"))
+        .crossJoin(broadcast(nCtx))
+        .select(col("n_tok").as("n_bigrams"), col("n_types"),
+          col("n_contexts"),
+          round(col("s").cast("double") / col("n_tok").cast("double"), 6)
+            .as("xent_bits"))
+    }),
+
     "q87_bigram_xent" -> ((s, dir) => {
       // tokenization feeds three consumers (bigram counts, vocab, the
       // probe-side join) — cache it instead of re-scanning per branch
@@ -442,6 +504,11 @@ object TextPack extends QueryPack {
   /** q63/q64/q65 knobs: heavy-hitter list size, PMI support floor and list
     * size, rule-filter token-count band. */
   val TopkTokens = 20
+
+  /** n-gram orders for the q219 distinct-n diversity curve. */
+  val DiversityNs: Seq[Int] = Seq(1, 2, 3, 4)
+  /** Kneser-Ney absolute discount (q220). */
+  val KnD = 0.75
   val PmiMinCount = 5
   val PmiTopK = 50
   val MinTokens = 40
@@ -480,6 +547,62 @@ object TextPack extends QueryPack {
        |        FROM db JOIN model USING (bigram) GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "q219_distinct_ngrams" -> {
+      val perN = DiversityNs.map { n =>
+        val grams =
+          if (n == 1) "list_transform(toks, t -> md5(t))"
+          else
+            s"""CASE WHEN len(toks) >= $n
+               |  THEN list_transform(generate_series(1, len(toks) - ${n - 1}),
+               |         i -> md5(array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')))
+               |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+        s"SELECT $n AS n, unnest($grams) AS h FROM d"
+      }.mkString("\n UNION ALL\n")
+      s"""WITH d AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |g AS ($perN),
+         |c AS (SELECT n, h, count(*) AS c FROM g GROUP BY 1, 2)
+         |SELECT CAST(n AS INTEGER) AS n,
+         |       CAST(sum(c) AS BIGINT) AS n_grams,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       ${Portable.snap6Sql(
+                   "CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)")}
+         |         AS distinct_ratio
+         |FROM c GROUP BY n ORDER BY n""".stripMargin
+    },
+
+    "q220_kn_bigram" -> {
+      val p = s"(greatest(CAST(c2 AS DOUBLE) - $KnD, 0.0)" +
+        s" + $KnD * CAST(n1f AS DOUBLE) * CAST(n1b AS DOUBLE)" +
+        " / CAST(n_types AS DOUBLE)) / CAST(c1 AS DOUBLE)"
+      s"""WITH d AS (SELECT ${toksSql("text")} AS toks FROM documents),
+         |db AS (SELECT unnest(CASE WHEN len(toks) >= 2
+         |         THEN list_transform(generate_series(1, len(toks) - 1),
+         |                i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+         |         ELSE CAST([] AS VARCHAR[]) END) AS bg FROM d),
+         |bi AS (SELECT string_split(bg, ' ')[1] AS w1,
+         |              string_split(bg, ' ')[2] AS w2,
+         |              count(*) AS c2
+         |       FROM db GROUP BY bg),
+         |ctx AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f
+         |        FROM bi GROUP BY w1),
+         |cont AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+         |tot AS (SELECT count(*) AS n_types, sum(c2) AS n_tok FROM bi),
+         |nc AS (SELECT count(*) AS n_contexts FROM ctx),
+         |scored AS (
+         |  SELECT c2,
+         |         CAST(ROUND(-log2($p), 6) AS DECIMAL(18,6)) AS nll
+         |  FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot),
+         |agg AS (SELECT sum(CAST(c2 AS DECIMAL(12,0)) * nll) AS s
+         |        FROM scored)
+         |SELECT CAST(n_tok AS BIGINT) AS n_bigrams,
+         |       CAST(n_types AS BIGINT) AS n_types,
+         |       CAST(n_contexts AS BIGINT) AS n_contexts,
+         |       ROUND(CAST(s AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         |         AS xent_bits
+         |FROM agg CROSS JOIN tot CROSS JOIN nc""".stripMargin
+    },
+
     "q155_blocklist" -> {
       // the oracle replays each pattern as an independent strpos probe;
       // concat_ws drops the NULL (non-matching) branches, reproducing the

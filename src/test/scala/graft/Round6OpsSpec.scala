@@ -131,6 +131,46 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("q219: distinct-n ratios re-derived from raw tokens") {
+    val toks = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].collect()
+    val out = run("q219_distinct_ngrams")
+      .select("n", "n_grams", "n_distinct").as[(Int, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq === TextPack.DiversityNs)
+    out.foreach { case (n, total, distinct) =>
+      val grams = toks.flatMap(_.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")))
+      assert(grams.length.toLong === total, s"n=$n total")
+      assert(grams.distinct.length.toLong === distinct, s"n=$n distinct")
+    }
+  }
+
+  test("q220: Kneser-Ney cross-entropy re-derived from bigram counts") {
+    val toks = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(TextFunctions.tokens(col("text"))).as[Seq[String]].collect()
+    val bigrams = toks.flatMap(_.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))))
+    val c2 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1f = c2.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = c2.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val types = c2.size.toDouble
+    val d = TextPack.KnD
+    val xent = c2.map { case ((v, w), c) =>
+      val p = (math.max(c - d, 0.0) + d * n1f(v) * n1b(w) / types) / c1(v)
+      c * (-math.log(p) / math.log(2.0))
+    }.sum / bigrams.length
+    val out = run("q220_kn_bigram")
+      .select("n_bigrams", "n_types", "xent_bits")
+      .as[(Long, Long, Double)].head()
+    assert(out._1 === bigrams.length.toLong)
+    assert(out._2 === c2.size.toLong)
+    assert(math.abs(out._3 - xent) < 1e-3, s"${out._3} vs $xent")
+    // KN must beat (or match) the add-one q87 LM on corpus average —
+    // the reason to have it: sanity that smoothing isn't degenerate
+    assert(out._3 > 0.0 && out._3 < math.log(types) / math.log(2.0) + 8)
+  }
+
   test("q218: per-dimension mean/std match a direct computation") {
     val vecs = graft.sources.Tables.table(spark, sf0, "embeddings")
       .select(col("embedding").cast("array<double>"))

@@ -214,6 +214,48 @@ object AuditPack extends QueryPack {
     // integer bucketing — quantile cuts would need their own sync),
     // add-one smoothing so empty bins stay finite, per-bin terms rounded
     // then summed as DECIMAL (the q62 discipline: partition-order-free).
+    // Mutual information between a metadata column (source) and the
+    // quality bucket — the feature-relevance number that says whether a
+    // metadata field is worth conditioning a filter on (complements
+    // q182's chi2: MI is in bits and comparable across fields).
+    // MI = Σ_cells p(s,b)·log2(p(s,b)/(p(s)p(b))), plus both marginal
+    // entropies and the normalized MI/min(H) coefficient. Counts are
+    // exact integers; each cell/marginal term snaps to 1e-6 DECIMAL
+    // before the sum (the q212 PSI pattern), so the result is
+    // partition-order-free. Cost: one groupBy on (source, bucket) —
+    // cells are vocabulary-sized — and two marginal rollups OF the cell
+    // table, never a second corpus scan.
+    "q222_mutual_info" -> ((s, dir) => {
+      val q = round(Selection.qualityLogit(col("text"), TextPack.stopwords), 6)
+      val cells = Tables.table(s, dir, "documents")
+        .select(col("source"),
+          least(lit(9), floor(q * 10)).cast("int").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+        .localCheckpoint(false) // feeds both marginals + the MI terms
+      val ms = cells.groupBy("source").agg(sum("c").as("cs"))
+      val mb = cells.groupBy("bucket").agg(sum("c").as("cb"))
+      val tot = cells.agg(sum("c").as("n"), count(lit(1)).as("n_cells"))
+      def entBits(counts: DataFrame, cnt: String) = counts
+        .crossJoin(broadcast(tot))
+        .select(Portable.snap6(-(col(cnt).cast("double") / col("n"))
+          * log(2.0, col(cnt).cast("double") / col("n"))).as("t"))
+        .agg(sum(col("t").cast("decimal(20,6)")).cast("double").as("h"))
+      val mi = cells.join(ms, "source").join(mb, "bucket")
+        .crossJoin(broadcast(tot))
+        .select(Portable.snap6((col("c").cast("double") / col("n")) *
+          log(2.0, col("c").cast("double") * col("n").cast("double")
+            / (col("cs").cast("double") * col("cb").cast("double")))).as("t"))
+        .agg(sum(col("t").cast("decimal(20,6)")).cast("double").as("mi"))
+      mi.crossJoin(broadcast(entBits(ms, "cs").withColumnRenamed("h", "hs")))
+        .crossJoin(broadcast(entBits(mb, "cb").withColumnRenamed("h", "hb")))
+        .crossJoin(broadcast(tot.select(col("n_cells"))))
+        .select(col("n_cells"),
+          Portable.snap6(col("mi")).as("mi_bits"),
+          Portable.snap6(col("hs")).as("h_source_bits"),
+          Portable.snap6(col("hb")).as("h_bucket_bits"),
+          Portable.snap6(col("mi") / least(col("hs"), col("hb"))).as("nmi"))
+    }),
+
     "q212_psi_drift" -> ((s, dir) => {
       val d = Tables.table(s, dir, "documents")
         .withColumn("side",
@@ -1033,6 +1075,41 @@ object AuditPack extends QueryPack {
          |           + width * CAST(k - cum_before AS DOUBLE) / n
          |           - exact_med) <= width AS within_bin
          |FROM est WHERE cum_before < k AND cum_before + n >= k""".stripMargin,
+
+    "q222_mutual_info" -> {
+      val logit = Selection.qualityLogitSql(TextPack.stopwords)
+      s"""WITH d AS (SELECT source, text, ${TextPack.toksSql("text")} AS toks
+         |           FROM documents),
+         |s AS (SELECT source,
+         |        CAST(least(9, floor(ROUND(($logit), 6) * 10)) AS INTEGER)
+         |          AS bucket
+         |      FROM d),
+         |cells AS (SELECT source, bucket, count(*) AS c
+         |          FROM s GROUP BY 1, 2),
+         |ms AS (SELECT source, sum(c) AS cs FROM cells GROUP BY source),
+         |mb AS (SELECT bucket, sum(c) AS cb FROM cells GROUP BY bucket),
+         |tot AS (SELECT sum(c) AS n, count(*) AS n_cells FROM cells),
+         |mi AS (SELECT sum(CAST(${Portable.snap6Sql(
+                   "(CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE)" +
+                   " * CAST(n AS DOUBLE) / (CAST(cs AS DOUBLE) * CAST(cb AS DOUBLE)))")}
+         |         AS DECIMAL(20,6))) AS v
+         |       FROM cells JOIN ms USING (source) JOIN mb USING (bucket)
+         |       CROSS JOIN tot),
+         |hs AS (SELECT sum(CAST(${Portable.snap6Sql(
+                   "-(CAST(cs AS DOUBLE) / n) * log2(CAST(cs AS DOUBLE) / n)")}
+         |         AS DECIMAL(20,6))) AS v FROM ms CROSS JOIN tot),
+         |hb AS (SELECT sum(CAST(${Portable.snap6Sql(
+                   "-(CAST(cb AS DOUBLE) / n) * log2(CAST(cb AS DOUBLE) / n)")}
+         |         AS DECIMAL(20,6))) AS v FROM mb CROSS JOIN tot)
+         |SELECT CAST(n_cells AS BIGINT) AS n_cells,
+         |       ${Portable.snap6Sql("CAST(mi.v AS DOUBLE)")} AS mi_bits,
+         |       ${Portable.snap6Sql("CAST(hs.v AS DOUBLE)")} AS h_source_bits,
+         |       ${Portable.snap6Sql("CAST(hb.v AS DOUBLE)")} AS h_bucket_bits,
+         |       ${Portable.snap6Sql(
+                   "CAST(mi.v AS DOUBLE) / least(CAST(hs.v AS DOUBLE), CAST(hb.v AS DOUBLE))")}
+         |         AS nmi
+         |FROM mi CROSS JOIN hs CROSS JOIN hb CROSS JOIN tot""".stripMargin
+    },
 
     "q217_calibration_ece" -> {
       val logit = Selection.qualityLogitSql(TextPack.stopwords)

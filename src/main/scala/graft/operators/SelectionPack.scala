@@ -38,6 +38,10 @@ object SelectionPack extends QueryPack {
   val PostMaxDf = 12
   /** Token budget for the best-quality corpus subset. */
   val TokenBudget = 6000L
+
+  /** Systematic-resampling draw count and prefix-sum block (q221). */
+  val SirK = 50
+  val SirBlock = 4096L
   /** Weighted-sample draw size + snapshot-delta added-id offset. */
   val SampleK = 50
 
@@ -131,6 +135,39 @@ object SelectionPack extends QueryPack {
       Selection.dsirWeights(docs(s, dir), "doc_id", "text",
           col("source") === "src0")
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Systematic (low-variance) importance RESAMPLING — the draw step
+    // that turns q74-style importance weights into an actual corpus:
+    // k evenly-spaced positions u_j = (j−½)·W/k walk the cumulative
+    // weight axis and each doc receives one copy per position inside its
+    // [cum_before, cum_before+w) interval. With weights as 1e-6
+    // micro-longs the copy count is PURE integer arithmetic —
+    // copies = ⌊(2k·cum_after + W)/2W⌋ − ⌊(2k·cum_before + W)/2W⌋ —
+    // so the draw is engine- and partitioning-exact, and Σcopies = k by
+    // telescoping (Round6OpsSpec asserts it). The cumulative axis uses
+    // the two-level blocked prefix sum (q73's scale shape), never a
+    // global window.
+    "q221_sir_resample" -> ((s, dir) => {
+      val w = Portable.snap6(
+        T.qualityScore(col("text"), TextPack.stopwords) + lit(0.01))
+      val base = docs(s, dir)
+        .select(col("doc_id"), round(w * lit(1e6), 0).cast("long").as("wm"))
+      val cum = CorpusOps.blockedPrefixSum(base,
+          floor(col("doc_id") / SirBlock).cast("long"),
+          Seq(col("doc_id")), col("wm"))
+        .crossJoin(broadcast(base.groupBy().agg(sum(col("wm")).as("tw"))))
+      // integer DIV, not float division + floor: a draw position landing
+      // exactly on a cum boundary must bin identically in both engines
+      cum
+        .withColumn("copies", expr(
+          s"(2 * $SirK * (cum_before + wm) + tw) DIV (2 * tw)" +
+            s" - (2 * $SirK * cum_before + tw) DIV (2 * tw)"))
+        .filter(col("copies") >= 1)
+        .select(col("doc_id"),
+          Portable.snap6(col("wm").cast("double") / lit(1e6)).as("weight"),
+          col("copies").cast("long").as("copies"))
         .orderBy("doc_id")
     }),
 
@@ -463,6 +500,31 @@ object SelectionPack extends QueryPack {
          |             ORDER BY margin DESC, source, lang) AS INTEGER) AS rn,
          |       source, lang, chosen_id, rejected_id, margin
          |FROM p ORDER BY shard, rn""".stripMargin
+    },
+
+    "q221_sir_resample" -> {
+      val q = Portable.snap6Sql(
+        graft.functions.TextFunctions.qualityScoreSql(TextPack.stopwords) +
+          " + 0.01")
+      s"""WITH d AS (SELECT doc_id, ${TextPack.toksSql("text")} AS toks, text
+         |           FROM documents),
+         |w AS (SELECT doc_id, CAST(round(($q) * 1e6) AS BIGINT) AS wm
+         |      FROM d),
+         |c AS (SELECT doc_id, wm,
+         |        coalesce(sum(wm) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS cum_before,
+         |        sum(wm) OVER () AS tw
+         |      FROM w)
+         |SELECT doc_id, ${Portable.snap6Sql("CAST(wm AS DOUBLE) / 1e6")}
+         |         AS weight,
+         |       CAST((2 * $SirK * (cum_before + wm) + tw) // (2 * tw)
+         |          - (2 * $SirK * cum_before + tw) // (2 * tw) AS BIGINT)
+         |         AS copies
+         |FROM c
+         |WHERE (2 * $SirK * (cum_before + wm) + tw) // (2 * tw)
+         |    - (2 * $SirK * cum_before + tw) // (2 * tw) >= 1
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q216_grpo_advantage" -> {

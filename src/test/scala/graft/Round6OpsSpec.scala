@@ -171,6 +171,56 @@ class Round6OpsSpec extends SparkSpec {
     assert(out._3 > 0.0 && out._3 < math.log(types) / math.log(2.0) + 8)
   }
 
+  test("q221: systematic resample draws exactly k copies, replayed") {
+    val weights = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"),
+        round((graft.functions.Portable.snap6(TextFunctions.qualityScore(
+          col("text"), TextPack.stopwords) + lit(0.01))) * 1e6, 0)
+          .cast("long").as("wm"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val out = run("q221_sir_resample")
+      .select("doc_id", "copies").as[(Long, Long)].collect().toMap
+    val k = graft.operators.SelectionPack.SirK
+    assert(out.values.sum === k.toLong)
+    // replay: walk the cumulative axis with the u_j = (j-1/2)W/k grid
+    val tw = weights.map(_._2).sum
+    var cum = 0L
+    weights.foreach { case (id, wm) =>
+      val hi = (2L * k * (cum + wm) + tw) / (2L * tw)
+      val lo = (2L * k * cum + tw) / (2L * tw)
+      val copies = hi - lo
+      assert(out.getOrElse(id, 0L) === copies, s"doc $id")
+      cum += wm
+    }
+  }
+
+  test("q222: MI/entropies re-derived from the contingency table") {
+    val rows = graft.sources.Tables.table(spark, sf0, "documents")
+      .select(col("source"),
+        least(lit(9), floor(round(graft.operators.Selection.qualityLogit(
+          col("text"), TextPack.stopwords), 6) * 10)).cast("int").as("b"))
+      .as[(String, Int)].collect()
+    val n = rows.length.toDouble
+    val cells = rows.groupBy(identity).view.mapValues(_.size).toMap
+    val ms = rows.groupBy(_._1).view.mapValues(_.size).toMap
+    val mb = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val mi = cells.map { case ((s, b), c) =>
+      c / n * lg2(c * n / (ms(s).toDouble * mb(b))) }.sum
+    val hs = ms.values.map(c => -(c / n) * lg2(c / n)).sum
+    val hb = mb.values.map(c => -(c / n) * lg2(c / n)).sum
+    val out = run("q222_mutual_info")
+      .select("n_cells", "mi_bits", "h_source_bits", "h_bucket_bits", "nmi")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(out._1 === cells.size.toLong)
+    assert(math.abs(out._2 - mi) < 1e-4)
+    assert(math.abs(out._3 - hs) < 1e-4)
+    assert(math.abs(out._4 - hb) < 1e-4)
+    assert(math.abs(out._5 - mi / math.min(hs, hb)) < 1e-3)
+    // information inequalities the aggregate must respect
+    assert(out._2 >= 0.0 && out._2 <= math.min(out._3, out._4) + 1e-6)
+  }
+
   test("q218: per-dimension mean/std match a direct computation") {
     val vecs = graft.sources.Tables.table(spark, sf0, "embeddings")
       .select(col("embedding").cast("array<double>"))

@@ -158,6 +158,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Multi-probe IVF search — THE recall/latency knob of an IVF index:
+    * each query probes its top-`nprobe` centroids instead of one, so
+    * recall climbs toward exact while cost grows only with the probe
+    * count (the corpus layout is untouched: every vector still lives in
+    * exactly one rank-1 bucket, so probed candidate sets are disjoint
+    * and need no dedup). nprobe = 1 degenerates to [[ivfTopK]] exactly;
+    * tie semantics ((sim desc, cid) on probes, (sim desc, id) on
+    * results) match the single-probe path. */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+                        centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val corpusB = assign(corpus, centroids, "id", "vec")
+      .select(col("cid"), col("id").as("id_c"), col("vec").as("vec_c"),
+        col("n2").as("n2_c"))
+    val q = prepped(queries, "qid", "qvec", "_q")
+    val c = prepped(centroids, "cid", "cvec", "_k")
+    // the probe ranking window partitions by query id over a broadcast-
+    // sized frame (queries × centroids) — request-sized, never corpus
+    val wProbe = Window.partitionBy(col("id_q"))
+      .orderBy(coalesce(pairSim("_q", "_k"), lit(-2.0)).desc, col("id_k"))
+    val probes = q.crossJoin(broadcast(c))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("id_q"), col("vec_q"), col("n2_q"), col("id_k").as("cid"))
+    val scored = broadcast(probes).join(corpusB, "cid")
+      .filter(col("id_c") =!= col("id_q"))
+      .select(col("id_q").as("qid"), col("id_c").as("id"),
+        pairSim("_c", "_q").as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** The 100 TB path for [[hardNegatives]]: search only the query's IVF
     * bucket (the q36 layout) and exclude same-label members there — the
     * label column simply travels with the index rows, so the bucket scan

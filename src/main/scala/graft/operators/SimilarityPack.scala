@@ -12,6 +12,9 @@ object SimilarityPack extends QueryPack {
 
   val NearDupThreshold = 0.98
   val NumCentroids = 8
+
+  /** Probe counts for the q223 IVF tuning sweep. */
+  val NprobeSweep: Seq[Int] = Seq(1, 2, 4)
   val SamplePerCluster = 5
   val Dim = 64
   val PerturbOffset = 100000L
@@ -137,6 +140,34 @@ object SimilarityPack extends QueryPack {
     // query side broadcast — at 100 TB the audit runs on a query SAMPLE
     // (queries are already the %50 stratum), never the full corpus as
     // queries; the IVF side touches one bucket per query.
+    // IVF nprobe tuning sweep — the curve an index operator actually
+    // reads before picking a probe count: micro-averaged recall@5 vs
+    // exact for nprobe ∈ {1, 2, 4} (with 8 centroids, 4 probes searches
+    // half the index). Exact ground truth is computed ONCE and pinned;
+    // each probe level reuses the same bucketed layout, so the sweep
+    // costs three bucket scans, not three index builds. Recall is an
+    // exact integer ratio (Σhit/Σexact) — engine-identical.
+    "q223_ivf_nprobe_sweep" -> ((s, dir) => {
+      val k = 5
+      val ex = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k)
+        .select(col("qid"), col("id"))
+        .localCheckpoint(false) // shared by all probe levels
+      val exTot = ex.agg(count(lit(1)).as("n_exact"),
+        countDistinct(col("qid")).as("n_queries"))
+      NprobeSweep.map { np =>
+        val approx = Similarity.ivfTopKMultiProbe(corpus(s, dir),
+            queriesDf(s, dir), centroids(s, dir), k, np)
+          .select(col("qid"), col("id"))
+        val hits = ex.join(approx, Seq("qid", "id"))
+          .agg(count(lit(1)).as("n_hit"))
+        exTot.crossJoin(broadcast(hits))
+          .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+            col("n_exact"), col("n_hit"),
+            graft.functions.Portable.snap6(
+              col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
+
     "q174_ann_recall" -> ((s, dir) => {
       val k = 5
       val exact = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k)
@@ -478,6 +509,58 @@ object SimilarityPack extends QueryPack {
          |           FROM scored)
          |SELECT qid, rank, neighbor_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    "q223_ivf_nprobe_sweep" -> {
+      val perNp = NprobeSweep.map { np =>
+        s"""SELECT $np AS nprobe,
+           |       (SELECT count(DISTINCT qid) FROM bf) AS n_queries,
+           |       (SELECT count(*) FROM bf) AS n_exact,
+           |       (SELECT count(*) FROM bf
+           |        JOIN ivf$np ON ivf$np.qid = bf.qid AND ivf$np.id = bf.id)
+           |         AS n_hit""".stripMargin
+      }.mkString("\n UNION ALL\n")
+      val ivfPerNp = NprobeSweep.map { np =>
+        s"""qb$np AS (SELECT vec_id AS qid, cid FROM asg
+           |          WHERE vec_id % 50 = 0 AND rn <= $np),
+           |cand$np AS (SELECT qb$np.qid, b.vec_id AS id
+           |            FROM qb$np JOIN buckets b
+           |              ON b.cid = qb$np.cid AND b.vec_id <> qb$np.qid),
+           |sc$np AS (SELECT cand$np.qid, cand$np.id,
+           |                 ${cosSql("eq.embedding", "en.embedding")} AS sim
+           |          FROM cand$np JOIN e eq ON eq.vec_id = cand$np.qid
+           |                       JOIN e en ON en.vec_id = cand$np.id),
+           |ivf$np AS (SELECT qid, id FROM (
+           |             SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+           |                      ORDER BY sim DESC, id) AS rank FROM sc$np)
+           |           WHERE rank <= 5)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+         |      WHERE vec_id % 50 = 0),
+         |bf_scored AS (SELECT q.qid, e.vec_id AS id,
+         |                     ${cosSql("e.embedding", "q.qvec")} AS sim
+         |              FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |bf AS (SELECT qid, id FROM (
+         |         SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                  ORDER BY sim DESC, id) AS rank FROM bf_scored)
+         |       WHERE rank <= 5),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |      WHERE vec_id < $NumCentroids),
+         |asg AS (SELECT vec_id, cid,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, cid)
+         |                 AS rn
+         |        FROM e CROSS JOIN c),
+         |buckets AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+         |$ivfPerNp
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+         |       CAST(n_queries AS BIGINT) AS n_queries,
+         |       CAST(n_exact AS BIGINT) AS n_exact,
+         |       CAST(n_hit AS BIGINT) AS n_hit,
+         |       ${graft.functions.Portable.snap6Sql(
+                   "CAST(n_hit AS DOUBLE) / n_exact")} AS recall
+         |FROM ($perNp) ORDER BY nprobe""".stripMargin
+    },
 
     "q174_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -221,6 +221,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(out._2 >= 0.0 && out._2 <= math.min(out._3, out._4) + 1e-6)
   }
 
+  test("q223: nprobe=1 equals ivfTopK; recall is monotone; max probes ⊇ fewer") {
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.table(spark, sf0, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").as[(Long, Long)].collect().toSet
+    val single = ids(Similarity.ivfTopK(corpus, qs, cents, 5))
+    val probe1 = ids(Similarity.ivfTopKMultiProbe(corpus, qs, cents, 5, 1))
+    assert(probe1 === single)
+    val out = run("q223_ivf_nprobe_sweep")
+      .select("nprobe", "recall").as[(Long, Double)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(out === out.sorted, s"recall must be monotone in nprobe: $out")
+    // probing every bucket = exact search (8 centroids, nprobe=8)
+    val all = ids(Similarity.ivfTopKMultiProbe(corpus, qs, cents, 5, 8))
+    val exact = ids(Similarity.bruteForceTopK(corpus, qs, 5))
+    assert(all === exact)
+  }
+
   test("q218: per-dimension mean/std match a direct computation") {
     val vecs = graft.sources.Tables.table(spark, sf0, "embeddings")
       .select(col("embedding").cast("array<double>"))

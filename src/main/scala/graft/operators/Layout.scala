@@ -40,4 +40,20 @@ object Layout {
       .mode("overwrite")
       .partitionBy(partCol)
       .parquet(path)
+
+  /** Write `df` as a bucketed + per-bucket-sorted managed table: the
+    * layout investment that makes every later equi-join or aggregation
+    * on `keyCol` between co-bucketed tables run with ZERO exchange — the
+    * single biggest repeated-shuffle saver for a 100 TB fact/dim pair
+    * that joins daily (shuffle once at write time, never again at read).
+    * Bucket counts must match across tables meant to co-join;
+    * BucketedJoinSpec proves the exchange-free plan and result parity
+    * with the shuffled join. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+                    keyCol: String, buckets: Int): Unit = {
+    require(buckets >= 1, "buckets must be >= 1")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .saveAsTable(table)
+  }
 }

@@ -244,6 +244,29 @@ class Round6OpsSpec extends SparkSpec {
     assert(all === exact)
   }
 
+  test("q224: every planted duplicate resolves to one golden record") {
+    import graft.operators.FuzzyPack._
+    val cust = graft.sources.Tables.table(spark, sf0, "customer")
+    val planted = cust.filter(col("c_custkey") % GoldenMod === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val out = run("q224_golden_record")
+      .select("component", "n_members", "golden_name", "segment",
+        "min_id", "max_id")
+      .as[(Long, Long, String, String, Long, Long)].collect().sortBy(_._1)
+    // at sf0.001 no organic (same-cents, name-distance-1) pair exists, so
+    // the components are EXACTLY the planted (original, typo-copy) pairs
+    assert(out.length === planted.length)
+    out.zip(planted).foreach { case ((comp, n, name, seg, lo, hi),
+                                     (id, cname, cseg)) =>
+      assert(comp === id)
+      assert(n === 2L)
+      assert(name === cname, "survivorship: the shortest (original) name")
+      assert(seg === cseg, "survivorship: segment recovered from original")
+      assert(lo === id && hi === id + GoldenOffset)
+    }
+  }
+
   test("q218: per-dimension mean/std match a direct computation") {
     val vecs = graft.sources.Tables.table(spark, sf0, "embeddings")
       .select(col("embedding").cast("array<double>"))

@@ -42,6 +42,26 @@ object Dedup {
       .select(col(id), explode(T.wordNgrams(T.tokens(col(text)), n)).as("sh"))
       .distinct()
 
+  /** Shared-item counts for every (a < b) pair of id values — the
+    * source-overlap matrix shape. Semantically the item self-join
+    * (join on item, filter a < b, count per pair), but pair rows never
+    * SHUFFLE: after the one groupBy on the item, the sorted id set
+    * expands to ordered pairs IN MEMORY and the per-pair counts combine
+    * map-side down to ≤ K² partials per task. Use when the id domain K
+    * is vocabulary-small (sources, langs, shards): per-item sets are
+    * ≤ K elements, so neither the collect_set nor the K²/2 expansion
+    * can skew. Doc-level pair counting keeps the join form — a common
+    * shingle's doc set is corpus-sized and would OOM a collected set. */
+  def sharedPairCounts(items: DataFrame, idCol: String = "source",
+                       itemCol: String = "sh"): DataFrame =
+    items.groupBy(col(itemCol))
+      .agg(sort_array(collect_set(col(idCol))).as("_ids"))
+      .select(explode(flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + lit(2), size(col("_ids"))),
+          b => struct(a.as("a"), b.as("b")))))).as("_p"))
+      .groupBy(col("_p.a").as("src_a"), col("_p.b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+
   /** MinHash signature per document: one aggregation computing all
     * `numHashes` minima over the universal hash family Portable.permute.
     * The md5-based base hash is materialized once per shingle, not once per

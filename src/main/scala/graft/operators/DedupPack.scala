@@ -185,10 +185,9 @@ object DedupPack extends QueryPack {
       val est = sa.join(sb, col("src_a") < col("src_b"))
         .select(col("src_a"), col("src_b"), agree.cast("long").as("n_agree"))
       val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val shared = sh.select(col("source").as("src_a"), col("sh"))
-        .join(sh.select(col("source").as("src_b"), col("sh")), "sh")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      // set-expansion pair counting (Dedup.sharedPairCounts): the K²
+      // source pairs combine map-side instead of shuffling Σ df² rows
+      val shared = Dedup.sharedPairCounts(sh)
       val exact = col("n_shared").cast("double") /
         (col("n_a") + col("n_b") - col("n_shared"))
       est.join(shared, Seq("src_a", "src_b"), "left")
@@ -216,10 +215,7 @@ object DedupPack extends QueryPack {
       val docs = Tables.table(s, dir, "documents").select(col("source"), col("text"))
       val sh = Dedup.shingles(docs, 5, id = "source").localCheckpoint(false)
       val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
-      val pairs = sh.select(col("source").as("src_a"), col("sh"))
-        .join(sh.select(col("source").as("src_b"), col("sh")), "sh")
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      val pairs = Dedup.sharedPairCounts(sh)
       pairs
         .join(counts.select(col("source").as("src_a"), col("n_sh").as("n_a")), "src_a")
         .join(counts.select(col("source").as("src_b"), col("n_sh").as("n_b")), "src_b")

@@ -40,25 +40,38 @@ object MultimodalPack extends QueryPack {
         // at least one full window — the oracle's unnest(range(...)) drops
         // shorter docs, so both sides must exclude them explicitly
         .filter(length(col("text")) >= VadWindow)
-      val codes = transform(split(col("text"), ""), c => ascii(c))
       val nw = floor(length(col("text")) / VadWindow).cast("int")
       // nw >= 1 is guaranteed by the length filter above, so the window
-      // sequence is never empty/reversed
-      val energies = transform(sequence(lit(0), nw - 1), w =>
-        aggregate(slice(codes, w * VadWindow + 1, lit(VadWindow)),
+      // sequence is never empty/reversed.
+      // Per-window energy reads a SUBSTRING of the scalar text inside the
+      // lambda — O(len) total work. (The previous form sliced a per-char
+      // codes ARRAY in the lambda; interpreted higher-order functions
+      // re-evaluate lambda-invariant subtrees per element, so that array
+      // was rebuilt once PER WINDOW — O(len²/W) ascii() calls per row,
+      // measured 2.8 s warm at sf0.1. This form: ~0.3 s.) The stages are
+      // separate projections so each array materializes once per row;
+      // CollapseProject keeps multi-consumer aliases (flags, the fold
+      // struct) staged instead of re-inlining them per consumer.
+      val energies = transform(sequence(lit(0), col("nw") - 1), w =>
+        aggregate(
+          transform(split(col("text").substr(w * VadWindow + 1,
+            lit(VadWindow)), ""), c => ascii(c)),
           lit(0), (acc, x) => acc + x))
-      val flags = transform(energies, e => e >= VadThreshold)
+      val flags = transform(col("energies"), e => e >= VadThreshold)
       val zero = struct(lit(0).as("cur"), lit(0).as("best"), lit(0).as("segs"))
-      val fold = aggregate(flags, zero, (acc, f) => struct(
+      val fold = aggregate(col("flags"), zero, (acc, f) => struct(
         when(f, acc.getField("cur") + 1).otherwise(0).as("cur"),
         greatest(acc.getField("best"),
           when(f, acc.getField("cur") + 1).otherwise(0)).as("best"),
         (acc.getField("segs") +
           when(f && acc.getField("cur") === 0, 1).otherwise(0)).as("segs")))
-      d.select(col("doc_id"), nw.as("n_windows"),
-          size(filter(flags, f => f)).as("n_active"),
-          fold.getField("segs").as("n_segments"),
-          fold.getField("best").as("longest_run"))
+      d.select(col("doc_id"), col("text"), nw.as("nw"))
+        .select(col("doc_id"), col("nw"), energies.as("energies"))
+        .select(col("doc_id"), col("nw"), flags.as("flags"))
+        .select(col("doc_id"), col("nw").as("n_windows"),
+          size(filter(col("flags"), f => f)).as("n_active"), fold.as("f"))
+        .select(col("doc_id"), col("n_windows"), col("n_active"),
+          col("f.segs").as("n_segments"), col("f.best").as("longest_run"))
         .orderBy("doc_id")
     }),
 

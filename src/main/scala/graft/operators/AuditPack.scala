@@ -104,7 +104,35 @@ object AuditPack extends QueryPack {
   val PsiWarn = 0.1
   val PsiAlert = 0.25
 
+  /** q227 split-conformal geometry: per-source two-pass selection bins
+    * and the target coverage 1 − α = ConfCovNum/ConfCovDen (α = 0.2). */
+  val ConfBins = 256
+  val ConfCovNum = 4
+  val ConfCovDen = 5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Split-conformal calibration, Mondrian (per-source) variant — the
+    // distribution-free filter threshold a curation pipeline can attach
+    // a finite-sample guarantee to: with calibration scores s_1..s_n and
+    // q̂ = the ⌈(n+1)(1−α)⌉-th smallest, a fresh same-source doc exceeds
+    // q̂ with probability ≤ α, NO distributional assumptions. Score =
+    // |n_chars − calibration source mean| (exchangeable residual);
+    // halves split by doc-id hash. The k-th smallest is the q146
+    // two-pass histogram selection GENERALIZED PER GROUP: a 256-bin
+    // histogram per source finds each covering bin (one agg + a window
+    // over source×256 reduced rows), and only that bin's ~n/256 rows are
+    // rank-sorted — no global or per-source full sort at any scale. A
+    // calibration set smaller than k (tiny sources) yields q̂ = null =
+    // +∞, the conformal convention: coverage trivially holds. Scores
+    // ride e6-floored longs; reported coverage on the held-out half is
+    // an exact integer ratio.
+    "q227_conformal_threshold" -> ((s, dir) => {
+      Governance.conformalThreshold(
+        Tables.table(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", "n_chars", ConfCovNum, ConfCovDen, ConfBins)
+    }),
 
     // Cohen's kappa between two quality raters — the inter-annotator
     // agreement statistic a labeling pipeline reports before trusting a
@@ -883,6 +911,44 @@ object AuditPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q227_conformal_threshold" -> {
+      val isCal = s"(${Portable.hash32Sql(
+        "'cf:' || CAST(doc_id AS VARCHAR)")} % 2 = 0)"
+      s"""WITH d AS (SELECT doc_id, source, n_chars, $isCal AS is_cal
+         |           FROM documents),
+         |m AS (SELECT source, count(*) AS n_cal, sum(n_chars) AS s_chars,
+         |             ((count(*) + 1) * $ConfCovNum + ${ConfCovDen - 1})
+         |               // $ConfCovDen AS k_rank
+         |      FROM d WHERE is_cal GROUP BY 1),
+         |scored AS (SELECT d.source, d.doc_id, d.is_cal,
+         |                  CAST(floor(abs(CAST(n_chars AS DOUBLE)
+         |                    - CAST(s_chars AS DOUBLE) / n_cal) * 1000000.0)
+         |                    AS BIGINT) AS v
+         |           FROM d JOIN m USING (source)),
+         |ranked AS (SELECT source, v,
+         |                  row_number() OVER (PARTITION BY source
+         |                    ORDER BY v, doc_id) AS rn
+         |           FROM scored WHERE is_cal),
+         |qh AS (SELECT r.source, r.v AS qv
+         |       FROM ranked r JOIN m USING (source) WHERE rn = k_rank),
+         |cov AS (SELECT t.source, count(*) AS n_test,
+         |               sum(CASE WHEN qh.qv IS NULL OR t.v <= qh.qv
+         |                        THEN 1 ELSE 0 END) AS n_cov
+         |        FROM scored t LEFT JOIN qh ON qh.source = t.source
+         |        WHERE NOT t.is_cal GROUP BY 1)
+         |SELECT m.source, CAST(n_cal AS BIGINT) AS n_cal,
+         |       CAST(k_rank AS BIGINT) AS k_rank,
+         |       CAST(qv AS DOUBLE) / 1000000.0 AS qhat,
+         |       CAST(coalesce(n_test, 0) AS BIGINT) AS n_test,
+         |       CAST(coalesce(n_cov, 0) AS BIGINT) AS n_covered,
+         |       CASE WHEN coalesce(n_test, 0) = 0 THEN NULL
+         |            ELSE ${Portable.snap6Sql(
+                 "CAST(n_cov AS DOUBLE) / n_test")} END AS coverage
+         |FROM m LEFT JOIN qh ON qh.source = m.source
+         |       LEFT JOIN cov ON cov.source = m.source
+         |ORDER BY m.source""".stripMargin
+    },
 
     "q153_ref_integrity" -> {
       def fk(name: String, fact: String, key: String,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Privacy / data-governance audit: k-anonymity over quasi-identifier
@@ -117,5 +118,74 @@ object Governance {
         (col("clip_sum") + lap("s", clipHi / halfEps)) /
           greatest(col("n_true") + lap("n", 1.0 / halfEps), lit(1.0))))
       .select(col("grp"), col("n_true"), col("dp_mean"))
+  }
+
+  /** Mondrian (per-group) split-conformal calibration over an integer
+    * measure column: rows are hash-split into calibration/test halves,
+    * the nonconformity score is |x − calibration group mean| (e6-floored
+    * to a long), and per group the threshold q̂ is the
+    * ⌈(n+1)·covNum/covDen⌉-th smallest calibration score — a fresh
+    * same-group row exceeds q̂ with probability ≤ 1 − covNum/covDen,
+    * distribution-free. The k-th smallest is the q146 two-pass histogram
+    * selection generalized per group: a `bins`-bin histogram per group
+    * locates each covering bin (one agg + a window over group×bins
+    * REDUCED rows), and only that bin's ~n/bins rows are rank-sorted —
+    * no full sort at any scale. k > n (a calibration set smaller than
+    * the rank) yields q̂ = null = +∞, the conformal convention: coverage
+    * trivially holds, reported as such.
+    *
+    * Input: df(idCol LONG, grpCol, xCol numeric). Output per group with
+    * ≥1 calibration row: (grpCol, n_cal, k_rank, qhat, n_test,
+    * n_covered, coverage). */
+  def conformalThreshold(df: DataFrame, idCol: String, grpCol: String,
+                         xCol: String, covNum: Int, covDen: Int,
+                         bins: Int, salt: String = "cf"): DataFrame = {
+    val P = graft.functions.Portable
+    val d = df.select(col(idCol).as("id"), col(grpCol), col(xCol).as("x"),
+      (P.hash32(concat(lit(s"$salt:"), col(idCol).cast("string")))
+        % 2 === 0).as("is_cal"))
+    val m = d.filter(col("is_cal")).groupBy(grpCol)
+      .agg(count(lit(1)).as("n_cal"), sum("x").as("s_x"))
+      .withColumn("k_rank", expr(
+        s"((n_cal + 1) * $covNum + ${covDen - 1}) DIV $covDen"))
+    val scored = d.join(broadcast(m), grpCol)
+      .withColumn("v", floor(abs(col("x").cast("double")
+        - col("s_x").cast("double") / col("n_cal")) * 1e6).cast("long"))
+    val cal = scored.filter(col("is_cal")).select(grpCol, "id", "v")
+    val bounds = cal.groupBy(grpCol).agg(min("v").as("lo"), max("v").as("hi"))
+    val binned = cal.join(broadcast(bounds), grpCol)
+      .withColumn("bin", expr(
+        s"least(${bins - 1}, ((v - lo) * $bins) DIV (hi - lo + 1))"))
+      .select(grpCol, "id", "v", "bin")
+    val wc = Window.partitionBy(grpCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covering = binned.groupBy(grpCol, "bin").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(wc), lit(0L)))
+      .join(broadcast(m.select(grpCol, "k_rank")), grpCol)
+      .filter(col("cum_before") < col("k_rank") &&
+        col("cum_before") + col("cnt") >= col("k_rank"))
+      .select(col(grpCol), col("bin"), col("cum_before"), col("k_rank"))
+    val wr = Window.partitionBy(grpCol, "bin").orderBy("v", "id")
+    val qh = binned.join(broadcast(covering), Seq(grpCol, "bin"))
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === col("k_rank") - col("cum_before"))
+      .select(col(grpCol), col("v").as("qv"))
+    val cov = scored.filter(!col("is_cal")).select(grpCol, "v")
+      .join(broadcast(qh), Seq(grpCol), "left_outer")
+      .groupBy(grpCol)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("qv").isNull || col("v") <= col("qv"), 1L)
+          .otherwise(0L)).as("n_cov"))
+    m.join(broadcast(qh), Seq(grpCol), "left_outer")
+      .join(cov, Seq(grpCol), "left_outer")
+      .select(col(grpCol), col("n_cal"), col("k_rank"),
+        (col("qv").cast("double") / 1e6).as("qhat"),
+        coalesce(col("n_test"), lit(0L)).as("n_test"),
+        coalesce(col("n_cov"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_test"), lit(0L)) === 0,
+          lit(null).cast("double"))
+          .otherwise(P.snap6(
+            col("n_cov").cast("double") / col("n_test"))).as("coverage"))
+      .orderBy(grpCol)
   }
 }

@@ -15,6 +15,9 @@ object SimilarityPack extends QueryPack {
 
   /** Probe counts for the q223 IVF tuning sweep. */
   val NprobeSweep: Seq[Int] = Seq(1, 2, 4)
+
+  /** q225 candidate-list depth (MRR@k / hit@k cut). */
+  val MrrK = 10
   val SamplePerCluster = 5
   val Dim = 64
   val PerturbOffset = 100000L
@@ -166,6 +169,41 @@ object SimilarityPack extends QueryPack {
             graft.functions.Portable.snap6(
               col("n_hit").cast("double") / col("n_exact")).as("recall"))
       }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
+
+    // Ranked-retrieval quality of the IVF index — MRR@10 and hit@{1,3,10}
+    // against the EXACT top-1 neighbor (the metric a serving team reports
+    // next to q174's set-recall@k: "how high does the true best answer
+    // rank?"). Ground truth is one brute-force top-1 row per query; the
+    // candidate list is the production ivfTopK path at k = 10, so the
+    // number measures the real index, not a replica. Reciprocal ranks
+    // ride integer micro-units (1e6 DIV rank — exact in both engines),
+    // so the means are partition-order-free. Scale: the truth and
+    // candidate tables are |queries|-sized (queries are already a
+    // sample stratum), the join is on (qid, id), and the final
+    // aggregate is a single reduce — nothing here scans corpus² at any
+    // scale.
+    "q225_mrr_hit_rate" -> ((s, dir) => {
+      val truth = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), 1)
+        .select(col("qid"), col("id"))
+      val cand = Similarity.ivfTopK(corpus(s, dir), queriesDf(s, dir),
+          centroids(s, dir), MrrK)
+        .select(col("qid"), col("id"), col("rank"))
+      val per = truth.join(cand, Seq("qid", "id"), "left_outer")
+        .select(col("qid"), coalesce(col("rank"), lit(0)).cast("long").as("rk"))
+      val P = graft.functions.Portable
+      per.agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_hit1"),
+          sum(when(col("rk").between(1, 3), 1L).otherwise(0L)).as("n_hit3"),
+          sum(when(col("rk") >= 1, 1L).otherwise(0L)).as("n_hit10"),
+          sum(when(col("rk") >= 1, expr("1000000 DIV rk")).otherwise(0L))
+            .as("rr_e6"))
+        .select(col("n_queries"),
+          P.snap6(col("n_hit1").cast("double") / col("n_queries")).as("hit1"),
+          P.snap6(col("n_hit3").cast("double") / col("n_queries")).as("hit3"),
+          P.snap6(col("n_hit10").cast("double") / col("n_queries")).as("hit10"),
+          P.snap6(col("rr_e6").cast("double") / 1e6 / col("n_queries"))
+            .as("mrr"))
     }),
 
     "q174_ann_recall" -> ((s, dir) => {
@@ -367,6 +405,8 @@ object SimilarityPack extends QueryPack {
 
   // ---- DuckDB twins --------------------------------------------------------
 
+  private val Pb = graft.functions.Portable
+
   /** Rounded cosine between two embedding list columns (FLOAT[] → DOUBLE);
     * zero-norm vectors yield NULL like the engine's pairSim guard. */
   private def cosSql(a: String, b: String): String = {
@@ -561,6 +601,50 @@ object SimilarityPack extends QueryPack {
                    "CAST(n_hit AS DOUBLE) / n_exact")} AS recall
          |FROM ($perNp) ORDER BY nprobe""".stripMargin
     },
+
+    "q225_mrr_hit_rate" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0),
+         |bf_scored AS (SELECT q.qid, e.vec_id AS id,
+         |                     ${cosSql("e.embedding", "q.qvec")} AS sim
+         |              FROM e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         |truth AS (SELECT qid, id FROM (
+         |            SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                     ORDER BY sim DESC, id) AS rank FROM bf_scored)
+         |          WHERE rank = 1),
+         |c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $NumCentroids),
+         |asg AS (SELECT vec_id, cid,
+         |               ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                 ORDER BY ${cosSql("e.embedding", "c.cvec")} DESC, cid) AS rn
+         |        FROM e CROSS JOIN c),
+         |buckets AS (SELECT vec_id, cid FROM asg WHERE rn = 1),
+         |qb AS (SELECT vec_id AS qid, cid FROM buckets WHERE vec_id % 50 = 0),
+         |cand0 AS (SELECT qb.qid, b.vec_id AS id
+         |          FROM qb JOIN buckets b ON b.cid = qb.cid AND b.vec_id <> qb.qid),
+         |ivf_scored AS (SELECT cand0.qid, cand0.id,
+         |                      ${cosSql("eq.embedding", "en.embedding")} AS sim
+         |               FROM cand0 JOIN e eq ON eq.vec_id = cand0.qid
+         |                          JOIN e en ON en.vec_id = cand0.id),
+         |cand AS (SELECT qid, id, rank FROM (
+         |           SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |                    ORDER BY sim DESC, id) AS rank FROM ivf_scored)
+         |         WHERE rank <= $MrrK),
+         |per AS (SELECT truth.qid,
+         |               CAST(coalesce(cand.rank, 0) AS BIGINT) AS rk
+         |        FROM truth LEFT JOIN cand
+         |          ON cand.qid = truth.qid AND cand.id = truth.id),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |               sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_hit1,
+         |               sum(CASE WHEN rk BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS n_hit3,
+         |               sum(CASE WHEN rk >= 1 THEN 1 ELSE 0 END) AS n_hit10,
+         |               sum(CASE WHEN rk >= 1 THEN 1000000 // rk ELSE 0 END) AS rr_e6
+         |        FROM per)
+         |SELECT n_queries,
+         |       ${Pb.snap6Sql("CAST(n_hit1 AS DOUBLE) / n_queries")} AS hit1,
+         |       ${Pb.snap6Sql("CAST(n_hit3 AS DOUBLE) / n_queries")} AS hit3,
+         |       ${Pb.snap6Sql("CAST(n_hit10 AS DOUBLE) / n_queries")} AS hit10,
+         |       ${Pb.snap6Sql("CAST(rr_e6 AS DOUBLE) / 1e6 / n_queries")} AS mrr
+         |FROM agg""".stripMargin,
 
     "q174_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

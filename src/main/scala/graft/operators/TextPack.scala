@@ -265,6 +265,66 @@ object TextPack extends QueryPack {
     // the shuffle carries 16-byte keys, never gram text, and the
     // two-level aggregate (hash-count then per-n rollup) avoids the
     // Expand a mixed count/count-distinct plan would pay.
+    // ROUGE-N overlap (N = 1, 2) between deterministic (candidate,
+    // reference) document pairs — each doc scored against its source's
+    // next doc_id. The pair-eval primitive of summarization /
+    // paraphrase data curation: clipped n-gram counts give
+    // precision = Σ_g min(c_cand, c_ref) / |cand grams|, recall the
+    // same over |ref grams|, and F1 collapses to the exact integer
+    // ratio 2·overlap / (n_cand + n_ref) (both P and R share the same
+    // numerator), so every emitted value is a ratio of exact longs —
+    // no float accumulation anywhere. Scale shape: per-doc gram counts
+    // are one (doc, gram-hash) aggregation; the pair overlap joins the
+    // two count tables on (pair, 16-byte gram hash) — cost is matched
+    // grams only, never |cand grams| × |ref grams|, and nothing
+    // enumerates document pairs beyond the declared pairing.
+    "q226_rouge_overlap" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
+        .localCheckpoint(false) // feeds the pairing + two gram sizes
+      val wNext = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = d.select(col("doc_id").as("cand_id"),
+          lead(col("doc_id"), 1).over(wNext).as("ref_id"))
+        .filter(col("ref_id").isNotNull)
+      def counts(n: Int) = d.select(col("doc_id"),
+          explode(T.wordNgrams(col("toks"), n)).as("g"))
+        .groupBy(col("doc_id"), md5(col("g")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      Seq(1, 2).map { n =>
+        val cc = counts(n)
+        val tot = cc.groupBy("doc_id").agg(sum("c").as("n_grams"))
+        val ov = pairs
+          .join(cc.select(col("doc_id").as("cand_id"), col("h"),
+            col("c").as("c_cand")), "cand_id")
+          .join(cc.select(col("doc_id").as("ref_id"), col("h"),
+            col("c").as("c_ref")), Seq("ref_id", "h"))
+          .groupBy("cand_id", "ref_id")
+          .agg(sum(least(col("c_cand"), col("c_ref"))).as("overlap"))
+        pairs
+          .join(tot.select(col("doc_id").as("cand_id"),
+            col("n_grams").as("n_cand")), Seq("cand_id"), "left_outer")
+          .join(tot.select(col("doc_id").as("ref_id"),
+            col("n_grams").as("n_ref")), Seq("ref_id"), "left_outer")
+          .join(ov, Seq("cand_id", "ref_id"), "left_outer")
+          .select(lit(n).as("n"), col("cand_id"), col("ref_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("overlap"), lit(0L)).as("overlap"))
+      }.reduce(_ unionAll _)
+        .select(col("n"), col("cand_id"), col("ref_id"),
+          col("n_cand"), col("n_ref"), col("overlap"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(
+              col("overlap").cast("double") / col("n_cand"))).as("rouge_p"),
+          when(col("n_ref") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(
+              col("overlap").cast("double") / col("n_ref"))).as("rouge_r"),
+          when(col("n_cand") + col("n_ref") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(lit(2.0) * col("overlap")
+              / (col("n_cand") + col("n_ref")))).as("rouge_f"))
+        .orderBy("n", "cand_id")
+    }),
+
     "q219_distinct_ngrams" -> ((s, dir) => {
       val toks = Tables.table(s, dir, "documents")
         .select(T.tokens(col("text")).as("toks"))
@@ -547,6 +607,55 @@ object TextPack extends QueryPack {
        |        FROM db JOIN model USING (bigram) GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "q226_rouge_overlap" -> {
+      val g2 =
+        """CASE WHEN len(toks) >= 2
+          |  THEN list_transform(generate_series(1, len(toks) - 1),
+          |         i -> md5(array_to_string(list_slice(toks, i, i + 1), ' ')))
+          |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+      s"""WITH d AS (SELECT doc_id, source, ${toksSql("text")} AS toks
+         |           FROM documents),
+         |pairs AS (SELECT cand_id, ref_id FROM (
+         |            SELECT doc_id AS cand_id,
+         |                   lead(doc_id) OVER (PARTITION BY source
+         |                     ORDER BY doc_id) AS ref_id
+         |            FROM d) WHERE ref_id IS NOT NULL),
+         |g AS (SELECT 1 AS n, doc_id,
+         |             unnest(list_transform(toks, t -> md5(t))) AS h FROM d
+         |      UNION ALL
+         |      SELECT 2 AS n, doc_id, unnest($g2) AS h FROM d),
+         |cc AS (SELECT n, doc_id, h, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |tot AS (SELECT n, doc_id, sum(c) AS n_grams FROM cc GROUP BY 1, 2),
+         |ov AS (SELECT a.n, p.cand_id, p.ref_id,
+         |              sum(least(a.c, b.c)) AS overlap
+         |       FROM pairs p
+         |         JOIN cc a ON a.doc_id = p.cand_id
+         |         JOIN cc b ON b.doc_id = p.ref_id AND b.h = a.h
+         |                  AND b.n = a.n
+         |       GROUP BY 1, 2, 3),
+         |base AS (SELECT ns.n, p.cand_id, p.ref_id,
+         |                coalesce(tc.n_grams, 0) AS n_cand,
+         |                coalesce(tr.n_grams, 0) AS n_ref,
+         |                coalesce(ov.overlap, 0) AS overlap
+         |         FROM pairs p
+         |           CROSS JOIN (SELECT 1 AS n UNION ALL SELECT 2) ns
+         |           LEFT JOIN tot tc ON tc.n = ns.n AND tc.doc_id = p.cand_id
+         |           LEFT JOIN tot tr ON tr.n = ns.n AND tr.doc_id = p.ref_id
+         |           LEFT JOIN ov ON ov.n = ns.n AND ov.cand_id = p.cand_id
+         |                       AND ov.ref_id = p.ref_id)
+         |SELECT CAST(n AS INTEGER) AS n, cand_id, ref_id,
+         |       CAST(n_cand AS BIGINT) AS n_cand,
+         |       CAST(n_ref AS BIGINT) AS n_ref,
+         |       CAST(overlap AS BIGINT) AS overlap,
+         |       CASE WHEN n_cand = 0 THEN NULL ELSE ${Portable.snap6Sql(
+                 "CAST(overlap AS DOUBLE) / n_cand")} END AS rouge_p,
+         |       CASE WHEN n_ref = 0 THEN NULL ELSE ${Portable.snap6Sql(
+                 "CAST(overlap AS DOUBLE) / n_ref")} END AS rouge_r,
+         |       CASE WHEN n_cand + n_ref = 0 THEN NULL ELSE ${Portable.snap6Sql(
+                 "2.0 * overlap / (n_cand + n_ref)")} END AS rouge_f
+         |FROM base ORDER BY n, cand_id""".stripMargin
+    },
 
     "q219_distinct_ngrams" -> {
       val perN = DiversityNs.map { n =>

@@ -123,6 +123,48 @@ object VectorPack extends QueryPack {
     // operates on |labels| rows — a class vocabulary, bounded by
     // construction, so the < self-join is a broadcast of K rows however
     // big the corpus that produced them.
+    // Confident-learning label-noise audit (Cleanlab-style): estimate
+    // which (noisy label → true class) confusions the labeled corpus
+    // contains, WITHOUT clean labels. Self-confidence thresholds
+    // t_j = mean score of class j over rows CARRYING label j; a row is
+    // "confidently" class j when score_j ≥ t_j, and its predicted class
+    // is the argmax over the classes it is confident in. The joint
+    // count matrix C[noisy][pred] — off-diagonal mass = estimated label
+    // noise. Scores are cosine-to-class-centroid with q166's
+    // fixed-point-sum centroids (scale-invariance makes sums exact
+    // stand-ins for means); thresholds stay EXACT rationals (Σ, n) so
+    // the ≥ test is the integer comparison sim·n_j ≥ Σ_j — no float
+    // mean, no epsilon. Scale: centroids are |classes| broadcast rows,
+    // scoring is scan-stage, thresholds one tiny agg, argmax a map-side
+    // max_by — the corpus shuffles once, on vec_id.
+    "q228_label_noise" -> ((s, dir) => {
+      val cells = Tables.table(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("label"), col("i0"),
+          floor(col("x").cast("double") * lit(1e6)).cast("long").as("q"))
+      val cent = cells.groupBy("label", "i0").agg(sum(col("q")).as("sv"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("i0"), col("sv")))),
+          p => p.getField("sv").cast("double")).as("cv"))
+        .select(col("label").as("j"), col("cv"))
+      val rows = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").as("noisy"),
+          VectorFunctions.toDoubleArray(col("embedding")).as("v"))
+      val scored = rows.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("noisy"), col("j"),
+          floor(VectorFunctions.cosineOrNull(col("v"), col("cv")) * lit(1e4))
+            .cast("long").as("sim_e4"))
+      val thr = scored.filter(col("noisy") === col("j"))
+        .groupBy("j").agg(count(lit(1)).as("n_j"), sum("sim_e4").as("s_j"))
+      val confident = scored.join(broadcast(thr), "j")
+        .filter(col("sim_e4") * col("n_j") >= col("s_j"))
+      confident.groupBy("vec_id", "noisy")
+        .agg(max_by(col("j"), struct(col("sim_e4"), -col("j"))).as("pred"))
+        .groupBy(col("noisy").as("noisy_label"), col("pred").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("noisy_label", "pred_label")
+    }),
+
     "q166_class_centroids" -> ((s, dir) => {
       val cells = Tables.table(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
@@ -335,6 +377,37 @@ object VectorPack extends QueryPack {
          |       ${graft.functions.Portable.snap6Sql("m3 / sqrt(sq_t)")} AS c3,
          |       ${graft.functions.Portable.snap6Sql("m4 / sqrt(sq_t)")} AS c4
          |FROM a ORDER BY g""".stripMargin,
+
+    "q228_label_noise" ->
+      s"""WITH cells AS (
+         |  SELECT label, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |           AS BIGINT) AS q
+         |  FROM embeddings CROSS JOIN generate_series(1, $Dim) AS t(i)),
+         |sums AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS sv
+         |         FROM cells GROUP BY 1, 2),
+         |cent AS (SELECT label AS j, list(CAST(sv AS DOUBLE) ORDER BY i) AS cv
+         |         FROM sums GROUP BY 1),
+         |rws AS (SELECT vec_id, label AS noisy,
+         |               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |        FROM embeddings),
+         |scored AS (SELECT vec_id, noisy, j,
+         |                  CAST(floor((${VectorFunctions.cosineOrNullSql(
+                         "v", "cv", Dim)}) * 10000) AS BIGINT) AS sim_e4
+         |           FROM rws CROSS JOIN cent),
+         |thr AS (SELECT j, count(*) AS n_j, sum(sim_e4) AS s_j
+         |        FROM scored WHERE noisy = j GROUP BY 1),
+         |conf AS (SELECT s.vec_id, s.noisy, s.j, s.sim_e4
+         |         FROM scored s JOIN thr USING (j)
+         |         WHERE s.sim_e4 * thr.n_j >= thr.s_j),
+         |pred AS (SELECT vec_id, noisy, j AS pred FROM (
+         |           SELECT vec_id, noisy, j,
+         |                  row_number() OVER (PARTITION BY vec_id
+         |                    ORDER BY sim_e4 DESC, j) AS rn
+         |           FROM conf) WHERE rn = 1)
+         |SELECT noisy AS noisy_label, pred AS pred_label,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q166_class_centroids" ->
       s"""WITH cells AS (

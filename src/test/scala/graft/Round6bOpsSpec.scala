@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Independent plain-Scala re-derivations of the q225–q228 contract
+  * queries on sf0.001 (the Round6OpsSpec discipline: a THIRD code path
+  * besides the Spark plan and its DuckDB twin, so a shared formula bug
+  * still gets caught). */
+class Round6bOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf0)
+
+  // ---- shared local kernels (mirror the engine's exact arithmetic) ------
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** pairSim twin: cosine rounded HALF_UP to 4 decimals, null→None on
+    * zero norms (never fires on this corpus). */
+  private def sim4(a: Array[Double], b: Array[Double]): Double = {
+    val den = math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))
+    BigDecimal(dot(a, b) / den)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Portable.hash32 twin: first 8 md5 hex chars as unsigned long. */
+  private def hash32(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  private def snap6(x: Double): Double = math.floor(x * 1e6) / 1e6
+
+  private def loadEmb(): Map[Long, Array[Double]] =
+    Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().toMap
+
+  test("q225: MRR/hit-rate equals a full local replay of truth + IVF") {
+    val emb = loadEmb()
+    val qids = emb.keys.filter(_ % 50 == 0).toSeq.sorted
+    val cents = emb.keys.filter(_ < graft.operators.SimilarityPack.NumCentroids)
+      .toSeq.sorted
+    // exact top-1 per query: (sim desc, id asc)
+    val truth = qids.map { q =>
+      q -> emb.keys.filter(_ != q).toSeq
+        .map(id => (id, sim4(emb(id), emb(q))))
+        .minBy { case (id, s) => (-s, id) }._1
+    }.toMap
+    // IVF: every vector in its argmax-centroid bucket (sim desc, cid asc)
+    val bucket = emb.keys.map { id =>
+      id -> cents.map(c => (c, sim4(emb(id), emb(c))))
+        .minBy { case (c, s) => (-s, c) }._1
+    }.toMap
+    val ranks = qids.map { q =>
+      val cand = emb.keys
+        .filter(id => id != q && bucket(id) == bucket(q)).toSeq
+        .map(id => (id, sim4(emb(id), emb(q))))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(graft.operators.SimilarityPack.MrrK).map(_._1)
+      val i = cand.indexOf(truth(q))
+      if (i < 0) 0L else i + 1L
+    }
+    val n = ranks.length.toLong
+    val out = run("q225_mrr_hit_rate")
+      .select("n_queries", "hit1", "hit3", "hit10", "mrr")
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(out._1 === n)
+    assert(out._2 === snap6(ranks.count(_ == 1L).toDouble / n))
+    assert(out._3 === snap6(ranks.count(r => r >= 1 && r <= 3).toDouble / n))
+    assert(out._4 === snap6(ranks.count(_ >= 1L).toDouble / n))
+    val rrE6 = ranks.filter(_ >= 1L).map(1000000L / _).sum
+    assert(out._5 === snap6(rrE6.toDouble / 1e6 / n))
+    // the metric chain is internally consistent: hit1 <= hit3 <= hit10,
+    // and mrr is bounded by them (hit1 <= mrr <= hit10)
+    assert(out._2 <= out._3 && out._3 <= out._4)
+    assert(out._2 - 1e-9 <= out._5 && out._5 <= out._4 + 1e-9)
+  }
+
+  test("q226: clipped n-gram overlap equals a direct local recount") {
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(t: String, n: Int) = toks(t).sliding(n).filter(_.length == n)
+      .map(_.mkString(" ")).toSeq
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val pairs = docs.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).sorted
+      ids.zip(ids.drop(1))
+    }.toSeq
+    assert(pairs.nonEmpty)
+    val out = run("q226_rouge_overlap")
+      .select("n", "cand_id", "ref_id", "n_cand", "n_ref", "overlap", "rouge_f")
+      .as[(Int, Long, Long, Long, Long, Long, Option[Double])].collect()
+    assert(out.length === pairs.size * 2)
+    val outMap = out.map(r => (r._1, r._2, r._3) -> r).toMap
+    for (n <- Seq(1, 2); (cand, ref) <- pairs) {
+      val cc = grams(byId(cand), n).groupBy(identity).view.mapValues(_.size)
+      val rc = grams(byId(ref), n).groupBy(identity).view.mapValues(_.size)
+      val overlap = cc.keys.toSeq.map(g => math.min(cc(g), rc.getOrElse(g, 0)))
+        .sum.toLong
+      val (nc, nr) = (cc.values.sum.toLong, rc.values.sum.toLong)
+      val row = outMap((n, cand, ref))
+      assert(row._4 === nc, s"n=$n pair=($cand,$ref) n_cand")
+      assert(row._5 === nr, s"n=$n pair=($cand,$ref) n_ref")
+      assert(row._6 === overlap, s"n=$n pair=($cand,$ref) overlap")
+      val f = if (nc + nr == 0) None
+        else Some(snap6(2.0 * overlap / (nc + nr)))
+      assert(row._7 === f, s"n=$n pair=($cand,$ref) f1")
+    }
+  }
+
+  test("q227: per-source conformal threshold + coverage, recomputed") {
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val P = graft.operators.AuditPack
+    val bySrc = docs.groupBy(_._2)
+    val out = run("q227_conformal_threshold")
+      .select("source", "n_cal", "k_rank", "qhat", "n_test", "n_covered",
+        "coverage")
+      .as[(String, Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
+      val (cal, tst) = rows.partition(r => hash32(s"cf:${r._1}") % 2 == 0)
+      if (cal.isEmpty) assert(!out.contains(src))
+      else {
+        val n = cal.length.toLong
+        val mean = cal.map(_._3).sum.toDouble / n
+        def score(r: (Long, String, Long)): Long =
+          math.floor(math.abs(r._3.toDouble - mean) * 1e6).toLong
+        val k = ((n + 1) * P.ConfCovNum + (P.ConfCovDen - 1)) / P.ConfCovDen
+        val sorted = cal.map(r => (score(r), r._1)).sorted
+        val qv = if (k <= n) Some(sorted(k.toInt - 1)._1) else None
+        val nCov = tst.count(r => qv.forall(score(r) <= _)).toLong
+        val row = out(src)
+        assert(row._2 === n, s"$src n_cal")
+        assert(row._3 === k, s"$src k_rank")
+        assert(row._4 === qv.map(_.toDouble / 1e6), s"$src qhat")
+        assert(row._5 === tst.length.toLong, s"$src n_test")
+        assert(row._6 === nCov, s"$src n_covered")
+        val covExp = if (tst.isEmpty) None
+          else Some(snap6(nCov.toDouble / tst.length))
+        assert(row._7 === covExp, s"$src coverage")
+      }
+    }
+  }
+
+  test("conformal: k > n_cal yields q̂ = ∞ (null) and trivially-full coverage") {
+    // a group so small its calibration half can't reach rank k, next to a
+    // normal-sized group — the two conformal regimes side by side
+    val ids = (0L until 40L) :+ 1000L :+ 1001L :+ 1002L
+    val df = ids.toDF("id")
+      .withColumn("grp", when(col("id") >= 1000L, "tiny").otherwise("big"))
+      .withColumn("x", col("id") % 17 * 10 + 100)
+    val out = graft.operators.Governance
+      .conformalThreshold(df, "id", "grp", "x",
+        graft.operators.AuditPack.ConfCovNum,
+        graft.operators.AuditPack.ConfCovDen,
+        graft.operators.AuditPack.ConfBins)
+      .select("grp", "n_cal", "k_rank", "qhat", "n_test", "n_covered",
+        "coverage")
+      .as[(String, Long, Long, Option[Double], Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val tiny = out("tiny")
+    assert(tiny._3 > tiny._2, "fixture must hit the k > n_cal regime")
+    assert(tiny._4.isEmpty, "q̂ must be null (= +∞)")
+    assert(tiny._6 === tiny._5, "infinite threshold covers every test row")
+    val big = out("big")
+    assert(big._3 <= big._2)
+    assert(big._4.nonEmpty, "the big group has a finite threshold")
+    assert(big._6 <= big._5)
+  }
+
+  test("q228: confident-learning matrix equals the local re-derivation") {
+    val rows = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .as[(Long, Int, Array[Double])].collect()
+    val dim = rows.head._3.length
+    // fixed-point component-sum centroids (q166 trick)
+    val cent: Map[Int, Array[Double]] = rows.groupBy(_._2).map { case (l, g) =>
+      val cv = Array.tabulate(dim) { i =>
+        g.map(r => math.floor(r._3(i) * 1e6).toLong).sum.toDouble
+      }
+      l -> cv
+    }
+    def simE4(v: Array[Double], cv: Array[Double]): Long = {
+      val den = math.sqrt(dot(v, v)) * math.sqrt(dot(cv, cv))
+      math.floor(dot(v, cv) / den * 1e4).toLong
+    }
+    val scored = for (r <- rows; (j, cv) <- cent.toSeq)
+      yield (r._1, r._2, j, simE4(r._3, cv))
+    val thr = scored.filter(s => s._2 == s._3).groupBy(_._3).map {
+      case (j, g) => j -> (g.length.toLong, g.map(_._4).sum)
+    }
+    val pred = scored
+      .filter(s => thr.get(s._3).exists { case (nj, sj) => s._4 * nj >= sj })
+      .groupBy(s => (s._1, s._2)).toSeq.map { case ((_, noisy), g) =>
+        val best = g.minBy(s => (-s._4, s._3))._3
+        (noisy, best)
+      }
+    val expect = pred.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = run("q228_label_noise")
+      .select("noisy_label", "pred_label", "n")
+      .as[(Int, Int, Long)].collect()
+    assert(out.map(r => (r._1, r._2) -> r._3).toMap === expect)
+    // every labeled row that is confident in >= 1 class appears exactly once
+    assert(out.map(_._3).sum === pred.size.toLong)
+  }
+}

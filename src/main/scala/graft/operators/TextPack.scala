@@ -131,6 +131,37 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer fertility audit per language — the "how expensive is this
+    // language for the tokenizer" report (fertility = subword tokens per
+    // whitespace word; bytes per subword token) that decides vocab
+    // allocation and flags scripts the tokenizer fragments. One
+    // TokenStats scan (the fused q22 kernel) feeding one lang-keyed
+    // aggregation of four longs — map-side combinable, so at 100 TB the
+    // shuffle carries |langs| rows of integer sums. Ratios are exact
+    // long/long divisions snapped once; a lang with zero words/tokens
+    // reports null, not a division error. NULL lang is its own ''
+    // stratum (the stratifiedSample convention).
+    "q229_tokenizer_fertility" -> ((s, dir) => {
+      val ts = T.tokenStats(col("text"))
+      Tables.table(s, dir, "documents")
+        .select(coalesce(col("lang"), lit("")).as("lang"),
+          octet_length(col("text")).cast("long").as("bytes"),
+          ts.getField("ws_tokens").cast("long").as("ws"),
+          ts.getField("bpe_tokens").cast("long").as("bpe"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("bytes").as("n_bytes"),
+          sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_bytes"),
+          col("ws_tokens"), col("bpe_tokens"),
+          when(col("ws_tokens") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(col("bpe_tokens").cast("double")
+              / col("ws_tokens"))).as("fertility"),
+          when(col("bpe_tokens") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(col("n_bytes").cast("double")
+              / col("bpe_tokens"))).as("bytes_per_token"))
+        .orderBy("lang")
+    }),
+
     // Content fingerprint of the normalized text (md5-derived 32-bit).
     "q23_fingerprint" -> ((s, dir) => {
       Tables.table(s, dir, "documents")
@@ -803,6 +834,26 @@ object TextPack extends QueryPack {
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INTEGER) AS alpha_tokens,
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q229_tokenizer_fertility" ->
+      s"""WITH d AS (
+         |  SELECT coalesce(lang, '') AS lang,
+         |         CAST(octet_length(encode(text)) AS BIGINT) AS bytes,
+         |         CAST(len(${toksSql("text")}) AS BIGINT) AS ws,
+         |         CAST(len(regexp_extract_all(text,
+         |           '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bpe
+         |  FROM documents),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(bytes) AS BIGINT) AS n_bytes,
+         |             CAST(sum(ws) AS BIGINT) AS ws_tokens,
+         |             CAST(sum(bpe) AS BIGINT) AS bpe_tokens
+         |      FROM d GROUP BY 1)
+         |SELECT lang, n_docs, n_bytes, ws_tokens, bpe_tokens,
+         |       CASE WHEN ws_tokens = 0 THEN NULL ELSE ${Portable.snap6Sql(
+               "CAST(bpe_tokens AS DOUBLE) / ws_tokens")} END AS fertility,
+         |       CASE WHEN bpe_tokens = 0 THEN NULL ELSE ${Portable.snap6Sql(
+               "CAST(n_bytes AS DOUBLE) / bpe_tokens")} END AS bytes_per_token
+         |FROM a ORDER BY lang""".stripMargin,
 
     "q23_fingerprint" ->
       s"""SELECT doc_id,

@@ -182,6 +182,31 @@ class Round6bOpsSpec extends SparkSpec {
     assert(big._6 <= big._5)
   }
 
+  test("q229: per-lang fertility equals a direct local recount") {
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("lang"), col("text")).as[(String, String)].collect()
+    val bpeRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r
+    val expect = docs.groupBy(d => Option(d._1).getOrElse("")).map {
+      case (lang, g) =>
+        val bytes = g.map(_._2.getBytes("UTF-8").length.toLong).sum
+        val ws = g.map(_._2.split("\\s+").count(_.nonEmpty).toLong).sum
+        val bpe = g.map(d => bpeRe.findAllIn(d._2).length.toLong).sum
+        lang -> ((g.length.toLong, bytes, ws, bpe))
+    }
+    val out = run("q229_tokenizer_fertility")
+      .select("lang", "n_docs", "n_bytes", "ws_tokens", "bpe_tokens",
+        "fertility", "bytes_per_token")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect()
+    assert(out.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap === expect)
+    out.foreach { r =>
+      assert(r._6 === Some(snap6(r._5.toDouble / r._4)), s"${r._1} fertility")
+      assert(r._7 === Some(snap6(r._3.toDouble / r._5)), s"${r._1} bytes/tok")
+      // a subword segmentation never yields fewer pieces than words
+      assert(r._6.get >= 1.0, s"${r._1}: fertility below 1 is impossible")
+    }
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

@@ -67,6 +67,12 @@ object MiningPack extends QueryPack {
   /** q184: stump search grid — value-axis bin width 0.1, clamped bins. */
   val StumpBins = 50
 
+  /** q231 DoReMi-style exponentiated-gradient step size and the
+    * fixed-point scale the un-normalized weights quantize to BEFORE the
+    * normalizing sum (integer Σ → partition-order-free weights). */
+  val DoremiEta = 1.0
+  val DoremiScale = 1e9
+
   /** Deterministic ±1 sign row k of the JL projection matrix — a pure
     * function of (k, i) computed at PLAN BUILD time and embedded as
     * literals in both engines (no runtime randomness to disagree on). */
@@ -235,6 +241,48 @@ object MiningPack extends QueryPack {
     // window (WindowGroupLimit pushes per-task top-K heaps below the
     // exchange) and is K rows BY CONSTRUCTION, so the membership join is
     // a broadcast at any corpus size. Integer counts; snap6 ratio.
+    // One DoReMi-style mixture-reweighting step: domains (sources) whose
+    // text the current vocabulary models WORST get their sampling weight
+    // raised by an exponentiated-gradient update w' ∝ w₀·exp(η·loss),
+    // the domain-mix optimization the published DoReMi recipe iterates.
+    // The per-domain loss proxy is the corpus-vocabulary OOV rate (the
+    // q164 vocabulary: top-K tokens by corpus frequency) — deterministic
+    // and engine-replayable where a real LM excess loss is not. The only
+    // transcendental is one exp over a snapped rate; un-normalized
+    // weights floor-quantize to 1e9 longs BEFORE the normalizing sum, so
+    // the division is exact-integer / exact-integer in both engines.
+    // Scale: one token shuffle (tf), a K-row vocabulary broadcast back,
+    // one source-keyed aggregate; the weight step runs on |domains| rows
+    // under a reduced-input window (guardrail-exempt by construction).
+    "q231_doremi_step" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val toks = docs.select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val wv = Window.orderBy(col("cnt").desc, col("tok"))
+      val vocab = tf.withColumn("r", row_number().over(wv))
+        .filter(col("r") <= VocabK).select(col("tok"), lit(1).as("in_v"))
+      val loss = toks.join(vocab, Seq("tok"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("loss", Portable.snap6(
+          col("n_oov").cast("double") / col("n_tok")))
+      val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val wTot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val j = nd.join(loss, "source")
+        .withColumn("n_total", sum("n_docs").over(wTot))
+        .withColumn("w0",
+          col("n_docs").cast("double") / col("n_total"))
+        .withColumn("t", floor(col("w0")
+          * exp(lit(DoremiEta) * col("loss")) * lit(DoremiScale)).cast("long"))
+        .withColumn("t_sum", sum("t").over(wTot))
+      j.select(col("source"), col("n_docs"), col("n_tok"), col("loss"),
+          Portable.snap6(col("w0")).as("w0"),
+          Portable.snap6(col("t").cast("double") / col("t_sum")).as("w_new"))
+        .orderBy("source")
+    }),
+
     "q164_oov_rate" -> ((s, dir) => {
       val toks = Tables.table(s, dir, "documents")
         .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
@@ -624,6 +672,35 @@ object MiningPack extends QueryPack {
         |    AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p_partkey""".stripMargin,
+
+    "q231_doremi_step" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${toksSql("text")}) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok) AS r
+         |    FROM tf) WHERE r <= $VocabK),
+         |lo AS (
+         |  SELECT t.source, count(*) AS n_tok,
+         |         CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v ON v.tok = t.tok GROUP BY 1),
+         |l2 AS (SELECT source, n_tok, ${Portable.snap6Sql(
+             "CAST(n_oov AS DOUBLE) / n_tok")} AS loss FROM lo),
+         |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         |j AS (SELECT nd.source, n_docs, n_tok, loss,
+         |             CAST(n_docs AS DOUBLE)
+         |               / (SELECT sum(n_docs) FROM nd) AS w0
+         |      FROM nd JOIN l2 USING (source)),
+         |q AS (SELECT j.*, CAST(floor(w0 * exp($DoremiEta * loss)
+         |             * $DoremiScale) AS BIGINT) AS t FROM j)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_tok AS BIGINT) AS n_tok, loss,
+         |       ${Portable.snap6Sql("w0")} AS w0,
+         |       ${Portable.snap6Sql(
+             "CAST(t AS DOUBLE) / (SELECT sum(t) FROM q)")} AS w_new
+         |FROM q ORDER BY source""".stripMargin,
 
     "q164_oov_rate" ->
       s"""WITH toks AS (

@@ -162,6 +162,33 @@ object TextPack extends QueryPack {
         .orderBy("lang")
     }),
 
+    // Credential/secret screen (the gitleaks-family heuristic a code/web
+    // corpus MUST run before release): tokens that look like keys —
+    // long, single-run [A-Za-z0-9_-], mixing letters AND digits, with
+    // high distinct-character count (English words and serial numbers
+    // fail one of the legs). The fixture plants a deterministic
+    // sk_<md5> credential in every 7th doc so the screen has known
+    // positives the oracle replays exactly; organic long tokens that
+    // genuinely look key-like are flagged identically in both engines.
+    // Scale: explode + filter is scan-stage; the per-doc rollup
+    // shuffles only candidate tokens (rare), keyed by doc_id.
+    "q230_secret_scan" -> ((s, dir) => {
+      val planted = when(col("doc_id") % SecretPlantMod === 0,
+        concat(col("text"), lit(" token sk_"),
+          md5(col("doc_id").cast("string")))).otherwise(col("text"))
+      Tables.table(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(planted)).as("tok"))
+        .filter(length(col("tok")) >= SecretMinLen &&
+          col("tok").rlike("^[A-Za-z0-9_\\-]+$") &&
+          col("tok").rlike("[0-9]") && col("tok").rlike("[A-Za-z]") &&
+          size(array_distinct(filter(split(col("tok"), ""),
+            c => length(c) > 0))) >= SecretMinDistinct)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_secrets"),
+          max(length(col("tok"))).cast("long").as("max_len"))
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprint of the normalized text (md5-derived 32-bit).
     "q23_fingerprint" -> ((s, dir) => {
       Tables.table(s, dir, "documents")
@@ -592,6 +619,13 @@ object TextPack extends QueryPack {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val DigitsPattern = "[0-9]{6,}"
 
+  /** q230 secret-screen knobs: plant cadence, minimum token length,
+    * minimum distinct characters (a 32-hex md5 easily clears both;
+    * natural words clear neither). */
+  val SecretPlantMod = 7
+  val SecretMinLen = 24
+  val SecretMinDistinct = 12
+
   /** q63/q64/q65 knobs: heavy-hitter list size, PMI support floor and list
     * size, rule-filter token-count band. */
   val TopkTokens = 20
@@ -834,6 +868,25 @@ object TextPack extends QueryPack {
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS INTEGER) AS alpha_tokens,
          |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INTEGER) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q230_secret_scan" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % $SecretPlantMod = 0
+         |              THEN text || ' token sk_' || md5(CAST(doc_id AS VARCHAR))
+         |              ELSE text END AS wp
+         |  FROM documents),
+         |toks AS (SELECT doc_id, unnest(${toksSql("wp")}) AS tok FROM t),
+         |cand AS (
+         |  SELECT doc_id, tok FROM toks
+         |  WHERE len(tok) >= $SecretMinLen
+         |    AND regexp_matches(tok, '^[A-Za-z0-9_\\-]+$$')
+         |    AND regexp_matches(tok, '[0-9]')
+         |    AND regexp_matches(tok, '[A-Za-z]')
+         |    AND len(list_distinct(string_split(tok, ''))) >= $SecretMinDistinct)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_secrets,
+         |       CAST(max(len(tok)) AS BIGINT) AS max_len
+         |FROM cand GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q229_tokenizer_fertility" ->
       s"""WITH d AS (

@@ -207,6 +207,67 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q230: secret screen equals a local token-rule recount") {
+    val P = graft.operators.TextPack
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val runRe = "^[A-Za-z0-9_\\-]+$".r
+    val expect = docs.flatMap { case (id, text) =>
+      val planted = if (id % P.SecretPlantMod == 0)
+        s"$text token sk_${md5hex(id.toString)}" else text
+      val hits = planted.split("\\s+").filter(_.nonEmpty).filter { tok =>
+        tok.length >= P.SecretMinLen &&
+          runRe.findFirstIn(tok).isDefined &&
+          tok.exists(_.isDigit) && tok.exists(_.isLetter) &&
+          tok.distinct.length >= P.SecretMinDistinct
+      }
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.length.toLong, hits.map(_.length).max.toLong)))
+    }.toMap
+    val out = run("q230_secret_scan")
+      .select("doc_id", "n_secrets", "max_len")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(r => r._1 -> ((r._2, r._3))).toMap === expect)
+    // every planted credential is caught
+    docs.map(_._1).filter(_ % P.SecretPlantMod == 0)
+      .foreach(id => assert(expect.contains(id), s"planted doc $id missed"))
+  }
+
+  test("q231: DoReMi step equals a local replay; hard domains gain weight") {
+    val M = graft.operators.MiningPack
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val toks = docs.flatMap { case (src, t) =>
+      t.split("\\s+").filter(_.nonEmpty).map(src -> _)
+    }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.size).toSeq
+      .sortBy { case (tok, cnt) => (-cnt, tok) }.take(M.VocabK)
+      .map(_._1).toSet
+    val bySrc = toks.groupBy(_._1)
+    val nTotal = docs.length.toDouble
+    val rows = bySrc.toSeq.map { case (src, ts) =>
+      val nTok = ts.length.toLong
+      val loss = snap6(ts.count(t => !vocab(t._2)).toDouble / nTok)
+      val w0 = docs.count(_._1 == src) / nTotal
+      val t = math.floor(w0 * math.exp(M.DoremiEta * loss) * M.DoremiScale)
+        .toLong
+      (src, nTok, loss, w0, t)
+    }
+    val tSum = rows.map(_._5).sum
+    val expect = rows.map { case (src, nTok, loss, w0, t) =>
+      src -> ((nTok, loss, snap6(w0), snap6(t.toDouble / tSum)))
+    }.toMap
+    val out = run("q231_doremi_step")
+      .select("source", "n_tok", "loss", "w0", "w_new")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap === expect)
+    // the EG step direction: sort by loss — relative weight w_new/w0 must
+    // be non-decreasing in loss (harder domains gain, easier lose)
+    val ratios = out.sortBy(_._3).map(r => r._5 / r._4)
+    ratios.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-9) }
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-4, "weights re-normalize")
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

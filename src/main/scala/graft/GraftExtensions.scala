@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{AcHits, BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, PqSubDists, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
+import graft.functions.expressions.{AcHits, BlockHash, BloomBuildAgg, BloomProbe, CmsLookup, DeflateRatio, DotProduct, FoldAccents, LcsLen, PqSubDists, TokenStats, VectorSumAgg, VocabHits, WordNgrams}
 
 /** SparkSessionExtensions entry point — makes the engine's native
   * expressions available to pure-SQL users:
@@ -108,6 +108,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_fold_accents takes exactly 1 argument")
         FoldAccents(args.head)
+      }),
+    (FunctionIdentifier("graft_lcs"),
+      new ExpressionInfo(classOf[LcsLen].getName, "graft_lcs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_lcs takes exactly 2 arguments")
+        LcsLen(args.head, args(1))
       }),
     (FunctionIdentifier("graft_ac_hits"),
       new ExpressionInfo(classOf[AcHits].getName, "graft_ac_hits"),

@@ -49,6 +49,11 @@ object TextFunctions {
   def foldAccents(text: Column): Column =
     column(expressions.FoldAccents(expression(text)))
 
+  /** Longest-common-subsequence length of two token arrays (the ROUGE-L
+    * kernel) — see [[graft.functions.expressions.LcsLen]]. */
+  def lcsLen(a: Column, b: Column): Column =
+    column(expressions.LcsLen(expression(a), expression(b)))
+
   /** Character n-gram shingles of the raw string. */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,

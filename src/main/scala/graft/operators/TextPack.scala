@@ -383,6 +383,51 @@ object TextPack extends QueryPack {
         .orderBy("n", "cand_id")
     }),
 
+    // ROUGE-L over the q226 pairing: longest-common-subsequence F-score,
+    // the order-aware companion to q226's bag-overlap ROUGE-N (a
+    // shuffled paraphrase keeps ROUGE-1 high but drops ROUGE-L). The
+    // LCS runs as the native graft_lcs expression — sequence DP is the
+    // one text kernel Spark's collection functions genuinely cannot
+    // express (intra-row cell dependency), the textbook custom-
+    // Expression case. Scores are computed over a fixed token budget
+    // ([[RougeLMaxToks]], the q53/MaxTokens discipline: bounded per-pair
+    // cost at any scale, and the budget is what makes the DuckDB twin —
+    // the DP unrolled over exactly that many steps as plain window
+    // prefix-maxes — exact rather than gate-checked). P, R and F are
+    // exact integer ratios of (lcs, |a|, |b|); F = 2·lcs/(|a|+|b|).
+    "q232_rouge_l" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          slice(T.tokens(col("text")), 1, RougeLMaxToks).as("toks"))
+        .localCheckpoint(false) // feeds the pairing + both token sides
+      val wNext = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = d.select(col("doc_id").as("cand_id"),
+          lead(col("doc_id"), 1).over(wNext).as("ref_id"))
+        .filter(col("ref_id").isNotNull)
+      pairs
+        .join(d.select(col("doc_id").as("cand_id"), col("toks").as("a")),
+          "cand_id")
+        .join(d.select(col("doc_id").as("ref_id"), col("toks").as("b")),
+          "ref_id")
+        .select(col("cand_id"), col("ref_id"),
+          size(col("a")).cast("long").as("len_cand"),
+          size(col("b")).cast("long").as("len_ref"),
+          T.lcsLen(col("a"), col("b")).cast("long").as("lcs"))
+        .select(col("cand_id"), col("ref_id"), col("len_cand"),
+          col("len_ref"), col("lcs"),
+          when(col("len_cand") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(
+              col("lcs").cast("double") / col("len_cand"))).as("rouge_l_p"),
+          when(col("len_ref") === 0, lit(null).cast("double"))
+            .otherwise(Portable.snap6(
+              col("lcs").cast("double") / col("len_ref"))).as("rouge_l_r"),
+          when(col("len_cand") + col("len_ref") === 0,
+            lit(null).cast("double"))
+            .otherwise(Portable.snap6(lit(2.0) * col("lcs")
+              / (col("len_cand") + col("len_ref")))).as("rouge_l_f"))
+        .orderBy("cand_id")
+    }),
+
     "q219_distinct_ngrams" -> ((s, dir) => {
       val toks = Tables.table(s, dir, "documents")
         .select(T.tokens(col("text")).as("toks"))
@@ -626,6 +671,10 @@ object TextPack extends QueryPack {
   val SecretMinLen = 24
   val SecretMinDistinct = 12
 
+  /** q232 ROUGE-L token budget — both the per-pair DP cost bound and the
+    * unroll depth of the DuckDB twin. */
+  val RougeLMaxToks = 24
+
   /** q63/q64/q65 knobs: heavy-hitter list size, PMI support floor and list
     * size, rule-filter token-count band. */
   val TopkTokens = 20
@@ -672,6 +721,67 @@ object TextPack extends QueryPack {
        |        FROM db JOIN model USING (bigram) GROUP BY doc_id)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    // The LCS DP unrolled over RougeLMaxToks steps: step t consumes the
+    // cand's t-th token; new[j] = max(prev[j], prefixmax_{k<=j, b_k=a_t}
+    // (prev[k-1]+1)) — valid because DP rows are monotone, and every
+    // construct is a plain window function (no DuckDB lambdas, which
+    // mis-evaluate nested captures at these sizes — see LcsLen scaladoc).
+    "q232_rouge_l" -> {
+      val K = RougeLMaxToks
+      val steps = (1 to K).map { t =>
+        s"""r$t AS (
+           |  SELECT pair, j, tok,
+           |    GREATEST(val, coalesce(max(CASE WHEN tok = a_t
+           |         THEN lag_val + 1 END)
+           |       OVER (PARTITION BY pair ORDER BY j
+           |             ROWS UNBOUNDED PRECEDING), 0)) AS val
+           |  FROM (
+           |    SELECT r.pair, r.j, r.tok, r.val,
+           |           coalesce(lag(r.val) OVER (PARTITION BY r.pair
+           |             ORDER BY r.j), 0) AS lag_val,
+           |           at$t.atok AS a_t
+           |    FROM r${t - 1} r LEFT JOIN atok at$t
+           |      ON at$t.pair = r.pair AND at$t.t = $t))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, source,
+         |             (${toksSql("text")})[1:$K] AS toks FROM documents),
+         |pairs AS (SELECT cand_id, ref_id FROM (
+         |            SELECT doc_id AS cand_id,
+         |                   lead(doc_id) OVER (PARTITION BY source
+         |                     ORDER BY doc_id) AS ref_id
+         |            FROM d) WHERE ref_id IS NOT NULL),
+         |atok AS (SELECT p.cand_id AS pair, t, dc.toks[t] AS atok
+         |         FROM pairs p JOIN d dc ON dc.doc_id = p.cand_id
+         |              CROSS JOIN generate_series(1, $K) AS g(t)
+         |         WHERE t <= len(dc.toks)),
+         |r0 AS (SELECT p.cand_id AS pair, j, dr.toks[j] AS tok, 0 AS val
+         |       FROM pairs p JOIN d dr ON dr.doc_id = p.ref_id
+         |            CROSS JOIN generate_series(1, $K) AS g(j)
+         |       WHERE j <= len(dr.toks)),
+         |$steps,
+         |l AS (SELECT pair, max(val) AS lcs FROM r$K GROUP BY pair),
+         |base AS (
+         |  SELECT p.cand_id, p.ref_id,
+         |         len(dc.toks) AS len_cand, len(dr.toks) AS len_ref,
+         |         coalesce(l.lcs, 0) AS lcs
+         |  FROM pairs p
+         |    JOIN d dc ON dc.doc_id = p.cand_id
+         |    JOIN d dr ON dr.doc_id = p.ref_id
+         |    LEFT JOIN l ON l.pair = p.cand_id)
+         |SELECT cand_id, ref_id,
+         |       CAST(len_cand AS BIGINT) AS len_cand,
+         |       CAST(len_ref AS BIGINT) AS len_ref,
+         |       CAST(lcs AS BIGINT) AS lcs,
+         |       CASE WHEN len_cand = 0 THEN NULL ELSE ${Portable.snap6Sql(
+                 "CAST(lcs AS DOUBLE) / len_cand")} END AS rouge_l_p,
+         |       CASE WHEN len_ref = 0 THEN NULL ELSE ${Portable.snap6Sql(
+                 "CAST(lcs AS DOUBLE) / len_ref")} END AS rouge_l_r,
+         |       CASE WHEN len_cand + len_ref = 0 THEN NULL
+         |            ELSE ${Portable.snap6Sql(
+                 "2.0 * lcs / (len_cand + len_ref)")} END AS rouge_l_f
+         |FROM base ORDER BY cand_id""".stripMargin
+    },
 
     "q226_rouge_overlap" -> {
       val g2 =

@@ -119,6 +119,55 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q232: ROUGE-L equals a local DP; graft_lcs exact on FULL texts too") {
+    val K = graft.operators.TextPack.RougeLMaxToks
+    def lcs(a: Seq[String], b: Seq[String]): Long = {
+      val prev = Array.fill(b.length + 1)(0)
+      for (x <- a) {
+        val cur = Array.fill(b.length + 1)(0)
+        for (j <- 1 to b.length)
+          cur(j) = math.max(math.max(prev(j), cur(j - 1)),
+            if (b(j - 1) == x) prev(j - 1) + 1 else 0)
+        Array.copy(cur, 0, prev, 0, b.length + 1)
+      }
+      prev(b.length).toLong
+    }
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val byId = docs.map(d => d._1 -> toks(d._3)).toMap
+    val pairs = docs.groupBy(_._2).values.flatMap { g =>
+      val ids = g.map(_._1).sorted; ids.zip(ids.drop(1))
+    }.toSeq
+    val out = run("q232_rouge_l")
+      .select("cand_id", "ref_id", "len_cand", "len_ref", "lcs")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === pairs.size)
+    out.foreach { case (c, r, lc, lr, l) =>
+      val (a, b) = (byId(c).take(K), byId(r).take(K))
+      assert(lc === a.length.toLong && lr === b.length.toLong, s"($c,$r) lens")
+      assert(l === lcs(a, b), s"($c,$r) lcs")
+      assert(l <= math.min(lc, lr), s"($c,$r) bound")
+    }
+    // the native expression is exact WITHOUT truncation as well: full-text
+    // LCS on a sample of pairs vs the reference DP
+    val sample = pairs.take(10).toDF("ca", "re")
+    val full = sample
+      .join(Tables.table(spark, sf0, "documents")
+        .select(col("doc_id").as("ca"),
+          graft.functions.TextFunctions.tokens(col("text")).as("a")), "ca")
+      .join(Tables.table(spark, sf0, "documents")
+        .select(col("doc_id").as("re"),
+          graft.functions.TextFunctions.tokens(col("text")).as("b")), "re")
+      .select(col("ca"), col("re"),
+        graft.functions.TextFunctions.lcsLen(col("a"), col("b")).as("l"))
+      .as[(Long, Long, Int)].collect()
+    full.foreach { case (c, r, l) =>
+      assert(l.toLong === lcs(byId(c), byId(r)), s"full ($c,$r)")
+    }
+  }
+
   test("q227: per-source conformal threshold + coverage, recomputed") {
     val docs = Tables.table(spark, sf0, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))

@@ -18,6 +18,19 @@ object SimilarityPack extends QueryPack {
 
   /** q225 candidate-list depth (MRR@k / hit@k cut). */
   val MrrK = 10
+
+  /** q233 near-dup threshold sweep: the thresholds, the graded
+    * perturbation magnitudes (the embeddings are unit-norm, so deltas
+    * 0.1/0.25/0.45 on one component plant pairs at cosine ≈
+    * 0.995/0.97/0.90±0.02 — the loosest group deliberately STRADDLES the
+    * 0.90 floor so the curve has a partial level), and the widened band
+    * count — at cosine 0.90 a 16-band signature misses a true pair with
+    * p ≈ 4e-3 (too hot for an exact oracle); 64 bands push the per-pair
+    * miss below 1e-9. The knob IS the lesson: looser dedup thresholds
+    * buy recall with bands, not with pair enumeration. */
+  val SweepThresholds: Seq[Double] = Seq(0.90, 0.95, 0.98)
+  val SweepDeltas: Seq[Double] = Seq(0.1, 0.25, 0.45)
+  val SweepBands = 64
   val SamplePerCluster = 5
   val Dim = 64
   val PerturbOffset = 100000L
@@ -44,6 +57,31 @@ object SimilarityPack extends QueryPack {
       .select((col("id") + PerturbOffset).as("id"),
         transform(col("vec"), (x, i) =>
           when(i === 0, x + 0.1).otherwise(x)).as("vec")))
+  }
+
+  /** q233 sweep corpus: every 5th vector gets a perturbed copy whose
+    * first-component delta cycles through [[SweepDeltas]] by (id DIV 5)
+    * mod 3 — planting near-dup pairs at three distinct cosine levels so a
+    * threshold sweep has a real curve to trace. Organic pairs of this
+    * positive-orthant corpus sit near cosine 0.75, far under the sweep
+    * floor, so the qualifying set stays planted-only and bounded. */
+  private def gradedCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        graft.functions.VectorFunctions.toDoubleArray(col("embedding")).as("vec"))
+    val delta = SweepDeltas.zipWithIndex.foldLeft(lit(SweepDeltas.last)) {
+      case (acc, (d, i)) =>
+        when(expr("(id DIV 5) % 3") === i, lit(d)).otherwise(acc)
+    }
+    // the perturbation is applied BEFORE the id is re-aliased: with both
+    // in one select list, Spark's lateral-column-alias resolution binds
+    // delta's `id` to the already-offset alias and silently shifts every
+    // delta group by (PerturbOffset DIV 5) mod 3 (caught by the
+    // Round6bOpsSpec all-pairs recount)
+    base.unionAll(base.filter(col("id") % 5 === 0)
+      .select(col("id"), transform(col("vec"), (x, i) =>
+        when(i === 0, x + delta).otherwise(x)).as("vec"))
+      .select((col("id") + PerturbOffset).as("id"), col("vec")))
   }
 
   private def queriesDf(s: SparkSession, dir: String): DataFrame =
@@ -169,6 +207,29 @@ object SimilarityPack extends QueryPack {
             graft.functions.Portable.snap6(
               col("n_hit").cast("double") / col("n_exact")).as("recall"))
       }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
+
+    // Near-dup threshold tuning sweep — the curve a dedup operator reads
+    // before committing a cosine cut: pairs and affected docs at 0.90 /
+    // 0.95 / 0.98 over a corpus with planted duplicates at three cosine
+    // levels. Candidates are generated ONCE at the loosest threshold
+    // (the 64-band signature keeps that exact — see SweepBands); tighter
+    // levels are filters over the already-verified sims, so the sweep
+    // costs one LSH pass however many thresholds it traces. No cartesian
+    // anywhere (the fleet guardrail applies to this plan too).
+    "q233_neardup_sweep" -> ((s, dir) => {
+      val pairs = Similarity.cosineNearDup(gradedCorpus(s, dir),
+          SweepThresholds.min, Dim, bands = SweepBands)
+        .localCheckpoint(false) // shared by all threshold levels
+      SweepThresholds.map { t =>
+        val p = pairs.filter(col("cos_sim") >= t)
+        val ids = p.select(col("id_a").as("id"))
+          .unionAll(p.select(col("id_b").as("id")))
+        p.agg(count(lit(1)).as("n_pairs"))
+          .crossJoin(broadcast(ids.agg(
+            countDistinct(col("id")).as("n_ids"))))
+          .select(lit(t).as("threshold"), col("n_pairs"), col("n_ids"))
+      }.reduce(_ unionAll _).orderBy("threshold")
     }),
 
     // Ranked-retrieval quality of the IVF index — MRR@10 and hit@{1,3,10}
@@ -600,6 +661,44 @@ object SimilarityPack extends QueryPack {
          |       ${graft.functions.Portable.snap6Sql(
                    "CAST(n_hit AS DOUBLE) / n_exact")} AS recall
          |FROM ($perNp) ORDER BY nprobe""".stripMargin
+    },
+
+    "q233_neardup_sweep" -> {
+      val deltaSql = "CASE (id // 5) % 3 WHEN 0 THEN " +
+        s"${SweepDeltas(0)} WHEN 1 THEN ${SweepDeltas(1)} " +
+        s"ELSE ${SweepDeltas(2)} END"
+      val levels = SweepThresholds.map(t =>
+        s"SELECT CAST($t AS DOUBLE) AS threshold").mkString(" UNION ALL ")
+      s"""WITH base AS (
+         |  SELECT vec_id AS id,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT id, v FROM base
+         |  UNION ALL
+         |  SELECT id + $PerturbOffset AS id,
+         |         list_transform(generate_series(1, $Dim),
+         |           i -> CASE WHEN i = 1 THEN v[i] + ($deltaSql)
+         |                ELSE v[i] END) AS v
+         |  FROM base WHERE id % 5 = 0),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |              ${cosDblSql("a.v", "b.v")} AS cos_sim
+         |       FROM e a JOIN e b ON a.id < b.id),
+         |lv AS ($levels),
+         |hits AS (SELECT lv.threshold, pr.id_a, pr.id_b
+         |         FROM lv JOIN pr ON pr.cos_sim >= lv.threshold)
+         |SELECT lv.threshold,
+         |       CAST(coalesce(np, 0) AS BIGINT) AS n_pairs,
+         |       CAST(coalesce(ni, 0) AS BIGINT) AS n_ids
+         |FROM lv LEFT JOIN (
+         |  SELECT threshold, count(*) AS np FROM hits GROUP BY 1) p
+         |  ON p.threshold = lv.threshold
+         |LEFT JOIN (
+         |  SELECT threshold, count(DISTINCT id) AS ni FROM (
+         |    SELECT threshold, id_a AS id FROM hits
+         |    UNION ALL SELECT threshold, id_b FROM hits) GROUP BY 1) i
+         |  ON i.threshold = lv.threshold
+         |ORDER BY lv.threshold""".stripMargin
     },
 
     "q225_mrr_hit_rate" ->

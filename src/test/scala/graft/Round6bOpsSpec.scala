@@ -317,6 +317,38 @@ class Round6bOpsSpec extends SparkSpec {
     assert(math.abs(out.map(_._5).sum - 1.0) < 1e-4, "weights re-normalize")
   }
 
+  test("q233: threshold sweep equals an all-pairs local recount") {
+    val P = graft.operators.SimilarityPack
+    val emb = loadEmb()
+    val graded: Map[Long, Array[Double]] = emb ++ emb.collect {
+      case (id, v) if id % 5 == 0 =>
+        val d = P.SweepDeltas(((id / 5) % 3).toInt)
+        val w = v.clone(); w(0) += d
+        (id + P.PerturbOffset) -> w
+    }
+    val ids = graded.keys.toSeq.sorted
+    val sims = for {
+      ai <- ids.indices.iterator; bi <- (ai + 1 until ids.length).iterator
+      s = sim4(graded(ids(ai)), graded(ids(bi)))
+      if s >= P.SweepThresholds.min
+    } yield (ids(ai), ids(bi), s)
+    val qual = sims.toSeq
+    val out = run("q233_neardup_sweep")
+      .select("threshold", "n_pairs", "n_ids")
+      .as[(Double, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === P.SweepThresholds)
+    P.SweepThresholds.zip(out).foreach { case (t, (_, np, ni)) =>
+      val hit = qual.filter(_._3 >= t)
+      assert(np === hit.length.toLong, s"t=$t pairs")
+      assert(ni === hit.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong,
+        s"t=$t ids")
+    }
+    // the sweep must actually have a curve: strictly fewer pairs at the
+    // tightest threshold than at the loosest (graded plants guarantee it)
+    assert(out.head._2 > out.last._2,
+      "graded fixture lost its intermediate-similarity plants")
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

@@ -204,6 +204,41 @@ object Dedup {
       .withColumn("containment_b", col("n_shared").cast("double") / col("n_b"))
   }
 
+  /** INCREMENTAL MinHash+LSH near-dup: today's `delta` ingest screened
+    * against the already-deduped `base` corpus AND itself, without ever
+    * pairing base×base — the maintenance shape that makes dedup
+    * affordable on a continuously-ingesting 100 TB corpus (re-running
+    * [[minhashLsh]] on base ∪ delta re-enumerates the whole history's
+    * collisions every day; this touches only buckets a delta doc lands
+    * in). Candidates = delta bands ⋈ (base ∪ delta) bands, so cost is
+    * bounded by the DELTA's collisions; the Jaccard verify reads only
+    * candidate docs' shingles. In production the base signatures/bands
+    * are a persisted index (written once by the full run, appended by
+    * each delta run) — recomputing them here stands in for one index
+    * scan. Output matches [[minhashLsh]] restricted to pairs with ≥1
+    * delta endpoint (DedupSpec pins that equality), so correctness of
+    * the incremental path is DEFINED BY the batch path. */
+  def deltaMinhashLsh(base: DataFrame, delta: DataFrame, shingleN: Int = 3,
+                      numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5, id: String = "doc_id",
+                      text: String = "text"): DataFrame = {
+    val shB = shingles(base, shingleN, id, text).localCheckpoint(false)
+    val shD = shingles(delta, shingleN, id, text).localCheckpoint(false)
+    val bandsAll = lshBands(minhashSignatures(shB.unionAll(shD), numHashes, id),
+      numHashes, bands, id).localCheckpoint(false)
+    // no broadcast hint: a day's delta can itself be huge — AQE picks
+    val deltaIds = delta.select(col(id)).localCheckpoint(false)
+    val bandsD = bandsAll.join(deltaIds, Seq(id), "left_semi")
+    val l = bandsD.select(col("band"), col("bkey"), col(id).as("doc_x"))
+    val r = bandsAll.select(col("band"), col("bkey"), col(id).as("doc_y"))
+    val cand = l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_x") =!= col("doc_y"))
+      .select(least(col("doc_x"), col("doc_y")).as("doc_a"),
+        greatest(col("doc_x"), col("doc_y")).as("doc_b"))
+      .distinct()
+    jaccard(cand, shB.unionAll(shD), id).filter(col("jaccard") >= threshold)
+  }
+
   /** Full MinHash+LSH near-dup pipeline: candidates from LSH buckets,
     * verified with exact Jaccard ≥ threshold. */
   def minhashLsh(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 16,

@@ -40,6 +40,31 @@ object DedupPack extends QueryPack {
         .orderBy("keeper")
     }),
 
+    // Incremental dedup maintenance: today's delta ingest (all re-crawled
+    // copies + every 10th original) screened against the deduped base and
+    // itself via Dedup.deltaMinhashLsh — candidates never pair base×base,
+    // so a daily run costs the delta's collisions, not the corpus
+    // history's. Emits both pair kinds (delta-base cross dups = "this
+    // re-crawl duplicates the archive"; delta-delta = "today's batch
+    // duplicates itself") — the routing decision an ingest pipeline
+    // makes. Same corpus and parameters as q31, so the batch run defines
+    // ground truth: DedupSpec pins q234 ≡ q31 restricted to pairs with a
+    // delta endpoint.
+    "q234_delta_dedup" -> ((s, dir) => {
+      val all = withCopies(s, dir, mod = 2)
+      def isDelta(c: org.apache.spark.sql.Column) =
+        c >= CopyOffset || c % 10 === 0
+      val pairs = Dedup.deltaMinhashLsh(
+        all.filter(!isDelta(col("doc_id"))),
+        all.filter(isDelta(col("doc_id"))),
+        shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      pairs.select(col("doc_a"), col("doc_b"),
+          round(col("jaccard"), 6).as("jaccard"),
+          when(isDelta(col("doc_a")) && isDelta(col("doc_b")),
+            lit("delta-delta")).otherwise(lit("delta-base")).as("pair_kind"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // MinHash + LSH near-dup candidates, Jaccard-verified.
     "q31_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(withCopies(s, dir, mod = 2), shingleN = 3,
@@ -652,6 +677,30 @@ object DedupPack extends QueryPack {
          |sh AS (${shinglesSql("docs")}),
          |${minhashCandCtes()},
          |${jaccardTailSql(0.5)}""".stripMargin,
+
+    "q234_delta_dedup" -> {
+      val isD = (c: String) => s"($c >= $CopyOffset OR $c % 10 = 0)"
+      s"""WITH docs AS (${withCopiesSql(2)}),
+         |sh AS (${shinglesSql("docs")}),
+         |${minhashCandCtes()},
+         |cd AS (SELECT doc_a, doc_b FROM cand
+         |       WHERE ${isD("doc_a")} OR ${isD("doc_b")}),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+         |           FROM cd c
+         |           JOIN sh sa ON sa.doc_id = c.doc_a
+         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |           GROUP BY 1, 2),
+         |j AS (SELECT doc_a, doc_b,
+         |             CAST(n_shared AS DOUBLE)
+         |               / (ca.n_sh + cb.n_sh - n_shared) AS jaccard
+         |      FROM shared JOIN counts ca ON ca.doc_id = doc_a
+         |                  JOIN counts cb ON cb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard,
+         |       CASE WHEN ${isD("doc_a")} AND ${isD("doc_b")}
+         |            THEN 'delta-delta' ELSE 'delta-base' END AS pair_kind
+         |FROM j WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "q180_minhash_estimate" -> {
       val agreeSum = (1 to 16)

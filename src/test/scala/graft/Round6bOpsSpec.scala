@@ -349,6 +349,29 @@ class Round6bOpsSpec extends SparkSpec {
       "graded fixture lost its intermediate-similarity plants")
   }
 
+  test("q234: incremental dedup equals the batch run restricted to delta") {
+    val off = graft.operators.DedupPack.CopyOffset
+    def isDelta(id: Long) = id >= off || id % 10 == 0
+    val batch = run("q31_minhash_lsh")
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .filter(p => isDelta(p._1) || isDelta(p._2))
+      .map(p => (p._1, p._2) -> p._3).toMap
+    val inc = run("q234_delta_dedup")
+      .select("doc_a", "doc_b", "jaccard", "pair_kind")
+      .as[(Long, Long, Double, String)].collect()
+    assert(inc.map(p => (p._1, p._2) -> p._3).toMap === batch,
+      "incremental pairs must equal the batch run's delta-touching pairs")
+    // no base×base pair can appear, and both routing kinds must occur
+    inc.foreach { case (a, b, _, kind) =>
+      assert(isDelta(a) || isDelta(b), s"base-base pair ($a,$b) leaked")
+      val expect = if (isDelta(a) && isDelta(b)) "delta-delta" else "delta-base"
+      assert(kind === expect, s"($a,$b) kind")
+    }
+    assert(inc.exists(_._4 == "delta-base") && inc.exists(_._4 == "delta-delta"),
+      "fixture must exercise both pair kinds")
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

@@ -31,6 +31,9 @@ object SimilarityPack extends QueryPack {
   val SweepThresholds: Seq[Double] = Seq(0.90, 0.95, 0.98)
   val SweepDeltas: Seq[Double] = Seq(0.1, 0.25, 0.45)
   val SweepBands = 64
+
+  /** q235 farthest-point-sampling coreset size. */
+  val CoresetK = 6
   val SamplePerCluster = 5
   val Dim = 64
   val PerturbOffset = 100000L
@@ -207,6 +210,54 @@ object SimilarityPack extends QueryPack {
             graft.functions.Portable.snap6(
               col("n_hit").cast("double") / col("n_exact")).as("recall"))
       }.reduce(_ unionAll _).orderBy("nprobe")
+    }),
+
+    // Diversity coreset by farthest-point sampling (k-center greedy, the
+    // 2-approximation): seed with the smallest id, then k−1 times pick
+    // the vector whose similarity to its NEAREST chosen center is lowest
+    // — the classic diverse-subset selector (spread probes, eval seeds,
+    // annotation batches) that q90's quota sampling cannot express
+    // (quotas balance cluster COUNTS; FPS maximizes separation). The
+    // loop lives entirely IN the plan: each step is a corpus scan ×
+    // broadcast of the ≤k chosen rows, a max-per-row, and a 1-row
+    // min_by aggregate that the next step cross-joins — no driver-side
+    // collect anywhere, so the same plan runs unchanged on a cluster.
+    // Cost O(k·n) scans, the canonical FPS cost. Radii (1 − nearest-
+    // center sim at selection time) are non-increasing by construction
+    // — the spec asserts it; sims round to 4 before any comparison so
+    // both engines pick identical argmins.
+    "q235_fps_coreset" -> ((s, dir) => {
+      val e = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
+            .as("vec"))
+        .withColumn("n2", graft.functions.VectorFunctions.sqNorm(col("vec")))
+        .localCheckpoint(false) // scanned once per FPS step
+      val first = e.orderBy("id").limit(1)
+        .select(lit(0).as("step"), col("id").as("cid"),
+          col("vec").as("cvec"), col("n2").as("cn2"),
+          lit(null).cast("double").as("radius"))
+      val sim = round(
+        graft.functions.VectorFunctions.dot(col("vec"), col("cvec"))
+          / (sqrt(col("n2")) * sqrt(col("cn2"))), 4)
+      val chosen = (1 until CoresetK).foldLeft(first) { (acc, k) =>
+        val nearest = e.crossJoin(broadcast(acc.select("cid", "cvec", "cn2")))
+          .groupBy(col("id"), col("vec"), col("n2"))
+          .agg(max(sim).as("smax"))
+        // each 1-row selection is checkpointed: without it, step k's plan
+        // re-executes the whole prefix chain (acc appears both under
+        // `nearest` and in the union), doubling work per level
+        val next = nearest
+          .agg(min_by(struct(col("id"), col("vec"), col("n2"), col("smax")),
+            struct(col("smax"), col("id"))).as("m"))
+          .select(lit(k).as("step"), col("m.id").as("cid"),
+            col("m.vec").as("cvec"), col("m.n2").as("cn2"),
+            (lit(1.0) - col("m.smax")).as("radius"))
+          .localCheckpoint(false)
+        acc.unionAll(next)
+      }
+      chosen.select(col("step"), col("cid").as("center_id"), col("radius"))
+        .orderBy("step")
     }),
 
     // Near-dup threshold tuning sweep — the curve a dedup operator reads
@@ -661,6 +712,29 @@ object SimilarityPack extends QueryPack {
          |       ${graft.functions.Portable.snap6Sql(
                    "CAST(n_hit AS DOUBLE) / n_exact")} AS recall
          |FROM ($perNp) ORDER BY nprobe""".stripMargin
+    },
+
+    "q235_fps_coreset" -> {
+      val steps = (1 until CoresetK).map { k =>
+        val prev = if (k == 1) "c0" else s"cents${k - 1}"
+        s"""s$k AS (SELECT e.id, e.v,
+           |          max(${cosSql("e.v", "c.v")}) AS smax
+           |        FROM e CROSS JOIN $prev c GROUP BY e.id, e.v),
+           |n$k AS (SELECT id, v, smax FROM s$k ORDER BY smax, id LIMIT 1),
+           |cents$k AS (SELECT id, v FROM $prev
+           |            UNION ALL SELECT id, v FROM n$k)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 until CoresetK).map(k =>
+        s"SELECT $k AS step, id AS center_id, 1.0 - smax AS radius FROM n$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |c0 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+         |$steps
+         |SELECT CAST(step AS INTEGER) AS step, center_id, radius FROM (
+         |  SELECT 0 AS step, id AS center_id,
+         |         CAST(NULL AS DOUBLE) AS radius FROM c0
+         |  UNION ALL $out)
+         |ORDER BY step""".stripMargin
     },
 
     "q233_neardup_sweep" -> {

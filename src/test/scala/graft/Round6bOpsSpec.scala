@@ -372,6 +372,40 @@ class Round6bOpsSpec extends SparkSpec {
       "fixture must exercise both pair kinds")
   }
 
+  test("q235: FPS coreset equals the greedy local replay; radii shrink") {
+    val P = graft.operators.SimilarityPack
+    val emb = loadEmb()
+    val ids = emb.keys.toSeq.sorted
+    var centers = Vector(ids.head)
+    var radii = Vector.empty[Double]
+    while (centers.length < P.CoresetK) {
+      val (nid, smax) = ids
+        .map(id => id -> centers.map(c => sim4(emb(id), emb(c))).max)
+        .minBy { case (id, s) => (s, id) }
+      centers :+= nid
+      radii :+= 1.0 - smax
+    }
+    val out = run("q235_fps_coreset")
+      .select("step", "center_id", "radius")
+      .as[(Int, Long, Option[Double])].collect().sortBy(_._1)
+    assert(out.map(_._2).toVector === centers)
+    assert(out.head._3.isEmpty)
+    val gotRadii = out.tail.map(_._3.get).toVector
+    gotRadii.zip(radii).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"radius $g vs $e")
+    }
+    // FPS invariant: the covering radius never grows as centers are added
+    gotRadii.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-12, "radii must be non-increasing")
+      case _ =>
+    }
+    // and the selected centers are genuinely spread: all pairwise sims of
+    // chosen centers stay below the first radius complement
+    for (a <- centers; b <- centers if a < b)
+      assert(sim4(emb(a), emb(b)) <= 1.0 - gotRadii.last + 1e-12,
+        s"centers $a,$b too close for a valid FPS run")
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

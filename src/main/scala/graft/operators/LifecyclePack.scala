@@ -19,7 +19,67 @@ object LifecyclePack extends QueryPack {
     * and break upsertSnapshot's one-row-per-key contract. */
   val PhantomOffset = 1000000L
 
+  /** q236 data-constrained epoch plan: the global budget is
+    * EpochBudgetX × the corpus's unique tokens, allocation is
+    * proportional to DOC counts (so sources with short docs land at
+    * higher epoch counts and the plan has a spread), repetition value
+    * decays by [[EpochDecay]] per epoch (δ = 0.5 keeps every power
+    * exact in binary), and epochs cap at [[EpochCap]]. */
+  val EpochBudgetX = 4L
+  val EpochDecay = 0.5
+  val EpochCap = 8L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Data-constrained training plan (the "how much is repeating my data
+    // worth" table, after Muennighoff et al.'s data-constrained scaling):
+    // per source, unique tokens (distinct content only — exact-dup
+    // copies add nothing), the share of a 4×-unique-tokens budget the
+    // source receives, the epoch count that implies, and the EFFECTIVE
+    // tokens under geometric per-epoch decay — eff = u·((1−δ^f)/(1−δ)
+    // + frac·δ^f) with f = ⌊epochs⌋ capped. Every input to the formula
+    // is an exact long (unique tokens, integer-DIV allocation) and δ =
+    // 0.5 makes δ^f exact in both engines, so the doubles agree
+    // bit-for-bit. Scale: one dedup-shaped aggregation (content hash →
+    // per-source sums) + a |sources|-row plan table; the window runs
+    // over the reduced aggregate only.
+    "q236_epoch_value_plan" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("source"), Dedup.contentHash(col("text")).as("ch"),
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long").as("n_toks"))
+      val uniq = docs.groupBy("source", "ch")
+        .agg(count(lit(1)).as("n_copies"), first(col("n_toks")).as("n_toks"))
+      val perSrc = uniq.groupBy("source")
+        .agg(count(lit(1)).as("n_uniq_docs"), sum("n_copies").as("n_docs"),
+          sum("n_toks").as("u_toks"))
+      val wTot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val planned = perSrc
+        .withColumn("total_u", sum("u_toks").over(wTot))
+        .withColumn("total_docs", sum("n_docs").over(wTot))
+        .withColumn("alloc_toks", expr(
+          s"($EpochBudgetX * total_u * n_docs) DIV total_docs"))
+        .withColumn("epochs_raw",
+          col("alloc_toks").cast("double") / col("u_toks"))
+        .withColumn("f", least(floor(col("epochs_raw")).cast("long"),
+          lit(EpochCap)))
+        .withColumn("frac", when(col("f") >= EpochCap, lit(0.0))
+          .otherwise(col("epochs_raw") - col("f")))
+        .withColumn("eff_toks",
+          col("u_toks") * ((lit(1.0) - pow(lit(EpochDecay), col("f")))
+            / (1.0 - EpochDecay)
+            + col("frac") * pow(lit(EpochDecay), col("f"))))
+      val P = graft.functions.Portable
+      planned.select(col("source"), col("n_docs"), col("n_uniq_docs"),
+          col("u_toks"), col("alloc_toks"),
+          P.snap6(col("epochs_raw")).as("epochs"),
+          floor(col("eff_toks")).cast("long").as("eff_toks"),
+          when(col("alloc_toks") === 0, lit(null).cast("double"))
+            .otherwise(P.snap6(col("eff_toks") / col("alloc_toks")))
+            .as("utilization"))
+        .orderBy("source")
+    }),
 
     // Snapshot MERGE: the previous snapshot is simulated from the same
     // table (two-thirds of the docs, every fifth of those with older
@@ -155,6 +215,42 @@ object LifecyclePack extends QueryPack {
   )
 
   def oracles: Map[String, String] = Map(
+
+    "q236_epoch_value_plan" -> {
+      val P = graft.functions.Portable
+      s"""WITH d AS (SELECT source, ${DedupPack.contentHashSql("text")} AS ch,
+         |             CAST(len(${TextPack.toksSql("text")}) AS BIGINT)
+         |               AS n_toks
+         |           FROM documents),
+         |u AS (SELECT source, ch, count(*) AS n_copies, min(n_toks) AS n_toks
+         |      FROM d GROUP BY 1, 2),
+         |ps AS (SELECT source, count(*) AS n_uniq_docs,
+         |              sum(n_copies) AS n_docs, sum(n_toks) AS u_toks
+         |       FROM u GROUP BY 1),
+         |t AS (SELECT sum(u_toks) AS total_u, sum(n_docs) AS total_docs
+         |      FROM ps),
+         |p AS (SELECT ps.*, ($EpochBudgetX * total_u * n_docs) // total_docs
+         |             AS alloc_toks
+         |      FROM ps CROSS JOIN t),
+         |e AS (SELECT *, CAST(alloc_toks AS DOUBLE) / u_toks AS epochs_raw
+         |      FROM p),
+         |f AS (SELECT *, least(CAST(floor(epochs_raw) AS BIGINT), $EpochCap)
+         |             AS fe FROM e),
+         |g AS (SELECT *, CASE WHEN fe >= $EpochCap THEN 0.0
+         |                     ELSE epochs_raw - fe END AS frac FROM f),
+         |h AS (SELECT *, u_toks * ((1.0 - pow($EpochDecay, fe))
+         |               / ${1.0 - EpochDecay}
+         |               + frac * pow($EpochDecay, fe)) AS eff FROM g)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_uniq_docs AS BIGINT) AS n_uniq_docs,
+         |       CAST(u_toks AS BIGINT) AS u_toks,
+         |       CAST(alloc_toks AS BIGINT) AS alloc_toks,
+         |       ${P.snap6Sql("epochs_raw")} AS epochs,
+         |       CAST(floor(eff) AS BIGINT) AS eff_toks,
+         |       CASE WHEN alloc_toks = 0 THEN NULL
+         |            ELSE ${P.snap6Sql("eff / alloc_toks")} END AS utilization
+         |FROM h ORDER BY source""".stripMargin
+    },
 
     "q108_snapshot_merge" ->
       """WITH old AS (

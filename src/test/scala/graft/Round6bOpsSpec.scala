@@ -406,6 +406,42 @@ class Round6bOpsSpec extends SparkSpec {
         s"centers $a,$b too close for a valid FPS run")
   }
 
+  test("q236: epoch-value plan equals a local replay; decay caps value") {
+    val L = graft.operators.LifecyclePack
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    val bySrc = docs.groupBy(_._1)
+    def nToks(t: String) = t.split("\\s+").count(_.nonEmpty).toLong
+    val per = bySrc.map { case (src, g) =>
+      val uniq = g.map(_._2).distinct // no exact dups expected, but mirror
+      src -> ((g.length.toLong, uniq.length.toLong, uniq.map(nToks).sum))
+    }
+    val totalU = per.values.map(_._3).sum
+    val totalDocs = per.values.map(_._1).sum
+    val out = run("q236_epoch_value_plan")
+      .select("source", "n_docs", "n_uniq_docs", "u_toks", "alloc_toks",
+        "epochs", "eff_toks", "utilization")
+      .as[(String, Long, Long, Long, Long, Double, Long, Option[Double])]
+      .collect()
+    assert(out.length === per.size)
+    out.foreach { case (src, nd, nu, u, alloc, epochs, eff, util) =>
+      val (eNd, eNu, eU) = per(src)
+      assert(nd === eNd && nu === eNu && u === eU, s"$src counts")
+      assert(alloc === L.EpochBudgetX * totalU * eNd / totalDocs, s"$src alloc")
+      val er = alloc.toDouble / u
+      assert(epochs === snap6(er), s"$src epochs")
+      val f = math.min(math.floor(er).toLong, L.EpochCap)
+      val frac = if (f >= L.EpochCap) 0.0 else er - f
+      val expectEff = u * ((1.0 - math.pow(L.EpochDecay, f.toDouble))
+        / (1.0 - L.EpochDecay) + frac * math.pow(L.EpochDecay, f.toDouble))
+      assert(eff === math.floor(expectEff).toLong, s"$src eff")
+      // diminishing returns: effective never exceeds the geometric ceiling
+      // 2u, and utilization of a multi-epoch source is strictly below 1
+      assert(eff <= 2 * u, s"$src exceeds the δ=0.5 value ceiling")
+      if (er > 1.0) assert(util.exists(_ < 1.0), s"$src utilization")
+    }
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

@@ -31,6 +31,17 @@ object SearchPack extends QueryPack {
   /** The exact phrase for positional search (q142) — adjacent tokens. */
   val Phrase = Seq("hash", "join")
 
+  /** q237 planted-relevance retrieval benchmark: chunk geometry (the q53
+    * window/stride), which chunks become queries (chunk 1 of every 25th
+    * doc), the query span carved from each (tokens 9..16 — the chunk
+    * must be long enough to hold it), and the rank cut. */
+  val RagWindow = 32
+  val RagStride = 24
+  val RagQMod = 25
+  val RagSpanStart = 9
+  val RagSpanLen = 8
+  val RagTopK = 10
+
   private def rankTop(df: DataFrame, scoreCol: String, n: Int,
                       rankName: String): DataFrame = {
     val top = df.orderBy(col(scoreCol).desc, col("id")).limit(n)
@@ -82,6 +93,76 @@ object SearchPack extends QueryPack {
           col("lex_rank").cast("double").as("lex_rank"),
           col("dense_rank").cast("double").as("dense_rank"), col("rrf"))
         .orderBy("rank")
+    }),
+
+    // Planted-relevance retrieval benchmark — the end-to-end eval a RAG
+    // ingestion pipeline runs on itself: the corpus is chunked (q53
+    // geometry), a query is carved out of known chunks (an 8-token span
+    // — its source chunk IS the relevant answer, no human labels
+    // needed), and per-query BM25 over the chunk index is scored with
+    // MRR@10 / hit@{1,5}. This is the lexical complement of q225's ANN
+    // eval: q225 measures the index against exact search, this measures
+    // the whole chunk→index→rank loop against planted ground truth.
+    // Scale: postings are cut to query terms by a broadcast semi-join in
+    // the scan stage; df/stat sides are O(|query terms|); the one big
+    // shuffle is (qid, cid) partial-summed map-side. Per-term weights
+    // micro-round before summation (the q113 discipline) so scores are
+    // partition-order-free; metrics ride integer reciprocal ranks.
+    "q237_retrieval_eval" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
+      val chunks = CorpusOps.chunkTokens(docs, "doc_id", "text",
+          RagWindow, RagStride)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("doc_id"), col("chunk_idx"),
+          col("n_toks").cast("long").as("dl"), col("chunk"))
+        .localCheckpoint(false) // feeds queries, postings, dl and stats
+      val queries = chunks
+        .filter(col("doc_id") % RagQMod === 0 && col("chunk_idx") === 1 &&
+          col("dl") >= RagSpanStart + RagSpanLen - 1)
+        .select(col("cid").as("qid"),
+          array_distinct(slice(split(col("chunk"), " "),
+            RagSpanStart, RagSpanLen)).as("qterms"))
+        .localCheckpoint(false)
+      val qterms = queries.select(col("qid"), explode(col("qterms")).as("term"))
+      val allTerms = broadcast(qterms.select("term").distinct())
+      val postings = chunks
+        .select(col("cid"), explode(split(col("chunk"), " ")).as("term"))
+        .join(allTerms, Seq("term"), "left_semi")
+        .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false) // feeds df and the scoring join
+      val dfT = broadcast(postings.groupBy("term").agg(count(lit(1)).as("df")))
+      val stats = broadcast(chunks.agg(count(lit(1)).as("n_chunks"),
+        sum("dl").as("sum_dl")))
+      val wts = postings.join(dfT, "term")
+        .join(chunks.select("cid", "dl"), "cid").crossJoin(stats)
+        .withColumn("wt",
+          log(lit(1.0) + (col("n_chunks").cast("double") - col("df") + 0.5)
+            / (col("df") + 0.5))
+            * (col("tf") * (lit(Search.K1) + 1.0))
+            / (col("tf") + lit(Search.K1) * (lit(1.0) - lit(Search.B)
+              + lit(Search.B) * col("dl")
+                / (col("sum_dl").cast("double") / col("n_chunks")))))
+      val scored = qterms.join(wts, "term")
+        .groupBy("qid", "cid")
+        .agg(sum(round(col("wt") * 1e6, 0).cast("long")).as("s_e6"))
+      val wRank = Window.partitionBy("qid").orderBy(col("s_e6").desc, col("cid"))
+      val ranked = scored.withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= RagTopK)
+      val per = queries.select(col("qid"))
+        .join(ranked.filter(col("cid") === col("qid"))
+          .select(col("qid"), col("rank")), Seq("qid"), "left_outer")
+        .select(coalesce(col("rank"), lit(0)).cast("long").as("rk"))
+      val P = graft.functions.Portable
+      per.agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_hit1"),
+          sum(when(col("rk").between(1, 5), 1L).otherwise(0L)).as("n_hit5"),
+          sum(when(col("rk") >= 1, expr("1000000 DIV rk")).otherwise(0L))
+            .as("rr_e6"))
+        .select(col("n_queries"),
+          P.snap6(col("n_hit1").cast("double") / col("n_queries")).as("hit1"),
+          P.snap6(col("n_hit5").cast("double") / col("n_queries")).as("hit5"),
+          P.snap6(col("rr_e6").cast("double") / 1e6 / col("n_queries"))
+            .as("mrr"))
     }),
 
     // Cross-source score equalization: a raw global quality top-100 is
@@ -167,6 +248,68 @@ object SearchPack extends QueryPack {
   }
 
   def oracles: Map[String, String] = Map(
+
+    "q237_retrieval_eval" -> {
+      val P = graft.functions.Portable
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |st0 AS (SELECT doc_id, toks,
+         |               unnest(generate_series(0, greatest(len(toks) - 1, 0),
+         |                 $RagStride)) AS start
+         |        FROM d),
+         |ch AS (SELECT doc_id * 1000 + (start // $RagStride) AS cid,
+         |              doc_id, (start // $RagStride) AS chunk_idx,
+         |              CAST(least($RagWindow, len(toks) - start) AS BIGINT)
+         |                AS dl,
+         |              list_slice(toks, start + 1, start + $RagWindow)
+         |                AS ctoks
+         |       FROM st0),
+         |q AS (SELECT cid AS qid,
+         |             list_distinct(list_slice(ctoks, $RagSpanStart,
+         |               ${RagSpanStart + RagSpanLen - 1})) AS qterms
+         |      FROM ch WHERE doc_id % $RagQMod = 0 AND chunk_idx = 1
+         |        AND dl >= ${RagSpanStart + RagSpanLen - 1}),
+         |qt AS (SELECT qid, unnest(qterms) AS term FROM q),
+         |at AS (SELECT DISTINCT term FROM qt),
+         |p AS (SELECT cid, term, count(*) AS tf
+         |      FROM (SELECT cid, unnest(ctoks) AS term FROM ch)
+         |      WHERE term IN (SELECT term FROM at) GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+         |st AS (SELECT count(*) AS n_chunks, CAST(sum(dl) AS BIGINT)
+         |              AS sum_dl FROM ch),
+         |w AS (SELECT p.cid, p.term,
+         |             ln(1.0 + (CAST(st.n_chunks AS DOUBLE) - dft.df + 0.5)
+         |                  / (dft.df + 0.5))
+         |               * (p.tf * (${Search.K1} + 1.0))
+         |               / (p.tf + ${Search.K1} * (1.0 - ${Search.B}
+         |                    + ${Search.B} * ch.dl
+         |                      / (CAST(st.sum_dl AS DOUBLE) / st.n_chunks)))
+         |               AS wt
+         |      FROM p JOIN ch ON ch.cid = p.cid CROSS JOIN st
+         |             JOIN dft ON dft.term = p.term),
+         |sc AS (SELECT qt.qid, w.cid,
+         |              sum(CAST(round(wt * 1000000.0) AS BIGINT)) AS s_e6
+         |       FROM qt JOIN w ON w.term = qt.term GROUP BY 1, 2),
+         |r AS (SELECT qid, cid,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY s_e6 DESC, cid) AS rank
+         |      FROM sc),
+         |per AS (SELECT q.qid, CAST(coalesce(r.rank, 0) AS BIGINT) AS rk
+         |        FROM q LEFT JOIN r ON r.qid = q.qid AND r.cid = q.qid
+         |                          AND r.rank <= $RagTopK),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |               sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS n_hit1,
+         |               sum(CASE WHEN rk BETWEEN 1 AND 5 THEN 1 ELSE 0 END)
+         |                 AS n_hit5,
+         |               sum(CASE WHEN rk >= 1 THEN 1000000 // rk ELSE 0 END)
+         |                 AS rr_e6
+         |        FROM per)
+         |SELECT n_queries,
+         |       ${P.snap6Sql("CAST(n_hit1 AS DOUBLE) / n_queries")} AS hit1,
+         |       ${P.snap6Sql("CAST(n_hit5 AS DOUBLE) / n_queries")} AS hit5,
+         |       ${P.snap6Sql("CAST(rr_e6 AS DOUBLE) / 1e6 / n_queries")} AS mrr
+         |FROM agg""".stripMargin
+    },
 
     "q113_bm25" ->
       s"""WITH $bm25Ctes,

@@ -442,6 +442,56 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("q237: planted-relevance retrieval eval equals a local BM25 replay") {
+    val S = graft.operators.SearchPack
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    case class Chunk(cid: Long, doc: Long, idx: Long, toks: Seq[String])
+    val chunks = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      (0 until toks.length by S.RagStride).zipWithIndex.map { case (st, i) =>
+        Chunk(id * 1000 + i, id, i, toks.slice(st, st + S.RagWindow))
+      }
+    }
+    val spanEnd = S.RagSpanStart + S.RagSpanLen - 1
+    val queries = chunks.filter(c => c.doc % S.RagQMod == 0 && c.idx == 1 &&
+      c.toks.length >= spanEnd)
+      .map(c => c.cid -> c.toks.slice(S.RagSpanStart - 1, spanEnd).distinct)
+    val allTerms = queries.flatMap(_._2).toSet
+    val tf = chunks.flatMap(c => c.toks.filter(allTerms)
+      .groupBy(identity).map { case (t, g) => (c.cid, t, g.size.toLong) })
+    val df = tf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dl = chunks.map(c => c.cid -> c.toks.length.toLong).toMap
+    val n = chunks.length.toLong
+    val sumDl = dl.values.sum
+    def wt(tfv: Long, dfv: Long, dlv: Long): Double =
+      math.log(1.0 + (n.toDouble - dfv + 0.5) / (dfv + 0.5)) *
+        (tfv * (graft.operators.Search.K1 + 1.0)) /
+        (tfv + graft.operators.Search.K1 * (1.0 - graft.operators.Search.B +
+          graft.operators.Search.B * dlv / (sumDl.toDouble / n)))
+    val ranks = queries.map { case (qid, terms) =>
+      val scores = tf.filter(p => terms.contains(p._2))
+        .groupBy(_._1).view.mapValues(g =>
+          g.map(p => math.round(wt(p._3, df(p._2), dl(p._1)) * 1e6)).sum)
+      val top = scores.toSeq.sortBy { case (cid, s) => (-s, cid) }
+        .take(S.RagTopK).map(_._1)
+      val i = top.indexOf(qid)
+      if (i < 0) 0L else i + 1L
+    }
+    val out = run("q237_retrieval_eval")
+      .select("n_queries", "hit1", "hit5", "mrr")
+      .as[(Long, Double, Double, Double)].head()
+    assert(out._1 === ranks.length.toLong)
+    assert(out._2 === snap6(ranks.count(_ == 1L).toDouble / ranks.length))
+    assert(out._3 === snap6(
+      ranks.count(r => r >= 1 && r <= 5).toDouble / ranks.length))
+    val rrE6 = ranks.filter(_ >= 1L).map(1000000L / _).sum
+    assert(out._4 === snap6(rrE6.toDouble / 1e6 / ranks.length))
+    // the planted span must be findable at all: a majority of queries
+    // retrieve their source chunk inside the top 10
+    assert(ranks.count(_ >= 1).toDouble / ranks.length > 0.5)
+  }
+
   test("q228: confident-learning matrix equals the local re-derivation") {
     val rows = Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))

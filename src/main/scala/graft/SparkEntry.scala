@@ -19,7 +19,7 @@ object SparkEntry {
     AnalyticsPack, TextPack, DedupPack, SimilarityPack, MultimodalPack,
     CurationPack, PipelinePack, SelectionPack,
     AuditPack, GraphPack, VectorPack, LifecyclePack, SearchPack, TemporalPack,
-    FuzzyPack, AugmentPack, MiningPack)
+    FuzzyPack, AugmentPack, MiningPack, RerankPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's end-to-end capability in one plan: rating fact ⋈

@@ -1,0 +1,268 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.functions.Portable
+import graft.functions.VectorFunctions.{dot, sqNorm, toDoubleArray}
+import graft.sources.Tables
+
+/** Result-set shaping and preference-fitting operators: MMR diversity
+  * re-ranking of retrieval candidates (q238) and Bradley–Terry strength
+  * fitting from pairwise outcomes (q239) — the two steps that sit between
+  * raw retrieval/preference logs and what a training or serving pipeline
+  * actually consumes (a diverse context window; a scalar quality prior per
+  * group).
+  *
+  * Reference context: the reference serves point predictions only
+  * (`flink-queryable-client/.../ALSPredict.java:74-79`); ranked-list
+  * post-processing and preference aggregation are engine extensions in the
+  * same spirit as the ANN/eval stack (q225/q237).
+  *
+  * Determinism discipline (shared with SimilarityPack): cosines round to 4
+  * before any comparison; every cross-row float SUM rides integer units
+  * (1e9-quantized terms summed as longs); scores snap via floor (never
+  * ROUND-half ties) before argmax or output.
+  */
+object RerankPack extends QueryPack {
+
+  /** q238 candidate-list depth, selection size, relevance weight. */
+  val MmrCand = 8
+  val MmrK = 4
+  val MmrLambda = 0.7
+
+  /** q239 MM (minorize-maximize) iteration count. */
+  val BtIters = 3
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  private def queriesDf(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** round-4 cosine between two (vec, n2) column pairs — the exact
+    * composition [[Similarity]] uses, so candidate-vs-candidate penalties
+    * live on the same lattice as the relevance scores. */
+  private def sim4(va: Column, n2a: Column, vb: Column, n2b: Column): Column = {
+    val denom = sqrt(n2a) * sqrt(n2b)
+    round(when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(va, vb) / denom), 4)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Maximal-marginal-relevance re-rank: from each query's exact top-C
+    // candidate list, greedily select K results maximizing
+    // λ·rel − (1−λ)·max_sim_to_already_selected — the standard diversity
+    // re-ranker between an ANN index and a RAG context window (top-k
+    // alone returns near-duplicate passages; q233 measures how common
+    // those are). The greedy loop lives IN the plan, FPS-style (q235):
+    // each of the K−1 steps is an anti-join of the candidate table
+    // against the ≤|Q|·K selected rows (broadcast), a per-(qid,cand)
+    // max-penalty aggregate, and a per-qid argmax — no driver collect,
+    // so the same plan runs unchanged on a cluster. Cost O(K·|Q|·C)
+    // with C = 8 candidates — independent of corpus size; the corpus
+    // appears only in the candidate generator (exact here = the oracle
+    // for the production IVF swap, exactly like q225). Scores snap via
+    // floor before every argmax so both engines pick identical winners.
+    "q238_mmr_rerank" -> ((s, dir) => {
+      val e = corpus(s, dir)
+        .select(col("id"), toDoubleArray(col("vec")).as("v"))
+        .withColumn("n2", sqNorm(col("v")))
+      val cand = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir),
+          MmrCand)
+        .select(col("qid"), col("id"), col("sim").as("rel"), col("rank"))
+        .join(e, Seq("id"))
+        .localCheckpoint(false) // scanned once per MMR step
+      val first = cand.filter(col("rank") === 1)
+        .select(col("qid"), lit(1).as("step"), col("id"), col("v"), col("n2"),
+          Portable.snap6(lit(MmrLambda) * col("rel")).as("mmr"))
+      val chosen = (2 to MmrK).foldLeft(first) { (acc, t) =>
+        val sel = acc.select(col("qid"), col("id"), col("v").as("sv"),
+          col("n2").as("sn2"))
+        val remaining = cand.join(sel.select("qid", "id"),
+          Seq("qid", "id"), "left_anti")
+        val scored = remaining
+          .join(broadcast(sel.drop("id")), Seq("qid"))
+          .groupBy(col("qid"), col("id"), col("rel"), col("v"), col("n2"))
+          .agg(max(sim4(col("v"), col("n2"), col("sv"), col("sn2")))
+            .as("pen"))
+          .withColumn("mmr", Portable.snap6(
+            lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("pen")))
+        // each step's ≤|Q| winners are checkpointed so step t+1's plan
+        // does not re-execute the whole prefix chain (q235 discipline)
+        val next = scored.groupBy(col("qid"))
+          .agg(max_by(struct(col("id"), col("v"), col("n2"), col("mmr")),
+            struct(col("mmr"), negate(col("id")))).as("m"))
+          .select(col("qid"), lit(t).as("step"), col("m.id").as("id"),
+            col("m.v").as("v"), col("m.n2").as("n2"), col("m.mmr").as("mmr"))
+          .localCheckpoint(false)
+        acc.unionAll(next)
+      }
+      chosen.select(col("qid"), col("step"), col("id"), col("mmr"))
+        .orderBy("qid", "step")
+    }),
+
+    // Bradley–Terry strength fitting from pairwise outcomes — the
+    // aggregation step behind reward-model data curation and arena-style
+    // evals: pairwise "which of the two is better" records in, one
+    // scalar strength per player out. Matches are deterministic document
+    // duels (adjacent doc_ids, different languages, longer text wins,
+    // tie → lower doc_id); players are the 5 languages. The fit is
+    // Hunter's MM iteration p_i ← W_i / Σ_j n_ij/(p_i+p_j), mean-
+    // normalized, T = 3 rounds unrolled IN the plan over the ≤|L|²-row
+    // directed match matrix (broadcast joins against the ≤|L|-row
+    // strength table). Scale: the one corpus-sized shuffle is the match
+    // aggregation into (i, j, n, wins); everything after is
+    // players²-bounded regardless of corpus size. Every cross-row float
+    // sum rides 1e9-integer terms so the fit is partition-order-free.
+    "q239_bradley_terry" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val a = docs.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+        col("n_chars").as("nc_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+        col("n_chars").as("nc_b"))
+      val matches = a.join(b, col("id_b") === col("id_a") + 1 &&
+          col("lang_a") =!= col("lang_b"))
+        .select(least(col("lang_a"), col("lang_b")).as("i"),
+          greatest(col("lang_a"), col("lang_b")).as("j"),
+          when(col("nc_a") > col("nc_b"), col("lang_a"))
+            .when(col("nc_b") > col("nc_a"), col("lang_b"))
+            .otherwise(col("lang_a")).as("winner"))
+      val m = matches.groupBy("i", "j")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("winner") === col("i"), 1L).otherwise(0L)).as("wi"))
+      val d = m.select(col("i").as("x"), col("j").as("y"), col("n"),
+          col("wi").as("w"))
+        .unionAll(m.select(col("j").as("x"), col("i").as("y"), col("n"),
+          (col("n") - col("wi")).as("w")))
+        .localCheckpoint(false) // scanned once per MM iteration
+      val players = d.groupBy(col("x"))
+        .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
+        .localCheckpoint(false)
+      val p0 = players.select(col("x"), lit(1.0).as("p"))
+      val pT = (1 to BtIters).foldLeft(p0) { (prev, _) =>
+        val px = prev.select(col("x").as("px_x"), col("p").as("px_p"))
+        val py = prev.select(col("x").as("py_x"), col("p").as("py_p"))
+        val den = d
+          .join(broadcast(px), col("x") === col("px_x"))
+          .join(broadcast(py), col("y") === col("py_x"))
+          .withColumn("t_e9",
+            expr("CAST(round(n * 1e9 / (px_p + py_p)) AS BIGINT)"))
+          .groupBy(col("x")).agg(sum(col("t_e9")).as("den_e9"))
+        val praw = players.join(den, Seq("x"))
+          .withColumn("praw_e9", expr(
+            "CAST(round((CAST(wins AS DOUBLE) * 1e9 / den_e9) * 1e9) AS BIGINT)"))
+        val tot = praw.agg(sum(col("praw_e9")).as("tot_e9"),
+          count(lit(1)).as("nl"))
+        praw.crossJoin(broadcast(tot))
+          .select(col("x"),
+            expr("CAST(praw_e9 AS DOUBLE) * nl / tot_e9").as("p"))
+          .localCheckpoint(false)
+      }
+      players.join(pT, Seq("x"))
+        .select(col("x").as("lang"), col("games"), col("wins"),
+          Portable.snap6(col("p")).as("strength"))
+        .orderBy("lang")
+    }),
+  )
+
+  // ---- oracles ----------------------------------------------------------
+
+  private def cosSql(a: String, b: String): String = {
+    def dp(x: String, y: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    val denom = s"(sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+    s"ROUND(CASE WHEN $denom = 0.0 THEN NULL ELSE ${dp(a, b)} / $denom END, 4)"
+  }
+
+  def oracles: Map[String, String] = Map(
+
+    "q238_mmr_rerank" -> {
+      val steps = (2 to MmrK).map { t =>
+        val prev = s"sel${t - 1}"
+        s"""rem$t AS (SELECT cv.* FROM cv WHERE NOT EXISTS (
+           |  SELECT 1 FROM $prev s WHERE s.qid = cv.qid AND s.id = cv.id)),
+           |sc$t AS (SELECT r.qid, r.id, r.rel,
+           |           max(${cosSql("r.v", "s.v")}) AS pen
+           |         FROM rem$t r JOIN $prev s ON s.qid = r.qid
+           |         GROUP BY r.qid, r.id, r.rel),
+           |n$t AS (SELECT qid, id,
+           |          ${Portable.snap6Sql(
+                        s"$MmrLambda * rel - ${1.0 - MmrLambda} * pen")} AS mmr
+           |        FROM sc$t),
+           |w$t AS (SELECT qid, $t AS step, id, mmr FROM (
+           |          SELECT qid, id, mmr, ROW_NUMBER() OVER (PARTITION BY qid
+           |                   ORDER BY mmr DESC, id) AS rn FROM n$t)
+           |        WHERE rn = 1),
+           |sel$t AS (SELECT s.qid, s.step, s.id, s.mmr, e.v
+           |          FROM (SELECT qid, step, id, mmr FROM $prev
+           |                UNION ALL SELECT qid, step, id, mmr FROM w$t) s
+           |          JOIN e ON e.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |      WHERE vec_id % 50 = 0),
+         |scored AS (SELECT q.qid, e.id, ${cosSql("e.v", "q.qv")} AS rel
+         |           FROM e CROSS JOIN q WHERE e.id <> q.qid),
+         |cand AS (SELECT qid, id, rel, rn FROM (
+         |           SELECT qid, id, rel, ROW_NUMBER() OVER (PARTITION BY qid
+         |                    ORDER BY rel DESC, id) AS rn FROM scored)
+         |         WHERE rn <= $MmrCand),
+         |cv AS (SELECT c.qid, c.id, c.rel, e.v FROM cand c
+         |       JOIN e ON e.id = c.id),
+         |sel1 AS (SELECT c.qid, 1 AS step, c.id,
+         |           ${Portable.snap6Sql(s"$MmrLambda * c.rel")} AS mmr, e.v
+         |         FROM cand c JOIN e ON e.id = c.id WHERE c.rn = 1),
+         |$steps
+         |SELECT qid, step, id, mmr FROM sel$MmrK
+         |ORDER BY qid, step""".stripMargin
+    },
+
+    "q239_bradley_terry" -> {
+      val iters = (1 to BtIters).map { t =>
+        val prev = if (t == 1) "p0" else s"p${t - 1}"
+        s"""den$t AS (SELECT d.x,
+           |            sum(CAST(round(d.n * 1e9 / (px.p + py.p)) AS BIGINT))
+           |              AS den_e9
+           |          FROM d JOIN $prev px ON px.x = d.x
+           |                 JOIN $prev py ON py.x = d.y
+           |          GROUP BY d.x),
+           |pr$t AS (SELECT pl.x,
+           |           CAST(round((CAST(pl.wins AS DOUBLE) * 1e9 / den_e9)
+           |                      * 1e9) AS BIGINT) AS praw_e9
+           |         FROM players pl JOIN den$t USING (x)),
+           |tt$t AS (SELECT sum(praw_e9) AS tot_e9, count(*) AS nl FROM pr$t),
+           |p$t AS (SELECT x, CAST(praw_e9 AS DOUBLE) * nl / tot_e9 AS p
+           |        FROM pr$t CROSS JOIN tt$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+         |matches AS (
+         |  SELECT least(a.lang, b.lang) AS i, greatest(a.lang, b.lang) AS j,
+         |         CASE WHEN a.n_chars > b.n_chars THEN a.lang
+         |              WHEN b.n_chars > a.n_chars THEN b.lang
+         |              ELSE a.lang END AS winner
+         |  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.lang <> b.lang),
+         |m AS (SELECT i, j, count(*) AS n,
+         |             sum(CASE WHEN winner = i THEN 1 ELSE 0 END) AS wi
+         |      FROM matches GROUP BY i, j),
+         |d AS (SELECT i AS x, j AS y, n, wi AS w FROM m
+         |      UNION ALL SELECT j, i, n, n - wi FROM m),
+         |players AS (SELECT x, sum(n) AS games, sum(w) AS wins
+         |            FROM d GROUP BY x),
+         |p0 AS (SELECT x, CAST(1.0 AS DOUBLE) AS p FROM players),
+         |$iters
+         |SELECT pl.x AS lang, CAST(pl.games AS BIGINT) AS games,
+         |       CAST(pl.wins AS BIGINT) AS wins,
+         |       ${Portable.snap6Sql("pt.p")} AS strength
+         |FROM players pl JOIN p$BtIters pt USING (x)
+         |ORDER BY lang""".stripMargin
+    },
+  )
+}

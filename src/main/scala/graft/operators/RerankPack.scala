@@ -35,6 +35,13 @@ object RerankPack extends QueryPack {
   /** q239 MM (minorize-maximize) iteration count. */
   val BtIters = 3
 
+  /** q240 kNN depth for the margin denominator. */
+  val BitextK = 4
+
+  /** q241 cluster count and Lloyd round count. */
+  val KmK = 8
+  val KmRounds = 2
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -170,6 +177,111 @@ object RerankPack extends QueryPack {
           Portable.snap6(col("p")).as("strength"))
         .orderBy("lang")
     }),
+
+    // Margin-based bitext mining (the CCMatrix/LASER criterion): split
+    // the corpus into two halves (even/odd ids standing in for the two
+    // languages), take each even vector's nearest odd neighbor, and
+    // score it by margin = cos(x,y) / mean(avg-kNN-sim of x, of y) —
+    // ratio-to-local-density, which is what separates true translation
+    // pairs from hubs that are merely close to everything. A pair is
+    // also flagged mutual when y's nearest even vector is x. The kNN
+    // sims are already on the round-4 lattice, so the per-side averages
+    // ride exact 1e4-integer sums and the margin is one deterministic
+    // double division. Exact kNN here = the oracle for the production
+    // IVF swap (q225 discipline); everything after candidate generation
+    // is |corpus|·k-bounded with equi-joins only.
+    "q240_bitext_margin" -> ((s, dir) => {
+      val ex = corpus(s, dir).filter(col("id") % 2 === 0)
+      val ey = corpus(s, dir).filter(col("id") % 2 === 1)
+      val fwd = Similarity.bruteForceTopK(ey,
+          ex.select(col("id").as("qid"), col("vec").as("qvec")), BitextK)
+        .withColumn("sim_e4", expr("CAST(round(sim * 1e4) AS BIGINT)"))
+        .localCheckpoint(false) // feeds candidates and the x-side stats
+      val bwd2 = Similarity.bruteForceTopK(ex,
+          ey.select(col("id").as("qid"), col("vec").as("qvec")), BitextK)
+        .withColumn("sim_e4", expr("CAST(round(sim * 1e4) AS BIGINT)"))
+        .localCheckpoint(false)
+      val xstat = fwd.groupBy(col("qid").as("x_id"))
+        .agg(sum(col("sim_e4")).as("xsum_e4"))
+      val ystat = bwd2.groupBy(col("qid").as("y_id"))
+        .agg(sum(col("sim_e4")).as("ysum_e4"))
+      val cand = fwd.filter(col("rank") === 1)
+        .select(col("qid").as("x_id"), col("id").as("y_id"),
+          col("sim").as("cos_sim"), col("sim_e4"))
+      val back1 = bwd2.filter(col("rank") === 1)
+        .select(col("qid").as("y_id"), col("id").as("x_back"))
+      cand.join(xstat, Seq("x_id")).join(ystat, Seq("y_id"))
+        .join(back1, Seq("y_id"))
+        .select(col("x_id"), col("y_id"), col("cos_sim"),
+          Portable.snap6(expr(
+            s"CAST(sim_e4 AS DOUBLE) * ${2 * BitextK} / (xsum_e4 + ysum_e4)"))
+            .as("margin"),
+          (col("x_back") === col("x_id")).as("mutual"))
+        .orderBy("x_id")
+    }),
+
+    // K-means Lloyd rounds — the clustering loop behind semantic dedup,
+    // topic balancing, and IVF index builds (q36's centroids are its
+    // INPUT; this is the operator that would produce them). R = 2 rounds
+    // unrolled in the plan: assignment is the IVF argmax scan (corpus ×
+    // broadcast centroids, round-4 cosine, ties to the smaller cid);
+    // update quantizes every member component onto a 1e9 lattice and
+    // sums longs — the mergeable map-side-combine shape — so the new
+    // centroids are identical under any partitioning, then snaps the
+    // per-dimension mean back onto the lattice (all subsequent rounds
+    // run on lattice centroids, which is what lets DuckDB replay the
+    // loop bit-for-bit). Empty clusters keep their previous centroid.
+    // Output pins the full final state: member counts, the lattice
+    // component sum, and an md5 of the exact component integers.
+    "q241_kmeans_rounds" -> ((s, dir) => {
+      val e = corpus(s, dir)
+        .select(col("id"), toDoubleArray(col("vec")).as("v"))
+        .withColumn("n2", sqNorm(col("v")))
+        .localCheckpoint(false) // scanned once per Lloyd round
+      val c0 = corpus(s, dir).filter(col("id") < KmK)
+        .select(col("id").as("cid"),
+          transform(toDoubleArray(col("vec")),
+            x => round(x * lit(1e9)).cast("long")).as("me9"))
+      val cent0 = c0.withColumn("cv",
+        transform(col("me9"), m => m.cast("double") / lit(1e9)))
+      val centR = (1 to KmRounds).foldLeft(cent0.withColumn("n_members",
+          lit(null).cast("long"))) { (cent, _) =>
+        val cb = cent.select(col("cid"), col("cv"))
+          .withColumn("n2c", sqNorm(col("cv")))
+        val asg = e.crossJoin(broadcast(cb))
+          .select(col("id"), col("v"), col("cid"),
+            sim4(col("v"), col("n2"), col("cv"), col("n2c")).as("sim"))
+          .groupBy(col("id"), col("v"))
+          .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid"))))
+            .as("cid"))
+        val sums = asg.select(col("cid"), posexplode(col("v")))
+          .select(col("cid"), (col("pos") + 1).as("d"),
+            expr("CAST(round(col * 1e9) AS BIGINT)").as("x_e9"))
+          .groupBy(col("cid"), col("d"))
+          .agg(sum(col("x_e9")).as("s_e9"), count(lit(1)).as("n"))
+          .withColumn("m_e9",
+            expr("CAST(round(CAST(s_e9 AS DOUBLE) / n) AS BIGINT)"))
+        val newc = sums.groupBy(col("cid"))
+          .agg(transform(array_sort(collect_list(struct(col("d"),
+              col("m_e9")))), p => p.getField("m_e9")).as("me9_new"),
+            max(col("n")).as("n_new"))
+        cent.select(col("cid"), col("me9").as("me9_prev"),
+            col("n_members").as("n_prev"))
+          .join(newc, Seq("cid"), "left_outer")
+          .select(col("cid"),
+            coalesce(col("me9_new"), col("me9_prev")).as("me9"),
+            coalesce(col("n_new"), lit(0L)).as("n_members"))
+          .withColumn("cv",
+            transform(col("me9"), m => m.cast("double") / lit(1e9)))
+          .localCheckpoint(false)
+      }
+      centR.select(col("cid"), col("n_members"),
+          (aggregate(col("me9"), lit(0L), (a, x) => a + x).cast("double")
+            / lit(1e9)).as("c_sum"),
+          substring(md5(array_join(transform(col("me9"),
+            _.cast("string")), ",")), 1, 8).as("c_hash"))
+        .orderBy("cid")
+    }),
   )
 
   // ---- oracles ----------------------------------------------------------
@@ -263,6 +375,90 @@ object RerankPack extends QueryPack {
          |       ${Portable.snap6Sql("pt.p")} AS strength
          |FROM players pl JOIN p$BtIters pt USING (x)
          |ORDER BY lang""".stripMargin
+    },
+
+    "q240_bitext_margin" ->
+      s"""WITH ex AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |            WHERE vec_id % 2 = 0),
+         |ey AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |       WHERE vec_id % 2 = 1),
+         |f AS (SELECT x.id AS qid, y.id AS id, ${cosSql("y.v", "x.v")} AS sim
+         |      FROM ex x CROSS JOIN ey y),
+         |fr AS (SELECT qid, id, sim, CAST(round(sim * 1e4) AS BIGINT)
+         |         AS sim_e4,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, id) AS rn FROM f),
+         |fk AS (SELECT * FROM fr WHERE rn <= $BitextK),
+         |b AS (SELECT y.id AS qid, x.id AS id, ${cosSql("x.v", "y.v")} AS sim
+         |      FROM ey y CROSS JOIN ex x),
+         |br AS (SELECT qid, id, CAST(round(sim * 1e4) AS BIGINT) AS sim_e4,
+         |        ROW_NUMBER() OVER (PARTITION BY qid
+         |          ORDER BY sim DESC, id) AS rn FROM b),
+         |bk AS (SELECT * FROM br WHERE rn <= $BitextK),
+         |xstat AS (SELECT qid AS x_id, sum(sim_e4) AS xsum_e4
+         |          FROM fk GROUP BY 1),
+         |ystat AS (SELECT qid AS y_id, sum(sim_e4) AS ysum_e4
+         |          FROM bk GROUP BY 1),
+         |cand AS (SELECT qid AS x_id, id AS y_id, sim AS cos_sim, sim_e4
+         |         FROM fk WHERE rn = 1),
+         |back1 AS (SELECT qid AS y_id, id AS x_back FROM bk WHERE rn = 1)
+         |SELECT c.x_id, c.y_id, c.cos_sim,
+         |       ${Portable.snap6Sql(
+                 s"CAST(c.sim_e4 AS DOUBLE) * ${2 * BitextK} " +
+                   "/ (xs.xsum_e4 + ys.ysum_e4)")} AS margin,
+         |       (b1.x_back = c.x_id) AS mutual
+         |FROM cand c JOIN xstat xs USING (x_id) JOIN ystat ys USING (y_id)
+         |     JOIN back1 b1 USING (y_id)
+         |ORDER BY x_id""".stripMargin,
+
+    "q241_kmeans_rounds" -> {
+      def dp(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+      def cosD(a: String, b: String) = {
+        val den = s"(sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+        s"ROUND(CASE WHEN $den = 0.0 THEN NULL ELSE ${dp(a, b)} / $den END, 4)"
+      }
+      val rounds = (1 to KmRounds).map { r =>
+        val prev = s"cent${r - 1}"
+        s"""asg$r AS (SELECT id, v, cid FROM (
+           |  SELECT e.id, e.v, c.cid,
+           |         ROW_NUMBER() OVER (PARTITION BY e.id
+           |           ORDER BY ${cosD("e.v", "c.cv")} DESC, c.cid) AS rn
+           |  FROM e CROSS JOIN $prev c) WHERE rn = 1),
+           |dd$r AS (SELECT cid, unnest(generate_series(1, 64)) AS d, v
+           |         FROM asg$r),
+           |sums$r AS (SELECT cid, d,
+           |             sum(CAST(round(v[d] * 1e9) AS BIGINT)) AS s_e9,
+           |             count(*) AS n
+           |           FROM dd$r GROUP BY cid, d),
+           |m$r AS (SELECT cid, d,
+           |          CAST(round(CAST(s_e9 AS DOUBLE) / n) AS BIGINT) AS m_e9,
+           |          n FROM sums$r),
+           |nc$r AS (SELECT cid, list(m_e9 ORDER BY d) AS me9_new,
+           |           max(n) AS n_new FROM m$r GROUP BY cid),
+           |cent$r AS (SELECT c.cid,
+           |             coalesce(nc.me9_new, c.me9) AS me9,
+           |             coalesce(nc.n_new, 0) AS n_members,
+           |             list_transform(coalesce(nc.me9_new, c.me9),
+           |               m -> CAST(m AS DOUBLE) / 1e9) AS cv
+           |           FROM $prev c LEFT JOIN nc$r nc USING (cid))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id AS id,
+         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid,
+         |         list_transform(embedding, x ->
+         |           CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS me9
+         |       FROM embeddings WHERE vec_id < $KmK),
+         |cent0 AS (SELECT cid, me9, CAST(NULL AS BIGINT) AS n_members,
+         |            list_transform(me9, m -> CAST(m AS DOUBLE) / 1e9) AS cv
+         |          FROM c0),
+         |$rounds
+         |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
+         |       CAST(list_sum(me9) AS DOUBLE) / 1e9 AS c_sum,
+         |       substr(md5(array_to_string(me9, ',')), 1, 8) AS c_hash
+         |FROM cent$KmRounds ORDER BY cid""".stripMargin
     },
   )
 }

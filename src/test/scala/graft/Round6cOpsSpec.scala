@@ -27,6 +27,12 @@ class Round6cOpsSpec extends SparkSpec {
 
   private def snap6(x: Double): Double = math.floor(x * 1e6) / 1e6
 
+  /** Spark/DuckDB round(x): HALF AWAY FROM ZERO — math.round rounds
+    * half toward +inf, which disagrees on negative .5 ties (embedding
+    * components are negative; caught live by the q241 replay). */
+  private def roundAway(x: Double): Long =
+    if (x >= 0) math.round(x) else -math.round(-x)
+
   private def loadEmb(): Map[Long, Array[Double]] =
     Tables.table(spark, sf0, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>"))
@@ -120,5 +126,88 @@ class Round6cOpsSpec extends SparkSpec {
     // sanity: the strongest player is not the one with the worst win rate
     val rates = players.map { case (x, (g, w)) => x -> w.toDouble / g }
     assert(rates(p.maxBy(_._2)._1) > rates.values.min - 1e-12)
+  }
+
+  test("q240: bitext margins equal a local replay; hubs score below") {
+    import graft.operators.RerankPack.BitextK
+    val emb = loadEmb()
+    val ex = emb.keys.filter(_ % 2 == 0).toSeq.sorted
+    val ey = emb.keys.filter(_ % 2 == 1).toSeq.sorted
+    def knn(q: Long, side: Seq[Long]): Seq[(Long, Double)] =
+      side.map(id => (id, sim4(emb(id), emb(q))))
+        .sortBy { case (id, s) => (-s, id) }.take(BitextK)
+    val fKnn = ex.map(x => x -> knn(x, ey)).toMap
+    val bKnn = ey.map(y => y -> knn(y, ex)).toMap
+    def e4(s: Double): Long = roundAway(s * 1e4)
+    val expected = ex.map { x =>
+      val (y, s) = fKnn(x).head
+      val xsum = fKnn(x).map(t => e4(t._2)).sum
+      val ysum = bKnn(y).map(t => e4(t._2)).sum
+      val margin = snap6(e4(s).toDouble * (2 * BitextK) / (xsum + ysum))
+      (x, y, s, margin, bKnn(y).head._1 == x)
+    }
+    val got = run("q240_bitext_margin")
+      .as[(Long, Long, Double, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(got == expected.sortBy(_._1))
+    // the 1e4 quantization is fidelity, not semantics: margins recomputed
+    // from UN-quantized sims agree to ~1e-3, and both mutual and
+    // non-mutual pairs occur
+    expected.foreach { case (x, _, _, margin, _) =>
+      val raw = fKnn(x).head._2 /
+        ((fKnn(x).map(_._2).sum / BitextK +
+          bKnn(fKnn(x).head._1).map(_._2).sum / BitextK) / 2)
+      assert(math.abs(margin - raw) < 1e-3)
+    }
+    assert(expected.exists(_._5) && expected.exists(!_._5))
+  }
+
+  test("q241: k-means rounds equal a local Lloyd replay; inertia drops") {
+    import graft.operators.RerankPack.{KmK, KmRounds}
+    val emb = loadEmb()
+    val ids = emb.keys.toSeq.sorted
+    var cent: Map[Long, Array[Long]] = ids.filter(_ < KmK)
+      .map(c => c -> emb(c).map(x => roundAway(x * 1e9))).toMap
+    var members: Map[Long, Long] = cent.keys.map(_ -> 0L).toMap
+    def assign(c: Map[Long, Array[Long]]): Map[Long, Long] = {
+      val cv = c.map { case (k, m) => k -> m.map(_.toDouble / 1e9) }
+      ids.map { id =>
+        id -> cv.toSeq.map { case (k, v) => (k, sim4(emb(id), v)) }
+          .minBy { case (k, s) => (-s, k) }._1
+      }.toMap
+    }
+    (1 to KmRounds).foreach { _ =>
+      val asg = assign(cent)
+      val byC = asg.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq }
+      val newCent = byC.map { case (c, ms) =>
+        val dims = emb(ms.head).length
+        c -> Array.tabulate(dims) { d =>
+          val s = ms.map(id => roundAway(emb(id)(d) * 1e9)).sum
+          roundAway(s.toDouble / ms.size)
+        }
+      }
+      cent = cent.map { case (c, prev) => c -> newCent.getOrElse(c, prev) }
+      members = cent.keys.map(c => c -> byC.get(c).map(_.size.toLong)
+        .getOrElse(0L)).toMap
+    }
+    val expected = cent.toSeq.sortBy(_._1).map { case (c, me9) =>
+      (c, members(c), me9.sum.toDouble / 1e9,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(me9.mkString(",").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8))
+    }
+    val got = run("q241_kmeans_rounds")
+      .as[(Long, Long, Double, String)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+    // Lloyd property: mean similarity-to-assigned-centroid does not
+    // decrease from the initial centroids to the final ones
+    def meanSim(c: Map[Long, Array[Long]]): Double = {
+      val cv = c.map { case (k, m) => k -> m.map(_.toDouble / 1e9) }
+      ids.map { id =>
+        cv.values.map(v => sim4(emb(id), v)).max
+      }.sum / ids.size
+    }
+    val init = ids.filter(_ < KmK)
+      .map(c => c -> emb(c).map(x => roundAway(x * 1e9))).toMap
+    assert(meanSim(cent) >= meanSim(init) - 1e-9)
   }
 }

@@ -234,47 +234,7 @@ object RerankPack extends QueryPack {
     // Output pins the full final state: member counts, the lattice
     // component sum, and an md5 of the exact component integers.
     "q241_kmeans_rounds" -> ((s, dir) => {
-      val e = corpus(s, dir)
-        .select(col("id"), toDoubleArray(col("vec")).as("v"))
-        .withColumn("n2", sqNorm(col("v")))
-        .localCheckpoint(false) // scanned once per Lloyd round
-      val c0 = corpus(s, dir).filter(col("id") < KmK)
-        .select(col("id").as("cid"),
-          transform(toDoubleArray(col("vec")),
-            x => round(x * lit(1e9)).cast("long")).as("me9"))
-      val cent0 = c0.withColumn("cv",
-        transform(col("me9"), m => m.cast("double") / lit(1e9)))
-      val centR = (1 to KmRounds).foldLeft(cent0.withColumn("n_members",
-          lit(null).cast("long"))) { (cent, _) =>
-        val cb = cent.select(col("cid"), col("cv"))
-          .withColumn("n2c", sqNorm(col("cv")))
-        val asg = e.crossJoin(broadcast(cb))
-          .select(col("id"), col("v"), col("cid"),
-            sim4(col("v"), col("n2"), col("cv"), col("n2c")).as("sim"))
-          .groupBy(col("id"), col("v"))
-          .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid"))))
-            .as("cid"))
-        val sums = asg.select(col("cid"), posexplode(col("v")))
-          .select(col("cid"), (col("pos") + 1).as("d"),
-            expr("CAST(round(col * 1e9) AS BIGINT)").as("x_e9"))
-          .groupBy(col("cid"), col("d"))
-          .agg(sum(col("x_e9")).as("s_e9"), count(lit(1)).as("n"))
-          .withColumn("m_e9",
-            expr("CAST(round(CAST(s_e9 AS DOUBLE) / n) AS BIGINT)"))
-        val newc = sums.groupBy(col("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("d"),
-              col("m_e9")))), p => p.getField("m_e9")).as("me9_new"),
-            max(col("n")).as("n_new"))
-        cent.select(col("cid"), col("me9").as("me9_prev"),
-            col("n_members").as("n_prev"))
-          .join(newc, Seq("cid"), "left_outer")
-          .select(col("cid"),
-            coalesce(col("me9_new"), col("me9_prev")).as("me9"),
-            coalesce(col("n_new"), lit(0L)).as("n_members"))
-          .withColumn("cv",
-            transform(col("me9"), m => m.cast("double") / lit(1e9)))
-          .localCheckpoint(false)
-      }
+      val (centR, _) = kmeansFit(s, dir)
       centR.select(col("cid"), col("n_members"),
           (aggregate(col("me9"), lit(0L), (a, x) => a + x).cast("double")
             / lit(1e9)).as("c_sum"),
@@ -282,7 +242,83 @@ object RerankPack extends QueryPack {
             _.cast("string")), ",")), 1, 8).as("c_hash"))
         .orderBy("cid")
     }),
+
+    // Cluster-purity audit — the external-validation step a clustering
+    // run ships with: the final Lloyd assignment joined to the held
+    // label column, majority label + purity per cluster. Low purity on
+    // a labeled probe set is the signal that a semantic-dedup or
+    // topic-balancing config (q68/q90) is grouping unrelated content.
+    // Same lattice loop as q241, so the two outputs describe one fit;
+    // the per-(cluster,label) count is the only added shuffle and is
+    // |K·labels|-bounded. Ties on the majority count break to the
+    // smaller label in both engines.
+    "q242_cluster_purity" -> ((s, dir) => {
+      val (_, asgR) = kmeansFit(s, dir)
+      val labels = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("label"))
+      val cnt = asgR.select("id", "cid").join(labels, Seq("id"))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      cnt.groupBy(col("cid"))
+        .agg(sum(col("n")).as("n_members"),
+          max_by(struct(col("label"), col("n")),
+            struct(col("n"), negate(col("label")))).as("m"))
+        .select(col("cid"), col("n_members"),
+          col("m.label").as("majority_label"),
+          col("m.n").as("n_majority"),
+          Portable.snap6(col("m.n").cast("double") / col("n_members"))
+            .as("purity"))
+        .orderBy("cid")
+    }),
   )
+
+  /** [[KmRounds]] Lloyd rounds on the 1e9 lattice (see q241): returns
+    * (final centroids frame (cid, me9, n_members, cv), final-round
+    * assignment (id, cid)). Shared by q241 (state) and q242 (purity). */
+  private def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = corpus(s, dir)
+      .select(col("id"), toDoubleArray(col("vec")).as("v"))
+      .withColumn("n2", sqNorm(col("v")))
+      .localCheckpoint(false) // scanned once per Lloyd round
+    val c0 = corpus(s, dir).filter(col("id") < KmK)
+      .select(col("id").as("cid"),
+        transform(toDoubleArray(col("vec")),
+          x => round(x * lit(1e9)).cast("long")).as("me9"))
+    val cent0 = c0.withColumn("cv",
+      transform(col("me9"), m => m.cast("double") / lit(1e9)))
+      .withColumn("n_members", lit(null).cast("long"))
+    (1 to KmRounds).foldLeft((cent0, null: DataFrame)) { case ((cent, _), _) =>
+      val cb = cent.select(col("cid"), col("cv"))
+        .withColumn("n2c", sqNorm(col("cv")))
+      val asg = e.crossJoin(broadcast(cb))
+        .select(col("id"), col("v"), col("cid"),
+          sim4(col("v"), col("n2"), col("cv"), col("n2c")).as("sim"))
+        .groupBy(col("id"), col("v"))
+        .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid"))))
+          .as("cid"))
+        .localCheckpoint(false) // feeds both the update and q242's join
+      val sums = asg.select(col("cid"), posexplode(col("v")))
+        .select(col("cid"), (col("pos") + 1).as("d"),
+          expr("CAST(round(col * 1e9) AS BIGINT)").as("x_e9"))
+        .groupBy(col("cid"), col("d"))
+        .agg(sum(col("x_e9")).as("s_e9"), count(lit(1)).as("n"))
+        .withColumn("m_e9",
+          expr("CAST(round(CAST(s_e9 AS DOUBLE) / n) AS BIGINT)"))
+      val newc = sums.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"),
+            col("m_e9")))), p => p.getField("m_e9")).as("me9_new"),
+          max(col("n")).as("n_new"))
+      val next = cent.select(col("cid"), col("me9").as("me9_prev"))
+        .join(newc, Seq("cid"), "left_outer")
+        .select(col("cid"),
+          coalesce(col("me9_new"), col("me9_prev")).as("me9"),
+          coalesce(col("n_new"), lit(0L)).as("n_members"))
+        .withColumn("cv",
+          transform(col("me9"), m => m.cast("double") / lit(1e9)))
+        .localCheckpoint(false)
+      (next, asg)
+    }
+  }
 
   // ---- oracles ----------------------------------------------------------
 
@@ -411,14 +447,43 @@ object RerankPack extends QueryPack {
          |     JOIN back1 b1 USING (y_id)
          |ORDER BY x_id""".stripMargin,
 
-    "q241_kmeans_rounds" -> {
-      def dp(a: String, b: String) =
-        s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
-      def cosD(a: String, b: String) = {
-        val den = s"(sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
-        s"ROUND(CASE WHEN $den = 0.0 THEN NULL ELSE ${dp(a, b)} / $den END, 4)"
-      }
-      val rounds = (1 to KmRounds).map { r =>
+    "q241_kmeans_rounds" ->
+      s"""WITH $kmeansCtesSql
+         |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
+         |       CAST(list_sum(me9) AS DOUBLE) / 1e9 AS c_sum,
+         |       substr(md5(array_to_string(me9, ',')), 1, 8) AS c_hash
+         |FROM cent$KmRounds ORDER BY cid""".stripMargin,
+
+    "q242_cluster_purity" ->
+      s"""WITH $kmeansCtesSql,
+         |cnt AS (SELECT a.cid, emb.label, count(*) AS n
+         |        FROM asg$KmRounds a
+         |        JOIN embeddings emb ON emb.vec_id = a.id
+         |        GROUP BY a.cid, emb.label),
+         |tot AS (SELECT cid, sum(n) AS n_members FROM cnt GROUP BY cid),
+         |mj AS (SELECT cid, label, n FROM (
+         |         SELECT cid, label, n, ROW_NUMBER() OVER (PARTITION BY cid
+         |                  ORDER BY n DESC, label) AS rn FROM cnt)
+         |       WHERE rn = 1)
+         |SELECT t.cid, CAST(t.n_members AS BIGINT) AS n_members,
+         |       mj.label AS majority_label, CAST(mj.n AS BIGINT) AS n_majority,
+         |       ${Portable.snap6Sql("CAST(mj.n AS DOUBLE) / t.n_members")}
+         |         AS purity
+         |FROM tot t JOIN mj USING (cid)
+         |ORDER BY t.cid""".stripMargin,
+  )
+
+  /** DuckDB twin of [[kmeansFit]]: the shared CTE chain ending at
+    * cent`KmRounds` (lattice centroid state) and asg`KmRounds` (final
+    * assignment). */
+  private lazy val kmeansCtesSql: String = {
+    def dp(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+    def cosD(a: String, b: String) = {
+      val den = s"(sqrt(${dp(a, a)}) * sqrt(${dp(b, b)}))"
+      s"ROUND(CASE WHEN $den = 0.0 THEN NULL ELSE ${dp(a, b)} / $den END, 4)"
+    }
+    val rounds = (1 to KmRounds).map { r =>
         val prev = s"cent${r - 1}"
         s"""asg$r AS (SELECT id, v, cid FROM (
            |  SELECT e.id, e.v, c.cid,
@@ -444,21 +509,16 @@ object RerankPack extends QueryPack {
            |           FROM $prev c LEFT JOIN nc$r nc USING (cid))"""
           .stripMargin
       }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id AS id,
-         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |           FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid,
-         |         list_transform(embedding, x ->
-         |           CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS me9
-         |       FROM embeddings WHERE vec_id < $KmK),
-         |cent0 AS (SELECT cid, me9, CAST(NULL AS BIGINT) AS n_members,
-         |            list_transform(me9, m -> CAST(m AS DOUBLE) / 1e9) AS cv
-         |          FROM c0),
-         |$rounds
-         |SELECT cid, CAST(n_members AS BIGINT) AS n_members,
-         |       CAST(list_sum(me9) AS DOUBLE) / 1e9 AS c_sum,
-         |       substr(md5(array_to_string(me9, ',')), 1, 8) AS c_hash
-         |FROM cent$KmRounds ORDER BY cid""".stripMargin
-    },
-  )
+    s"""e AS (SELECT vec_id AS id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid,
+       |         list_transform(embedding, x ->
+       |           CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)) AS me9
+       |       FROM embeddings WHERE vec_id < $KmK),
+       |cent0 AS (SELECT cid, me9, CAST(NULL AS BIGINT) AS n_members,
+       |            list_transform(me9, m -> CAST(m AS DOUBLE) / 1e9) AS cv
+       |          FROM c0),
+       |$rounds""".stripMargin
+  }
 }

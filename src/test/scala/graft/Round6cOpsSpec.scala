@@ -209,5 +209,39 @@ class Round6cOpsSpec extends SparkSpec {
     val init = ids.filter(_ < KmK)
       .map(c => c -> emb(c).map(x => roundAway(x * 1e9))).toMap
     assert(meanSim(cent) >= meanSim(init) - 1e-9)
+
+    // q242 rides the SAME fit: replay the final-round assignment and
+    // check the purity audit against it
+    val labels = Tables.table(spark, sf0, "embeddings")
+      .select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    // the assignment that PRODUCED the final centroids is the one from
+    // the last round, i.e. computed against the round-(R-1) centroids
+    var cent2: Map[Long, Array[Long]] = init
+    var lastAsg: Map[Long, Long] = Map.empty
+    (1 to KmRounds).foreach { _ =>
+      lastAsg = assign(cent2)
+      val byC = lastAsg.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq }
+      cent2 = cent2.map { case (c, prev) =>
+        c -> byC.get(c).map { ms =>
+          Array.tabulate(prev.length) { d =>
+            val sum = ms.map(id => roundAway(emb(id)(d) * 1e9)).sum
+            roundAway(sum.toDouble / ms.size)
+          }
+        }.getOrElse(prev)
+      }
+    }
+    val expPurity = lastAsg.groupBy(_._2).toSeq.map { case (c, m) =>
+      val byLabel = m.keys.toSeq.groupBy(labels).map { case (l, xs) =>
+        (l, xs.size.toLong)
+      }
+      val (ml, mn) = byLabel.toSeq.minBy { case (l, n) => (-n, l) }
+      (c, m.size.toLong, ml, mn, snap6(mn.toDouble / m.size))
+    }.sortBy(_._1)
+    val gotPurity = run("q242_cluster_purity")
+      .as[(Long, Long, Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(gotPurity == expPurity)
+    // the audit totals must tile the corpus exactly
+    assert(gotPurity.map(_._2).sum == ids.size)
   }
 }

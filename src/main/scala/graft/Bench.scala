@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Hermetic barrier between measured executions: drop every cached
+    * query AND every persisted RDD (blocking, so the next query starts
+    * with the block manager actually empty, not merely scheduled-empty).
+    * Iterative operators pin one localCheckpoint per loop round and the
+    * final round's blocks legitimately outlive the query (they back the
+    * returned frame); without this sweep the 2×242 executions accumulate
+    * pinned blocks until eviction churn dominates the tail of the run —
+    * the BENCH_r06 failure mode (1708 s for a 323 s suite). */
+  private def sweep(spark: SparkSession): Unit = {
+    try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sweep failed: ${e.getMessage}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,34 +68,65 @@ object Bench {
     // warm-up, shuffling per-query numbers across code changes)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    val results = selected.map { case (name, fn) =>
+    // Per-query wall-clock cap: with 242 queries × 2 passes, one
+    // pathological query (or one environment hiccup) must not eat the
+    // driver's whole window and turn the artifact into noise. The query
+    // runs on a dedicated thread under a job group; on deadline the job
+    // group is cancelled, the query is recorded failed-slow (-2, excluded
+    // from totals like any failure), and the run moves on.
+    val deadlineS = sys.env.get("SPARK_GRAFT_DEADLINE_S")
+      .flatMap(_.toIntOption).getOrElse(120)
+    // noop sink: materializes every output column (count() would let
+    // Catalyst prune the projections this bench is supposed to measure)
+    def execute(name: String, tag: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double) = {
+      val group = s"bench-$name-$tag"
+      val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
+        (r: Runnable) => { val t = new Thread(r, group); t.setDaemon(true); t })
       val t0 = System.nanoTime()
-      // noop sink: materializes every output column (count() would let
-      // Catalyst prune the projections this bench is supposed to measure)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          spark.sparkContext.setJobGroup(group, group,
+            interruptOnCancel = true)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          finally spark.sparkContext.clearJobGroup()
         }
-      val cold = (System.nanoTime() - t0) / 1e9
+      })
+      val out =
+        try { task.get(deadlineS, java.util.concurrent.TimeUnit.SECONDS)
+              (true, (System.nanoTime() - t0) / 1e9) }
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
+            System.err.println(
+              s"[bench] $name $tag FAILED-SLOW: exceeded ${deadlineS}s deadline")
+            // give the cancelled job a moment to unwind so its tasks do
+            // not overlap the next query's timing
+            try task.get(15, java.util.concurrent.TimeUnit.SECONDS)
+            catch { case _: Throwable => () }
+            (false, -2.0)
+          case e: Throwable =>
+            System.err.println(s"[bench] $name $tag FAILED: " +
+              s"${Option(e.getCause).getOrElse(e).getMessage}")
+            (false, -1.0)
+        }
+      pool.shutdownNow()
+      sweep(spark) // hermetic: next execution starts with empty caches
+      out
+    }
+    val results = selected.map { case (name, fn) =>
+      val (ok, cold) = execute(name, "cold", fn)
       // best (min) warm seconds across repeat-1 re-runs, -1 if none ran ok
       val warm = if (!ok) -1.0 else (2 to repeat).foldLeft(-1.0) { (best, r) =>
-        val t = System.nanoTime()
-        val warmOk =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name warm run $r FAILED: ${e.getMessage}")
-            false
-          }
-        val secs = (System.nanoTime() - t) / 1e9
+        val (warmOk, secs) = execute(name, s"warm$r", fn)
         // a failed warm run must not print a plausible-looking timing
         if (warmOk) System.err.println(
           f"[bench] $name warm run $r: $secs%.2f s (cold $cold%.2f)")
         if (!warmOk) best else if (best < 0) secs else math.min(best, secs)
       }
       // a failed query must not masquerade as a fast success
-      name -> (if (ok) cold else -1.0, warm)
+      name -> (if (ok) cold else cold.min(-1.0), warm)
     }
     def fmt(v: Double) = f"$v%.3f"
     def jmap(vs: Seq[(String, Double)]) =

@@ -259,7 +259,13 @@ object AuditPack extends QueryPack {
         .select(col("source"),
           least(lit(9), floor(q * 10)).cast("int").as("bucket"))
         .groupBy("source", "bucket").agg(count(lit(1)).as("c"))
-        .localCheckpoint(false) // feeds both marginals + the MI terms
+        // EAGER: the marginals and `tot` reach this frame through
+        // broadcast exchanges that materialize on concurrent threads — a
+        // lazy checkpoint let them race to recompute the qualityLogit
+        // corpus scan before any block persisted, which is exactly the
+        // warm>cold nondeterminism VERDICT r6 flagged (task 3). One
+        // up-front job computes the vocabulary-sized cell table once.
+        .localCheckpoint(true) // feeds both marginals + the MI terms
       val ms = cells.groupBy("source").agg(sum("c").as("cs"))
       val mb = cells.groupBy("bucket").agg(sum("c").as("cb"))
       val tot = cells.agg(sum("c").as("n"), count(lit(1)).as("n_cells"))

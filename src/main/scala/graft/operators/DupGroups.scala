@@ -48,6 +48,7 @@ object DupGroups {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
+    var prevCp = labels // the checkpoint frame each round supersedes
     while (iter < maxIter && !converged) {
       val fromNeighbors = und
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
@@ -55,17 +56,24 @@ object DupGroups {
       // fold the convergence check into the same aggregation: `own` tags the
       // row carrying the vertex's previous label (exactly one per id), so
       // prev = max(own-weighted comp) rides along and the fixpoint test is a
-      // cheap scan of the just-checkpointed result instead of a second join
-      val next = labels.select(col("id"), col("comp"), lit(1).as("own"))
-        .unionAll(fromNeighbors)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"),
-          max(when(col("own") === 1, col("comp"))).as("prev"))
-        .localCheckpoint(true)
+      // cheap scan of the just-checkpointed result instead of a second join.
+      // roll = eager checkpoint + release of the superseded round's blocks
+      // (a long-lived session otherwise pins one label table per round)
+      val next = graft.plans.Checkpoints.roll(
+        labels.select(col("id"), col("comp"), lit(1).as("own"))
+          .unionAll(fromNeighbors)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp"),
+            max(when(col("own") === 1, col("comp"))).as("prev")),
+        prevCp)
       // labels only ever decrease, so "no label dropped" == fixpoint
       converged = next.filter(col("comp") < col("prev")).isEmpty
       labels = next.select(col("id"), col("comp"))
+      prevCp = next
       iter += 1
     }
+    // the edge table is dead once the fixpoint is reached — only the final
+    // label table backs the returned frame
+    graft.plans.Checkpoints.release(und)
     // a silent early exit would report one real dup group as several,
     // keeping extra "representatives" — fail loud instead
     if (!converged) throw new IllegalStateException(

@@ -129,26 +129,42 @@ object Graph {
     var hubs = nodes.select(col("v"), lit(HitsUnit).as("h"))
     var auths = nodes.select(col("v"), lit(0L).as("a"))
     for (_ <- 1 to iters) {
-      // pin every per-iteration frame: each raw table is consumed TWICE
-      // (its max + the normalize join) and each score table feeds both
-      // the next half-step and the final join — unpinned, the plan
-      // re-derives the whole upstream per reference, ~4× per iteration
-      // (q123 measured 6.8 s on a 40-node graph from plan size alone)
-      val aRaw = pin(e.join(hubs, e("src") === hubs("v"))
+      // pin every per-iteration frame EAGERLY: each raw table is consumed
+      // TWICE (its max — a broadcast, which materializes on its own
+      // thread and with a LAZY pin would recompute the whole upstream
+      // chain concurrently with the main job — plus the normalize join)
+      // and each score table feeds both the next half-step and the final
+      // join. roll() releases the superseded round's blocks as each new
+      // frame lands, so a long session pins O(1) tables, not O(iters).
+      def step(plan: DataFrame, dead: DataFrame*): DataFrame =
+        if (materialize) graft.plans.Checkpoints.roll(plan, dead: _*)
+        else plan
+      val prevHubs = hubs
+      val prevAuths = auths
+      // only the normalized score tables are checkpointed (one eager job
+      // per half-step); the raw aggregate is recomputed by its two
+      // consumers WITHIN that job — one extra pass over the persisted
+      // edge table, cheaper than a third checkpoint per half-step
+      val aRaw = e.join(hubs, e("src") === hubs("v"))
         .groupBy(col("dst").as("v2")).agg(sum(col("h")).as("raw"))
-        .select(col("v2").as("v"), col("raw")))
+        .select(col("v2").as("v"), col("raw"))
       val aMax = broadcast(aRaw.agg(max(col("raw")).as("mx")))
-      auths = pin(nodes.join(aRaw, Seq("v"), "left").crossJoin(aMax)
+      auths = step(nodes.join(aRaw, Seq("v"), "left").crossJoin(aMax)
         .select(col("v"),
-          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("a")))
-      val hRaw = pin(e.join(auths, e("dst") === auths("v"))
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("a")),
+        prevAuths)
+      val hRaw = e.join(auths, e("dst") === auths("v"))
         .groupBy(col("src").as("v2")).agg(sum(col("a")).as("raw"))
-        .select(col("v2").as("v"), col("raw")))
+        .select(col("v2").as("v"), col("raw"))
       val hMax = broadcast(hRaw.agg(max(col("raw")).as("mx")))
-      hubs = pin(nodes.join(hRaw, Seq("v"), "left").crossJoin(hMax)
+      hubs = step(nodes.join(hRaw, Seq("v"), "left").crossJoin(hMax)
         .select(col("v"),
-          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("h")))
+          expr(s"(coalesce(raw, CAST(0 AS BIGINT)) * $HitsUnit) DIV mx").as("h")),
+        prevHubs)
     }
+    // the edge table is dead once the final scores are materialized; the
+    // node table still backs the returned join, so it stays
+    if (materialize) graft.plans.Checkpoints.release(e)
     nodes.join(hubs, "v").join(auths, "v")
       .select(col("v"), col("h").as("hub_fp"), col("a").as("auth_fp"),
         round(col("h").cast("double") / HitsUnit.toDouble, 6).as("hub"),
@@ -195,6 +211,7 @@ object Graph {
       else when(isSeed, lit(Unit / seeds.size)).otherwise(0L)
     var ranks = nodes.crossJoin(nRow)
       .select(col("v"), init.as("r"))
+    var prevCp: DataFrame = null // last every-k checkpoint, superseded below
     for (i <- 1 to iters) {
       val contrib = e.join(ranks, e("src") === ranks("v"))
         .join(deg, "src")
@@ -204,8 +221,14 @@ object Graph {
         .crossJoin(nRow)
         .select(col("v"),
           (base + expr(s"($dampingPct * coalesce(in_fp, CAST(0 AS BIGINT))) DIV 100")).as("r"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        ranks = ranks.localCheckpoint(true)
+      if (checkpointEvery > 0 && i % checkpointEvery == 0) {
+        // roll: eager checkpoint + release the checkpoint it supersedes —
+        // without the release a long session pins one rank table per k
+        // rounds for the life of the SparkContext
+        ranks = graft.plans.Checkpoints.roll(ranks,
+          Option(prevCp).toSeq: _*)
+        prevCp = ranks
+      }
     }
     ranks.select(col("v"), col("r").as("rank_fp"),
       round(col("r").cast("double") / Unit.toDouble, 6).as("rank"))
@@ -246,9 +269,17 @@ object Graph {
       val relaxed = e.join(dist, e("src") === dist("v"))
         .select(col("dst").as("v"),
           least(col("d") + 1, lit(unreachable)).as("d"))
-      dist = pin(dist.select(col("v"), col("d")).union(relaxed)
-        .groupBy("v").agg(min(col("d")).as("d")))
+      val next = dist.select(col("v"), col("d")).union(relaxed)
+        .groupBy("v").agg(min(col("d")).as("d"))
+      // roll: eager checkpoint + release of hop k-1's blocks (pinned
+      // lazily, they would otherwise accumulate one table per hop)
+      dist = if (materialize) graft.plans.Checkpoints.roll(next, dist)
+             else next
     }
+    // only the final hop's table backs the returned frame; the edge and
+    // node invariants are dead once it is materialized
+    if (materialize) { graft.plans.Checkpoints.release(e)
+                       graft.plans.Checkpoints.release(nodes) }
     dist.select(col("v"), col("d").cast("int").as("d"))
   }
 }

@@ -84,7 +84,11 @@ object RerankPack extends QueryPack {
           MmrCand)
         .select(col("qid"), col("id"), col("sim").as("rel"), col("rank"))
         .join(e, Seq("id"))
-        .localCheckpoint(false) // scanned once per MMR step
+        // EAGER: every MMR step broadcasts the selected set (derived from
+        // this frame) while the main job anti-joins against it — lazy,
+        // those concurrent jobs race to compute the bruteForceTopK
+        // upstream before any block persists, duplicating it per step
+        .localCheckpoint(true) // scanned once per MMR step
       val first = cand.filter(col("rank") === 1)
         .select(col("qid"), lit(1).as("step"), col("id"), col("v"), col("n2"),
           Portable.snap6(lit(MmrLambda) * col("rel")).as("mmr"))
@@ -100,14 +104,17 @@ object RerankPack extends QueryPack {
             .as("pen"))
           .withColumn("mmr", Portable.snap6(
             lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("pen")))
-        // each step's ≤|Q| winners are checkpointed so step t+1's plan
-        // does not re-execute the whole prefix chain (q235 discipline)
+        // each step's ≤|Q| winners are checkpointed EAGERLY so step t+1's
+        // plan does not re-execute the whole prefix chain, and the final
+        // action's per-step broadcast exchanges find every step already
+        // materialized instead of racing to compute the same lazy chain
+        // concurrently (q235 discipline)
         val next = scored.groupBy(col("qid"))
           .agg(max_by(struct(col("id"), col("v"), col("n2"), col("mmr")),
             struct(col("mmr"), negate(col("id")))).as("m"))
           .select(col("qid"), lit(t).as("step"), col("m.id").as("id"),
             col("m.v").as("v"), col("m.n2").as("n2"), col("m.mmr").as("mmr"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         acc.unionAll(next)
       }
       chosen.select(col("qid"), col("step"), col("id"), col("mmr"))
@@ -148,10 +155,14 @@ object RerankPack extends QueryPack {
           col("wi").as("w"))
         .unionAll(m.select(col("j").as("x"), col("i").as("y"), col("n"),
           (col("n") - col("wi")).as("w")))
-        .localCheckpoint(false) // scanned once per MM iteration
+        // EAGER: each MM round reaches this frame through BROADCAST
+        // exchanges (px/py) whose jobs would otherwise race the main job
+        // to compute the corpus-sized match aggregation before any block
+        // persists; one up-front job computes the ≤|L|²-row table once
+        .localCheckpoint(true) // scanned once per MM iteration
       val players = d.groupBy(col("x"))
         .agg(sum(col("n")).as("games"), sum(col("w")).as("wins"))
-        .localCheckpoint(false)
+        .localCheckpoint(true) // same: feeds every round AND the final join
       val p0 = players.select(col("x"), lit(1.0).as("p"))
       val pT = (1 to BtIters).foldLeft(p0) { (prev, _) =>
         val px = prev.select(col("x").as("px_x"), col("p").as("px_p"))
@@ -167,11 +178,16 @@ object RerankPack extends QueryPack {
             "CAST(round((CAST(wins AS DOUBLE) * 1e9 / den_e9) * 1e9) AS BIGINT)"))
         val tot = praw.agg(sum(col("praw_e9")).as("tot_e9"),
           count(lit(1)).as("nl"))
-        praw.crossJoin(broadcast(tot))
-          .select(col("x"),
-            expr("CAST(praw_e9 AS DOUBLE) * nl / tot_e9").as("p"))
-          .localCheckpoint(false)
+        // roll: eager checkpoint + release of the superseded round (the
+        // round-1 `prev` is a plain projection — release is a no-op there)
+        graft.plans.Checkpoints.roll(
+          praw.crossJoin(broadcast(tot))
+            .select(col("x"),
+              expr("CAST(praw_e9 AS DOUBLE) * nl / tot_e9").as("p")),
+          prev)
       }
+      // the directed match table is dead once the final strengths landed
+      graft.plans.Checkpoints.release(d)
       players.join(pT, Seq("x"))
         .select(col("x").as("lang"), col("games"), col("wins"),
           Portable.snap6(col("p")).as("strength"))
@@ -274,8 +290,29 @@ object RerankPack extends QueryPack {
 
   /** [[KmRounds]] Lloyd rounds on the 1e9 lattice (see q241): returns
     * (final centroids frame (cid, me9, n_members, cv), final-round
-    * assignment (id, cid)). Shared by q241 (state) and q242 (purity). */
+    * assignment (id, cid)). Shared by q241 (state) and q242 (purity),
+    * and MEMOIZED per (session, dir) so running both executes ONE fit
+    * (ADVICE r6) — the entry is validated against the live block manager
+    * first, so a harness that sweeps persisted RDDs between queries (the
+    * hermetic bench) invalidates it and the fit recomputes instead of
+    * dereferencing released checkpoint blocks. */
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
   private def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    def live(p: (DataFrame, DataFrame)): Boolean = {
+      val ids = s.sparkContext.getPersistentRDDs.keySet
+      Seq(p._1, p._2).forall(f =>
+        graft.plans.Checkpoints.pinnedRddId(f).exists(ids.contains))
+    }
+    kmCache.get((s, dir)).filter(live).getOrElse {
+      val fit = kmeansFitImpl(s, dir)
+      kmCache((s, dir)) = fit
+      fit
+    }
+  }
+
+  private def kmeansFitImpl(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = corpus(s, dir)
       .select(col("id"), toDoubleArray(col("vec")).as("v"))
       .withColumn("n2", sqNorm(col("v")))
@@ -287,16 +324,22 @@ object RerankPack extends QueryPack {
     val cent0 = c0.withColumn("cv",
       transform(col("me9"), m => m.cast("double") / lit(1e9)))
       .withColumn("n_members", lit(null).cast("long"))
-    (1 to KmRounds).foldLeft((cent0, null: DataFrame)) { case ((cent, _), _) =>
+    val fit = (1 to KmRounds)
+      .foldLeft((cent0, null: DataFrame)) { case ((cent, prevAsg), _) =>
       val cb = cent.select(col("cid"), col("cv"))
         .withColumn("n2c", sqNorm(col("cv")))
-      val asg = e.crossJoin(broadcast(cb))
-        .select(col("id"), col("v"), col("cid"),
-          sim4(col("v"), col("n2"), col("cv"), col("n2c")).as("sim"))
-        .groupBy(col("id"), col("v"))
-        .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid"))))
-          .as("cid"))
-        .localCheckpoint(false) // feeds both the update and q242's join
+      // roll: each round's frames land EAGERLY and release the round they
+      // supersede — lazy per-round checkpoints pinned rounds × corpus
+      // blocks for the session lifetime (the BENCH_r06 leak) and let the
+      // final action's broadcasts race to materialize the same chain
+      val asg = graft.plans.Checkpoints.roll(
+        e.crossJoin(broadcast(cb))
+          .select(col("id"), col("v"), col("cid"),
+            sim4(col("v"), col("n2"), col("cv"), col("n2c")).as("sim"))
+          .groupBy(col("id"), col("v"))
+          .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid"))))
+            .as("cid")),
+        Option(prevAsg).toSeq: _*)
       val sums = asg.select(col("cid"), posexplode(col("v")))
         .select(col("cid"), (col("pos") + 1).as("d"),
           expr("CAST(round(col * 1e9) AS BIGINT)").as("x_e9"))
@@ -308,16 +351,20 @@ object RerankPack extends QueryPack {
         .agg(transform(array_sort(collect_list(struct(col("d"),
             col("m_e9")))), p => p.getField("m_e9")).as("me9_new"),
           max(col("n")).as("n_new"))
-      val next = cent.select(col("cid"), col("me9").as("me9_prev"))
-        .join(newc, Seq("cid"), "left_outer")
-        .select(col("cid"),
-          coalesce(col("me9_new"), col("me9_prev")).as("me9"),
-          coalesce(col("n_new"), lit(0L)).as("n_members"))
-        .withColumn("cv",
-          transform(col("me9"), m => m.cast("double") / lit(1e9)))
-        .localCheckpoint(false)
+      val next = graft.plans.Checkpoints.roll(
+        cent.select(col("cid"), col("me9").as("me9_prev"))
+          .join(newc, Seq("cid"), "left_outer")
+          .select(col("cid"),
+            coalesce(col("me9_new"), col("me9_prev")).as("me9"),
+            coalesce(col("n_new"), lit(0L)).as("n_members"))
+          .withColumn("cv",
+            transform(col("me9"), m => m.cast("double") / lit(1e9))),
+        cent) // round-1 cent0 is a plain plan: release is a no-op there
       (next, asg)
     }
+    // the pinned corpus is dead once the final round's frames landed
+    graft.plans.Checkpoints.release(e)
+    fit
   }
 
   // ---- oracles ----------------------------------------------------------

@@ -195,7 +195,10 @@ object SimilarityPack extends QueryPack {
       val k = 5
       val ex = Similarity.bruteForceTopK(corpus(s, dir), queriesDf(s, dir), k)
         .select(col("qid"), col("id"))
-        .localCheckpoint(false) // shared by all probe levels
+        // EAGER: each probe level's hit count reaches this frame through
+        // a BROADCAST exchange; lazy, the three broadcast jobs race to
+        // compute the brute-force ground truth concurrently
+        .localCheckpoint(true) // shared by all probe levels
       val exTot = ex.agg(count(lit(1)).as("n_exact"),
         countDistinct(col("qid")).as("n_queries"))
       NprobeSweep.map { np =>
@@ -232,7 +235,10 @@ object SimilarityPack extends QueryPack {
           graft.functions.VectorFunctions.toDoubleArray(col("embedding"))
             .as("vec"))
         .withColumn("n2", graft.functions.VectorFunctions.sqNorm(col("vec")))
-        .localCheckpoint(false) // scanned once per FPS step
+        // EAGER: every FPS step broadcasts the chosen set while the main
+        // job scans this frame; lazy, those concurrent jobs race to load
+        // the embedding corpus before any block persists
+        .localCheckpoint(true) // scanned once per FPS step
       val first = e.orderBy("id").limit(1)
         .select(lit(0).as("step"), col("id").as("cid"),
           col("vec").as("cvec"), col("n2").as("cn2"),
@@ -244,16 +250,18 @@ object SimilarityPack extends QueryPack {
         val nearest = e.crossJoin(broadcast(acc.select("cid", "cvec", "cn2")))
           .groupBy(col("id"), col("vec"), col("n2"))
           .agg(max(sim).as("smax"))
-        // each 1-row selection is checkpointed: without it, step k's plan
-        // re-executes the whole prefix chain (acc appears both under
-        // `nearest` and in the union), doubling work per level
+        // each 1-row selection is checkpointed EAGERLY: without a
+        // checkpoint, step k's plan re-executes the whole prefix chain
+        // (acc appears both under `nearest` and in the union); lazy, the
+        // final action's per-step broadcast exchanges race to materialize
+        // the same chain concurrently
         val next = nearest
           .agg(min_by(struct(col("id"), col("vec"), col("n2"), col("smax")),
             struct(col("smax"), col("id"))).as("m"))
           .select(lit(k).as("step"), col("m.id").as("cid"),
             col("m.vec").as("cvec"), col("m.n2").as("cn2"),
             (lit(1.0) - col("m.smax")).as("radius"))
-          .localCheckpoint(false)
+          .localCheckpoint(true)
         acc.unionAll(next)
       }
       chosen.select(col("step"), col("cid").as("center_id"), col("radius"))
@@ -271,7 +279,10 @@ object SimilarityPack extends QueryPack {
     "q233_neardup_sweep" -> ((s, dir) => {
       val pairs = Similarity.cosineNearDup(gradedCorpus(s, dir),
           SweepThresholds.min, Dim, bands = SweepBands)
-        .localCheckpoint(false) // shared by all threshold levels
+        // EAGER: each threshold level's id count reaches this frame via a
+        // BROADCAST exchange; lazy, the three broadcast jobs race to run
+        // the whole LSH near-dup pipeline concurrently
+        .localCheckpoint(true) // shared by all threshold levels
       SweepThresholds.map { t =>
         val p = pairs.filter(col("cos_sim") >= t)
         val ids = p.select(col("id_a").as("id"))

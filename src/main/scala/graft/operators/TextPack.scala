@@ -461,7 +461,13 @@ object TextPack extends QueryPack {
         .select(col("c2"),
           split(col("bg"), " ").getItem(0).as("w1"),
           split(col("bg"), " ").getItem(1).as("w2"))
-        .localCheckpoint(false) // feeds ctx, cont, totals, and the score
+        // EAGER: four consumers reach this frame through BROADCAST
+        // exchanges, which materialize on concurrent threads — a lazy
+        // checkpoint lets them race to compute the (corpus-scan-sized)
+        // RDD before any block is persisted, duplicating the tokenize +
+        // bigram shuffle up to 3×. Materializing once up front is what
+        // the checkpoint was for (VERDICT r6 task 4: 8.95 s → target 4.5)
+        .localCheckpoint(true) // feeds ctx, cont, totals, and the score
       val ctx = bi.groupBy("w1")
         .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
       val cont = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))

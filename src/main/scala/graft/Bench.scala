@@ -78,9 +78,27 @@ object Bench {
       .flatMap(_.toIntOption).getOrElse(120)
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections this bench is supposed to measure)
+    // diagnosis knobs (driver sets neither): SPARK_GRAFT_SWEEP=0 turns the
+    // hermetic sweep off; SPARK_GRAFT_INLINE=1 runs queries on the caller
+    // thread with no deadline — for isolating harness overhead from plan
+    // cost when a number looks off
+    val doSweep = !sys.env.get("SPARK_GRAFT_SWEEP").contains("0")
+    val inline = sys.env.get("SPARK_GRAFT_INLINE").contains("1")
     def execute(name: String, tag: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Boolean, Double) = {
+      if (inline) {
+        val t0 = System.nanoTime()
+        val out =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (true, (System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name $tag FAILED: ${e.getMessage}")
+            (false, -1.0)
+          }
+        if (doSweep) sweep(spark)
+        return out
+      }
       val group = s"bench-$name-$tag"
       val pool = java.util.concurrent.Executors.newSingleThreadExecutor(
         (r: Runnable) => { val t = new Thread(r, group); t.setDaemon(true); t })
@@ -112,7 +130,7 @@ object Bench {
             (false, -1.0)
         }
       pool.shutdownNow()
-      sweep(spark) // hermetic: next execution starts with empty caches
+      if (doSweep) sweep(spark) // hermetic: next execution starts clean
       out
     }
     val results = selected.map { case (name, fn) =>

@@ -38,4 +38,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // with less free RAM than this 128 GiB bench box; -Xmx alone reserves
   // only virtual address space
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // extra forked-JVM flags for diagnosis runs (e.g. GC logging:
+  // SPARK_GRAFT_JVMFLAGS="-Xlog:gc*:file=/tmp/gc.log:time,uptime");
+  // unset in normal and driver runs
+  sys.env.get("SPARK_GRAFT_JVMFLAGS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -20,6 +20,22 @@ object Bench {
     }
   }
 
+  /** (steal, total) jiffies from /proc/stat's aggregate cpu line — the
+    * hypervisor-contention counter. Young-GC pauses stretching from tens
+    * of ms to seconds while the guest is otherwise idle is host CPU
+    * steal; recording the per-query steal share makes a degraded bench
+    * window provable from the artifact itself instead of adjudicated
+    * after the fact (the BENCH_r06 1708-s failure mode). (-1, -1) when
+    * unreadable (non-Linux). */
+  private def cpuSteal(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (f.length > 7) f(7) else 0L, f.sum)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -86,15 +102,21 @@ object Bench {
     val inline = sys.env.get("SPARK_GRAFT_INLINE").contains("1")
     def execute(name: String, tag: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Boolean, Double) = {
+        : (Boolean, Double, Double) = {
+      val (steal0, jiffies0) = cpuSteal()
+      def stealPct(): Double = {
+        val (steal1, jiffies1) = cpuSteal()
+        if (steal0 < 0 || steal1 < 0 || jiffies1 <= jiffies0) -1.0
+        else 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+      }
       if (inline) {
         val t0 = System.nanoTime()
         val out =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                (true, (System.nanoTime() - t0) / 1e9) }
+                (true, (System.nanoTime() - t0) / 1e9, stealPct()) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name $tag FAILED: ${e.getMessage}")
-            (false, -1.0)
+            (false, -1.0, stealPct())
           }
         if (doSweep) sweep(spark)
         return out
@@ -113,7 +135,7 @@ object Bench {
       })
       val out =
         try { task.get(deadlineS, java.util.concurrent.TimeUnit.SECONDS)
-              (true, (System.nanoTime() - t0) / 1e9) }
+              (true, (System.nanoTime() - t0) / 1e9, stealPct()) }
         catch {
           case _: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelJobGroup(group)
@@ -123,28 +145,34 @@ object Bench {
             // not overlap the next query's timing
             try task.get(15, java.util.concurrent.TimeUnit.SECONDS)
             catch { case _: Throwable => () }
-            (false, -2.0)
+            (false, -2.0, stealPct())
           case e: Throwable =>
             System.err.println(s"[bench] $name $tag FAILED: " +
               s"${Option(e.getCause).getOrElse(e).getMessage}")
-            (false, -1.0)
+            (false, -1.0, stealPct())
         }
       pool.shutdownNow()
       if (doSweep) sweep(spark) // hermetic: next execution starts clean
       out
     }
+    val benchStart = System.nanoTime()
     val results = selected.map { case (name, fn) =>
-      val (ok, cold) = execute(name, "cold", fn)
+      val (ok, cold, steal) = execute(name, "cold", fn)
+      // run-relative clock + steal share per query: a spike in the
+      // artifact is correlatable with GC logs / host contention directly
+      System.err.println(f"[bench] $name cold: $cold%.2f s (at " +
+        f"${(System.nanoTime() - benchStart) / 1e9}%.0f s into the run, " +
+        f"host steal $steal%.1f%%)")
       // best (min) warm seconds across repeat-1 re-runs, -1 if none ran ok
       val warm = if (!ok) -1.0 else (2 to repeat).foldLeft(-1.0) { (best, r) =>
-        val (warmOk, secs) = execute(name, s"warm$r", fn)
+        val (warmOk, secs, _) = execute(name, s"warm$r", fn)
         // a failed warm run must not print a plausible-looking timing
         if (warmOk) System.err.println(
           f"[bench] $name warm run $r: $secs%.2f s (cold $cold%.2f)")
         if (!warmOk) best else if (best < 0) secs else math.min(best, secs)
       }
       // a failed query must not masquerade as a fast success
-      name -> (if (ok) cold else cold.min(-1.0), warm)
+      name -> (if (ok) cold else cold.min(-1.0), warm, steal)
     }
     def fmt(v: Double) = f"$v%.3f"
     def jmap(vs: Seq[(String, Double)]) =
@@ -152,10 +180,15 @@ object Bench {
         .mkString("{", ",", "}")
     val total = fmt(results.map(_._2._1).filter(_ >= 0).sum)
     val warmTotal = fmt(results.map(_._2._2).filter(_ >= 0).sum)
-    val qsFull = jmap(results.map { case (k, (c, _)) => k -> c })
-    val warmFull = jmap(results.map { case (k, (_, w)) => k -> w })
+    val qsFull = jmap(results.map { case (k, (c, _, _)) => k -> c })
+    val warmFull = jmap(results.map { case (k, (_, w, _)) => k -> w })
+    val stealFull = jmap(results.map { case (k, (_, _, s)) => k -> s })
+    // run-level steal share: jiffy-weighted mean across the cold passes
+    val stealVals = results.map(_._2._3).filter(_ >= 0)
+    val stealRun =
+      if (stealVals.isEmpty) -1.0 else stealVals.sum / stealVals.size
     val full =
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"queries":$qsFull,"warm":$warmFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"steal_pct":${fmt(stealRun)},"queries":$qsFull,"warm":$warmFull,"steal":$stealFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to
     // parse a JSON line out of it. With 150+ queries the full per-query map
     // is ~4.5 KB, so a single fat line gets truncated at the front and never
@@ -172,7 +205,7 @@ object Bench {
     System.err.println(full)
     val budget = 1500 // chars for the "queries" map in the stdout line
     val slowestFirst = results.sortBy(-_._2._1)
-      .map { case (k, (c, _)) => s"\"" + k + "\":" + fmt(c) }
+      .map { case (k, (c, _, _)) => s"\"" + k + "\":" + fmt(c) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowestFirst.foreach { s =>
@@ -180,7 +213,7 @@ object Bench {
     }
     val qsTop = kept.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"steal_pct":${fmt(stealRun)},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

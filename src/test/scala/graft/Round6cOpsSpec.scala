@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
 
-/** Independent plain-Scala re-derivations of the q238/q239 contract
+/** Independent plain-Scala re-derivations of the q238–q242 contract
   * queries on sf0.001 (the Round6OpsSpec discipline: a THIRD code path
   * besides the Spark plan and its DuckDB twin, so a shared formula bug
   * still gets caught). */
@@ -123,9 +123,14 @@ class Round6cOpsSpec extends SparkSpec {
     assert(got == expected)
     // mean-normalization: strengths average to 1 (up to the 1e9 lattice)
     assert(math.abs(p.values.sum / p.size - 1.0) < 1e-6)
-    // sanity: the strongest player is not the one with the worst win rate
+    // sanity: strengths track win rates — whenever rates are not all
+    // equal (they aren't on this corpus: assert that too, so the guard
+    // can't silently vacuate), the strongest player's win rate must be
+    // STRICTLY above the worst rate, a falsifiable ordering check
     val rates = players.map { case (x, (g, w)) => x -> w.toDouble / g }
-    assert(rates(p.maxBy(_._2)._1) > rates.values.min - 1e-12)
+    assert(rates.values.max > rates.values.min + 1e-12,
+      "test corpus degenerated to all-equal win rates")
+    assert(rates(p.maxBy(_._2)._1) > rates.values.min + 1e-12)
   }
 
   test("q240: bitext margins equal a local replay; hubs score below") {

@@ -133,7 +133,7 @@ object Dedup {
                           id: String = "doc_id"): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val sh = shIn.localCheckpoint(false)
+    val sh = shIn.localCheckpoint()
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(id)).orderBy(col("df"), col("sh"))
@@ -168,7 +168,7 @@ object Dedup {
   def allPairsJaccard(shIn: DataFrame, id: String = "doc_id"): DataFrame = {
     // three references below (counts + both join sides) — cache, don't
     // recompute the upstream shingle pipeline per branch
-    val sh = shIn.localCheckpoint(false)
+    val sh = shIn.localCheckpoint()
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col(id).as("doc_a"), col("sh"))
       .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")
@@ -190,7 +190,7 @@ object Dedup {
     * no shared shingle (containment 0) are absent, which any threshold
     * > 0 filters anyway. */
   def allPairsContainment(shIn: DataFrame, id: String = "doc_id"): DataFrame = {
-    val sh = shIn.localCheckpoint(false)
+    val sh = shIn.localCheckpoint()
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col(id).as("doc_a"), col("sh"))
       .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")
@@ -222,12 +222,12 @@ object Dedup {
                       numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5, id: String = "doc_id",
                       text: String = "text"): DataFrame = {
-    val shB = shingles(base, shingleN, id, text).localCheckpoint(false)
-    val shD = shingles(delta, shingleN, id, text).localCheckpoint(false)
+    val shB = shingles(base, shingleN, id, text).localCheckpoint()
+    val shD = shingles(delta, shingleN, id, text).localCheckpoint()
     val bandsAll = lshBands(minhashSignatures(shB.unionAll(shD), numHashes, id),
-      numHashes, bands, id).localCheckpoint(false)
+      numHashes, bands, id).localCheckpoint()
     // no broadcast hint: a day's delta can itself be huge — AQE picks
-    val deltaIds = delta.select(col(id)).localCheckpoint(false)
+    val deltaIds = delta.select(col(id)).localCheckpoint()
     val bandsD = bandsAll.join(deltaIds, Seq(id), "left_semi")
     val l = bandsD.select(col("band"), col("bkey"), col(id).as("doc_x"))
     val r = bandsAll.select(col("band"), col("bkey"), col(id).as("doc_y"))
@@ -244,14 +244,15 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleN: Int = 3, numHashes: Int = 16,
                  bands: Int = 4, threshold: Double = 0.5,
                  id: String = "doc_id", text: String = "text"): DataFrame = {
-    // lazy local checkpoint: the shingle table (tokenize + n-grams +
+    // EAGER local checkpoint: the shingle table (tokenize + n-grams +
     // DISTINCT — a shuffle) feeds the signature aggregation AND all three
     // references inside the jaccard verify; without it each reference
-    // recomputes the pipeline. Lazy: no job at construction, partitions
-    // cache on first use. At production scale this is the materialize-
+    // recomputes the pipeline. Eager, so the independent consumer stages
+    // read materialized blocks instead of racing to compute the shared
+    // RDD concurrently. At production scale this is the materialize-
     // intermediate tradeoff — the shingle table is ~n-gram-times the
     // corpus, so point a long pipeline at reliable storage instead.
-    val sh = shingles(docs, shingleN, id, text).localCheckpoint(false)
+    val sh = shingles(docs, shingleN, id, text).localCheckpoint()
     val cand = lshCandidates(lshBands(minhashSignatures(sh, numHashes, id), numHashes, bands, id), id)
     jaccard(cand, sh, id).filter(col("jaccard") >= threshold)
   }
@@ -291,12 +292,12 @@ object Dedup {
                      bits: Int = 16, id: String = "doc_id",
                      text: String = "text"): DataFrame = {
     // parameter guards live in hammingNearDup (the delegate)
-    // lazy local checkpoint: the signature pipeline (tokenize + explode +
+    // EAGER local checkpoint: the signature pipeline (tokenize + explode +
     // `bits` conditional sums) is the expensive part, and the self-join
     // inside hammingNearDup references it from two branches — without the
-    // checkpoint each branch recomputes it. Lazy, so no job runs at
-    // query-construction time; partitions cache on first use.
-    val sig = simhash(docs, bits, id, text).localCheckpoint(false)
+    // checkpoint each branch recomputes it (and with a lazy one the two
+    // branches race to compute it concurrently).
+    val sig = simhash(docs, bits, id, text).localCheckpoint()
       .select(col(id), col("simhash").as("sig"))
     hammingNearDup(sig, maxHamming, bands, bits, id)
   }
@@ -362,7 +363,7 @@ object Dedup {
       // pinned: measured FASTER than relying on exchange reuse here (the
       // positional explode is heavy and the df-filtered join side defeats
       // reuse), unlike q205's distinct-gram pipeline where the pin lost
-      .localCheckpoint(false)
+      .localCheckpoint()
     val docFreq = wins.select(col("wh"), col(id)).distinct()
       .groupBy(col("wh")).agg(count(lit(1)).as("nd"))
     val shared = wins.join(docFreq.filter(col("nd") >= 2), "wh")

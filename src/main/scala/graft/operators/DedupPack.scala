@@ -84,15 +84,19 @@ object DedupPack extends QueryPack {
     // 100 TB you run this audit on a stratified sample, not the corpus —
     // the operator composes with CorpusOps.stratifiedSample unchanged).
     "q116_dedup_recall_audit" -> ((s, dir) => {
+      // EAGER checkpoints: the four metric aggregates below are
+      // independent stages of one job — a lazy checkpoint lets them race
+      // to compute the shared shingle/candidate pipeline concurrently
+      // (duplicating the Σ df² self-join) instead of reading blocks
       val sh = Dedup.shingles(withCopies(s, dir, mod = 2), 3)
-        .localCheckpoint(false) // four consumers below share one pipeline
+        .localCheckpoint() // four consumers below share one pipeline
       val cand = Dedup.lshCandidates(
         Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 16, 4))
-        .localCheckpoint(false) // consumed by n_cand AND the verify join
+        .localCheckpoint() // consumed by n_cand AND the verify join
       val lsh = Dedup.jaccard(cand, sh).filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b").localCheckpoint(false)
+        .select("doc_a", "doc_b").localCheckpoint()
       val exact = Dedup.allPairsJaccard(sh).filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b").localCheckpoint(false)
+        .select("doc_a", "doc_b").localCheckpoint()
       val m = cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
@@ -116,9 +120,9 @@ object DedupPack extends QueryPack {
     "q180_minhash_estimate" -> ((s, dir) => {
       val H = 16
       val sh = Dedup.shingles(withCopies(s, dir, mod = 2), 3)
-        .localCheckpoint(false) // signatures + exact-verify share the scan
+        .localCheckpoint() // signatures + exact-verify share the scan
       val sigs = Dedup.minhashSignatures(sh, H)
-        .localCheckpoint(false) // bands + both agreement sides share it
+        .localCheckpoint() // bands + both agreement sides share it
       val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, H, 4))
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -151,8 +155,8 @@ object DedupPack extends QueryPack {
     "q191_minhash_pr" -> ((s, dir) => {
       val H = 16
       val sh = Dedup.shingles(withCopies(s, dir, mod = 2), 3)
-        .localCheckpoint(false)
-      val sigs = Dedup.minhashSignatures(sh, H).localCheckpoint(false)
+        .localCheckpoint()
+      val sigs = Dedup.minhashSignatures(sh, H).localCheckpoint()
       val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, H, 4))
       val sa = sigs.select(col("doc_id").as("doc_a") +:
         (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -199,7 +203,7 @@ object DedupPack extends QueryPack {
       val sh = Dedup.shingles(
           Tables.table(s, dir, "documents").select(col("source"), col("text")),
           5, id = "source")
-        .localCheckpoint(false) // sketch + counts + exact-verify share it
+        .localCheckpoint() // sketch + counts + exact-verify share it
       val sigs = Dedup.minhashSignatures(sh, H, id = "source")
       val sa = sigs.select(col("source").as("src_a") +:
         (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
@@ -238,7 +242,7 @@ object DedupPack extends QueryPack {
     // vocabulary aggregation regardless of corpus size.
     "q117_source_overlap" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents").select(col("source"), col("text"))
-      val sh = Dedup.shingles(docs, 5, id = "source").localCheckpoint(false)
+      val sh = Dedup.shingles(docs, 5, id = "source").localCheckpoint()
       val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
       val pairs = Dedup.sharedPairCounts(sh)
       pairs
@@ -334,7 +338,7 @@ object DedupPack extends QueryPack {
       val d = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
       val frame = d.unionAll(d.filter(col("doc_id") % 6 === 0)
         .select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
-      val sh = Dedup.shingles(frame, n = 8).localCheckpoint(false)
+      val sh = Dedup.shingles(frame, n = 8).localCheckpoint()
       val df = sh.groupBy(col("sh")).agg(count_distinct(col("doc_id")).as("nd"))
       sh.join(df, "sh")
         .groupBy(col("doc_id"))

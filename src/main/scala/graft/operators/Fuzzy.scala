@@ -74,7 +74,7 @@ object FuzzyPack extends QueryPack {
         .select((col("id") + GoldenOffset).as("id"),
           concat(col("name"), substring(col("name"), -1, 1)).as("name"),
           col("cents"), lit(null).cast("string").as("segment"))
-      val frame = c.unionAll(copies).localCheckpoint(false)
+      val frame = c.unionAll(copies).localCheckpoint()
       val blocked = frame
         .withColumn("block", substring(col("name"), 1, GoldenBlockLen))
       val edges = blocked

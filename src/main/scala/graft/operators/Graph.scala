@@ -98,7 +98,7 @@ object Graph {
     require(iters >= 1)
     import org.apache.spark.sql.expressions.Window
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(false) else df
+      if (materialize) df.localCheckpoint() else df
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val und = pin(dir
       .union(dir.select(col("dst").as("src"), col("src").as("dst")))
@@ -122,7 +122,7 @@ object Graph {
            iters: Int, materialize: Boolean = true): DataFrame = {
     require(iters >= 1)
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(false) else df
+      if (materialize) df.localCheckpoint() else df
     val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = pin(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct())
@@ -181,12 +181,15 @@ object Graph {
     // referenced by EVERY iteration; left as plain plans they re-derive
     // from the source scan once per reference — a 5-iteration plan scans
     // the edge source ~15 times (self-join attribute re-aliasing defeats
-    // exchange reuse). A LAZY localCheckpoint keeps construction job-free
-    // but materializes the blocks at first use, so iterations 2..k read
-    // cached edge/degree blocks — the Pregel cache-the-graph shape. The
-    // blocks release with the RDD when the query's references drop.
+    // exchange reuse). An EAGER localCheckpoint materializes each table
+    // once, up front, so every iteration reads cached edge/degree blocks
+    // — the Pregel cache-the-graph shape — and the independent first-use
+    // stages (nodes and degrees both derive from the edge table) cannot
+    // race to compute the same RDD concurrently, which is what a lazy
+    // pin allows. The blocks release with the RDD when the query's
+    // references drop.
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(false) else df
+      if (materialize) df.localCheckpoint() else df
     val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = pin(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct())
@@ -258,7 +261,7 @@ object Graph {
     require(seeds.nonEmpty, "BFS needs a seed set")
     require(maxHops >= 1 && maxHops < unreachable)
     def pin(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint(false) else df
+      if (materialize) df.localCheckpoint() else df
     val e = pin(edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = pin(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct())

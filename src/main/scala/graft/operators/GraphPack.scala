@@ -155,7 +155,7 @@ object GraphPack extends QueryPack {
     }),
 
     "q122_degree_audit" -> ((s, dir) => {
-      val e = edges(s, dir).localCheckpoint(false) // five consumers below
+      val e = edges(s, dir).localCheckpoint() // five consumers below
       val outD = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
       val inD = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
       val deg = outD.join(inD, Seq("v"), "full_outer")
@@ -185,7 +185,7 @@ object GraphPack extends QueryPack {
       val und = edges(s, dir)
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint(false) // three consumers below
+        .distinct().localCheckpoint() // three consumers below
       val wedge = und.as("e1").join(und.as("e2"), col("e1.b") === col("e2.a"))
         .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
       val tri = wedge.join(und.select(col("a"), col("b").as("c")), Seq("a", "c"))

@@ -195,7 +195,7 @@ object MultimodalPack extends QueryPack {
         .filter(length(col("pixels")) >= 64)
         .select(col("doc_id"), expr("graft_blockhash(pixels, 64)").as("sig"))
       val pairs = Dedup.hammingNearDup(sigs, maxHamming = 7, bands = 8,
-        bits = 64).localCheckpoint(false)
+        bits = 64).localCheckpoint()
       // expected pairs only for payloads the signature covers (>= 64
       // bytes — shorter ones hash to the 0 sentinel and are filtered)
       val expIdent = d.filter(col("doc_id") % 5 === 0)

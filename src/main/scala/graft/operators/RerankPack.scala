@@ -212,11 +212,12 @@ object RerankPack extends QueryPack {
       val fwd = Similarity.bruteForceTopK(ey,
           ex.select(col("id").as("qid"), col("vec").as("qvec")), BitextK)
         .withColumn("sim_e4", expr("CAST(round(sim * 1e4) AS BIGINT)"))
-        .localCheckpoint(false) // feeds candidates and the x-side stats
+        .localCheckpoint() // feeds candidates and the x-side stats —
+        // EAGER, or the two consumers race and run the O(n²) kNN twice
       val bwd2 = Similarity.bruteForceTopK(ex,
           ey.select(col("id").as("qid"), col("vec").as("qvec")), BitextK)
         .withColumn("sim_e4", expr("CAST(round(sim * 1e4) AS BIGINT)"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val xstat = fwd.groupBy(col("qid").as("x_id"))
         .agg(sum(col("sim_e4")).as("xsum_e4"))
       val ystat = bwd2.groupBy(col("qid").as("y_id"))
@@ -316,7 +317,7 @@ object RerankPack extends QueryPack {
     val e = corpus(s, dir)
       .select(col("id"), toDoubleArray(col("vec")).as("v"))
       .withColumn("n2", sqNorm(col("v")))
-      .localCheckpoint(false) // scanned once per Lloyd round
+      .localCheckpoint() // scanned once per Lloyd round
     val c0 = corpus(s, dir).filter(col("id") < KmK)
       .select(col("id").as("cid"),
         transform(toDoubleArray(col("vec")),

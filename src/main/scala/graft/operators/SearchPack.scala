@@ -115,21 +115,23 @@ object SearchPack extends QueryPack {
         .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
           col("doc_id"), col("chunk_idx"),
           col("n_toks").cast("long").as("dl"), col("chunk"))
-        .localCheckpoint(false) // feeds queries, postings, dl and stats
+        .localCheckpoint() // feeds queries, postings, dl and stats — EAGER:
+        // the stats broadcast + postings job race a lazy checkpoint
       val queries = chunks
         .filter(col("doc_id") % RagQMod === 0 && col("chunk_idx") === 1 &&
           col("dl") >= RagSpanStart + RagSpanLen - 1)
         .select(col("cid").as("qid"),
           array_distinct(slice(split(col("chunk"), " "),
             RagSpanStart, RagSpanLen)).as("qterms"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val qterms = queries.select(col("qid"), explode(col("qterms")).as("term"))
       val allTerms = broadcast(qterms.select("term").distinct())
       val postings = chunks
         .select(col("cid"), explode(split(col("chunk"), " ")).as("term"))
         .join(allTerms, Seq("term"), "left_semi")
         .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
-        .localCheckpoint(false) // feeds df and the scoring join
+        .localCheckpoint() // feeds df and the scoring join (df is a
+        // broadcast side — eager, same race as above)
       val dfT = broadcast(postings.groupBy("term").agg(count(lit(1)).as("df")))
       val stats = broadcast(chunks.agg(count(lit(1)).as("n_chunks"),
         sum("dl").as("sum_dl")))
@@ -180,7 +182,7 @@ object SearchPack extends QueryPack {
         .select(col("doc_id"), col("source"),
           graft.functions.TextFunctions
             .qualityScore(col("text"), TextPack.stopwords).as("q"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val rawTop = t.orderBy(desc("q"), col("doc_id")).limit(FuseN)
       val weq = Window.partitionBy("source").orderBy(col("q"), col("doc_id"))
       val eqTop = t.withColumn("eq", percent_rank().over(weq))
@@ -207,7 +209,7 @@ object SearchPack extends QueryPack {
       val p = Tables.table(s, dir, "documents")
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val t1 = p.filter(col("tok") === Phrase(0))
         .select(col("doc_id"), col("pos"))
       val t2 = p.filter(col("tok") === Phrase(1))

@@ -339,7 +339,7 @@ object TextPack extends QueryPack {
     "q226_rouge_overlap" -> ((s, dir) => {
       val d = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
-        .localCheckpoint(false) // feeds the pairing + two gram sizes
+        .localCheckpoint() // feeds the pairing + two gram sizes
       val wNext = Window.partitionBy("source").orderBy("doc_id")
       val pairs = d.select(col("doc_id").as("cand_id"),
           lead(col("doc_id"), 1).over(wNext).as("ref_id"))
@@ -399,7 +399,7 @@ object TextPack extends QueryPack {
       val d = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           slice(T.tokens(col("text")), 1, RougeLMaxToks).as("toks"))
-        .localCheckpoint(false) // feeds the pairing + both token sides
+        .localCheckpoint() // feeds the pairing + both token sides
       val wNext = Window.partitionBy("source").orderBy("doc_id")
       val pairs = d.select(col("doc_id").as("cand_id"),
           lead(col("doc_id"), 1).over(wNext).as("ref_id"))
@@ -431,7 +431,7 @@ object TextPack extends QueryPack {
     "q219_distinct_ngrams" -> ((s, dir) => {
       val toks = Tables.table(s, dir, "documents")
         .select(T.tokens(col("text")).as("toks"))
-        .localCheckpoint(false) // feeds one explode per n
+        .localCheckpoint() // feeds one explode per n
       DiversityNs.map(n =>
           toks.select(lit(n).as("n"),
             explode(T.wordNgrams(col("toks"), n)).as("g")))
@@ -494,10 +494,10 @@ object TextPack extends QueryPack {
       // (the Dedup.allPairsJaccard pattern)
       val toks = Tables.table(s, dir, "documents")
         .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val docBigrams = toks
         .select(col("doc_id"), explode(T.wordNgrams(col("toks"), 2)).as("bigram"))
-        .localCheckpoint(false)
+        .localCheckpoint()
       val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
       val parts = bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
       val ctx = parts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))

@@ -1,40 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
 
-  /** Hermetic barrier between measured executions: drop every cached
-    * query AND every persisted RDD (blocking, so the next query starts
-    * with the block manager actually empty, not merely scheduled-empty).
-    * Iterative operators pin one localCheckpoint per loop round and the
-    * final round's blocks legitimately outlive the query (they back the
-    * returned frame); without this sweep the 2×242 executions accumulate
-    * pinned blocks until eviction churn dominates the tail of the run —
-    * the BENCH_r06 failure mode (1708 s for a 323 s suite). */
-  private def sweep(spark: SparkSession): Unit = {
-    try {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] sweep failed: ${e.getMessage}")
-    }
-  }
+  import graft.plans.Checkpoints.{sweep => sweepSession}
 
   /** (steal, total) jiffies from /proc/stat's aggregate cpu line — the
     * hypervisor-contention counter. Young-GC pauses stretching from tens
     * of ms to seconds while the guest is otherwise idle is host CPU
     * steal; recording the per-query steal share makes a degraded bench
     * window provable from the artifact itself instead of adjudicated
-    * after the fact (the BENCH_r06 1708-s failure mode). (-1, -1) when
-    * unreadable (non-Linux). */
-  private def cpuSteal(): (Long, Long) =
+    * after the fact (the BENCH_r06 1708-s failure mode). Only the first
+    * 8 fields (user nice system idle iowait irq softirq steal) are
+    * summed: guest/guest_nice are already folded into user/nice on
+    * Linux, so a full-line sum double-counts them and understates the
+    * steal share. (-1, -1) when unreadable (non-Linux). */
+  private[graft] def cpuSteal(): (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        (if (f.length > 7) f(7) else 0L, f.sum)
+        (if (f.length > 7) f(7) else 0L, f.take(8).sum)
       } finally src.close()
     } catch { case _: Throwable => (-1L, -1L) }
+
+  /** Per-query cold anchors ("name seconds" lines, '#' comments) from a
+    * recorded clean run of the full suite — the reference the bounded
+    * retry pass compares against. Missing/garbled file → empty map (the
+    * retry pass then only fires on outright failures). */
+  private[graft] def parseAnchors(path: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try src.getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\\s+") match {
+            case Array(k, v) => v.toDoubleOption.map(k -> _)
+            case _           => None
+          }
+        }.toMap
+      finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
+  /** Retry threshold for a query with a recorded anchor: a clean cold
+    * pass costs about the anchor ± plan-setup jitter, so 3× anchor with
+    * a 3 s floor separates "host degraded under this query" from normal
+    * variance (the documented same-code spread is 452–1056 s for the
+    * suite, driven by multi-second steal windows). No anchor (a new
+    * query) → None: only a failure triggers its retry. */
+  private[graft] def retryThreshold(anchor: Option[Double]): Option[Double] =
+    anchor.map(a => math.max(3.0, 3.0 * a))
+
+  /** One measured execution. `stealJ`/`jiffies` are the raw /proc/stat
+    * deltas (0 when unreadable) so the run-level steal figure can be
+    * jiffy-weighted instead of an unweighted mean of percentages (a 1-s
+    * query at 0 % must not offset a 90-s query at 4 %). `lingered` marks
+    * a deadline-cancelled task that was STILL unwinding when the 15 s
+    * grace expired — its tasks may overlap the next query's timing, so
+    * the next query is treated as contaminated and retried. */
+  private case class Exec(ok: Boolean, secs: Double, steal: Double,
+                          stealJ: Long, jiffies: Long, lingered: Boolean)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -88,37 +113,45 @@ object Bench {
     // pathological query (or one environment hiccup) must not eat the
     // driver's whole window and turn the artifact into noise. The query
     // runs on a dedicated thread under a job group; on deadline the job
-    // group is cancelled, the query is recorded failed-slow (-2, excluded
-    // from totals like any failure), and the run moves on.
+    // group is cancelled, the query is recorded failed-slow (-2) and gets
+    // one more chance in the retry pass, and the run moves on.
     val deadlineS = sys.env.get("SPARK_GRAFT_DEADLINE_S")
       .flatMap(_.toIntOption).getOrElse(120)
     // noop sink: materializes every output column (count() would let
     // Catalyst prune the projections this bench is supposed to measure)
-    // diagnosis knobs (driver sets neither): SPARK_GRAFT_SWEEP=0 turns the
+    // diagnosis knobs (driver sets none): SPARK_GRAFT_SWEEP=0 turns the
     // hermetic sweep off; SPARK_GRAFT_INLINE=1 runs queries on the caller
     // thread with no deadline — for isolating harness overhead from plan
-    // cost when a number looks off
+    // cost when a number looks off; SPARK_GRAFT_RETRY=0 disables the
+    // bounded retry pass; SPARK_GRAFT_ANCHOR points at an alternate
+    // per-query anchor file
     val doSweep = !sys.env.get("SPARK_GRAFT_SWEEP").contains("0")
     val inline = sys.env.get("SPARK_GRAFT_INLINE").contains("1")
     def execute(name: String, tag: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Boolean, Double, Double) = {
+        : Exec = {
       val (steal0, jiffies0) = cpuSteal()
-      def stealPct(): Double = {
+      def stealOf(): (Double, Long, Long) = {
         val (steal1, jiffies1) = cpuSteal()
-        if (steal0 < 0 || steal1 < 0 || jiffies1 <= jiffies0) -1.0
-        else 100.0 * (steal1 - steal0) / (jiffies1 - jiffies0)
+        if (steal0 < 0 || steal1 < 0 || jiffies1 <= jiffies0)
+          (-1.0, 0L, 0L)
+        else (100.0 * (steal1 - steal0) / (jiffies1 - jiffies0),
+          steal1 - steal0, jiffies1 - jiffies0)
+      }
+      def done(ok: Boolean, secs: Double, lingered: Boolean = false): Exec = {
+        val (pct, sj, jf) = stealOf()
+        Exec(ok, secs, pct, sj, jf, lingered)
       }
       if (inline) {
         val t0 = System.nanoTime()
         val out =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-                (true, (System.nanoTime() - t0) / 1e9, stealPct()) }
+                done(ok = true, (System.nanoTime() - t0) / 1e9) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name $tag FAILED: ${e.getMessage}")
-            (false, -1.0, stealPct())
+            done(ok = false, -1.0)
           }
-        if (doSweep) sweep(spark)
+        if (doSweep) sweepSession(spark)
         return out
       }
       val group = s"bench-$name-$tag"
@@ -135,60 +168,139 @@ object Bench {
       })
       val out =
         try { task.get(deadlineS, java.util.concurrent.TimeUnit.SECONDS)
-              (true, (System.nanoTime() - t0) / 1e9, stealPct()) }
+              done(ok = true, (System.nanoTime() - t0) / 1e9) }
         catch {
           case _: java.util.concurrent.TimeoutException =>
             spark.sparkContext.cancelJobGroup(group)
             System.err.println(
               s"[bench] $name $tag FAILED-SLOW: exceeded ${deadlineS}s deadline")
             // give the cancelled job a moment to unwind so its tasks do
-            // not overlap the next query's timing
-            try task.get(15, java.util.concurrent.TimeUnit.SECONDS)
-            catch { case _: Throwable => () }
-            (false, -2.0, stealPct())
+            // not overlap the next query's timing; cancelJobGroup kills
+            // RUNNING jobs but not ones the query thread submits next, so
+            // if the grace expires the next measurement is suspect — flag
+            // it (the caller marks the following query contaminated and
+            // the retry pass re-measures it)
+            val unwound =
+              try { task.get(15, java.util.concurrent.TimeUnit.SECONDS); true }
+              catch { case _: Throwable => false }
+            if (!unwound) System.err.println(
+              s"[bench] $name $tag still unwinding after 15s grace — " +
+                "next query marked contaminated")
+            done(ok = false, -2.0, lingered = !unwound)
           case e: Throwable =>
             System.err.println(s"[bench] $name $tag FAILED: " +
               s"${Option(e.getCause).getOrElse(e).getMessage}")
-            (false, -1.0, stealPct())
+            done(ok = false, -1.0)
         }
       pool.shutdownNow()
-      if (doSweep) sweep(spark) // hermetic: next execution starts clean
+      if (doSweep) sweepSession(spark) // hermetic: next execution starts clean
       out
     }
     val benchStart = System.nanoTime()
-    val results = selected.map { case (name, fn) =>
-      val (ok, cold, steal) = execute(name, "cold", fn)
+    // lingering deadline-kill from the PREVIOUS execution: the next cold
+    // measurement may have shared the host with its unwinding tasks
+    var lingering = false
+    case class QR(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  cold: Exec, warm: Double, contaminated: Boolean)
+    val firstPass = selected.map { case (name, fn) =>
+      val contaminated = lingering
+      val cold = execute(name, "cold", fn)
+      lingering = cold.lingered
       // run-relative clock + steal share per query: a spike in the
       // artifact is correlatable with GC logs / host contention directly
-      System.err.println(f"[bench] $name cold: $cold%.2f s (at " +
+      System.err.println(f"[bench] $name cold: ${cold.secs}%.2f s (at " +
         f"${(System.nanoTime() - benchStart) / 1e9}%.0f s into the run, " +
-        f"host steal $steal%.1f%%)")
+        f"host steal ${cold.steal}%.1f%%)")
       // best (min) warm seconds across repeat-1 re-runs, -1 if none ran ok
-      val warm = if (!ok) -1.0 else (2 to repeat).foldLeft(-1.0) { (best, r) =>
-        val (warmOk, secs, _) = execute(name, s"warm$r", fn)
+      val warm = if (!cold.ok) -1.0
+      else (2 to repeat).foldLeft(-1.0) { (best, r) =>
+        val w = execute(name, s"warm$r", fn)
+        lingering = w.lingered
         // a failed warm run must not print a plausible-looking timing
-        if (warmOk) System.err.println(
-          f"[bench] $name warm run $r: $secs%.2f s (cold $cold%.2f)")
-        if (!warmOk) best else if (best < 0) secs else math.min(best, secs)
+        if (w.ok) System.err.println(
+          f"[bench] $name warm run $r: ${w.secs}%.2f s (cold ${cold.secs}%.2f)")
+        if (!w.ok) best else if (best < 0) w.secs else math.min(best, w.secs)
       }
-      // a failed query must not masquerade as a fast success
-      name -> (if (ok) cold else cold.min(-1.0), warm, steal)
+      QR(name, fn, cold, warm, contaminated)
+    }
+    // Bounded retry pass (VERDICT r7 task 1): the host provably loads
+    // ~half of all runs (same-code spread 452–1056 s), so one post-sweep
+    // cold re-run of every query that failed, was contaminated by a
+    // lingering deadline kill, or exceeded 3× its recorded clean anchor
+    // decorrelates the headline from the steal window the first pass
+    // happened to land in. Headline cold = min(cold, retry); both raw
+    // values land in BENCH_DETAIL.
+    val doRetry = !sys.env.get("SPARK_GRAFT_RETRY").contains("0")
+    val anchors = parseAnchors(
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_ANCHOR.txt"))
+    if (doRetry && anchors.isEmpty) System.err.println(
+      "[bench] no anchor file — retry pass fires on failures only")
+    val retryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
+    val results = firstPass.map { qr =>
+      val needsRetry = doRetry && (!qr.cold.ok || qr.contaminated ||
+        retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _))
+      if (!needsRetry) qr
+      else {
+        val why =
+          if (!qr.cold.ok) "failed"
+          else if (qr.contaminated &&
+            !retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _))
+            "contaminated"
+          else f"cold ${qr.cold.secs}%.2f s > 3x anchor"
+        System.err.println(s"[bench] retrying ${qr.name} ($why)")
+        val re = execute(qr.name, "retry", qr.fn)
+        retryRaw(qr.name) = re
+        if (re.ok) System.err.println(
+          f"[bench] ${qr.name} retry: ${re.secs}%.2f s (first ${qr.cold.secs}%.2f)")
+        val better = re.ok && (!qr.cold.ok || re.secs < qr.cold.secs)
+        val cold2 = if (better) re.copy(lingered = false) else qr.cold
+        // a query whose first pass failed has no warm measurement; give
+        // it one now that a cold pass has succeeded, so the warm total
+        // stays complete
+        val warm2 =
+          if (qr.warm >= 0 || !cold2.ok || repeat < 2) qr.warm
+          else {
+            val w = execute(qr.name, "retry-warm", qr.fn)
+            if (w.ok) w.secs else -1.0
+          }
+        qr.copy(cold = cold2, warm = warm2)
+      }
     }
     def fmt(v: Double) = f"$v%.3f"
-    def jmap(vs: Seq[(String, Double)]) =
-      vs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    def jmap(vs: Seq[(String, String)]) =
+      vs.map { case (k, v) => s"\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val total = fmt(results.map(_._2._1).filter(_ >= 0).sum)
-    val warmTotal = fmt(results.map(_._2._2).filter(_ >= 0).sum)
-    val qsFull = jmap(results.map { case (k, (c, _, _)) => k -> c })
-    val warmFull = jmap(results.map { case (k, (_, w, _)) => k -> w })
-    val stealFull = jmap(results.map { case (k, (_, _, s)) => k -> s })
-    // run-level steal share: jiffy-weighted mean across the cold passes
-    val stealVals = results.map(_._2._3).filter(_ >= 0)
-    val stealRun =
-      if (stealVals.isEmpty) -1.0 else stealVals.sum / stealVals.size
+    def dmap(vs: Seq[(String, Double)]) = jmap(vs.map { case (k, v) => k -> fmt(v) })
+    // a failed query must not vanish from the headline: when any query is
+    // still failed AFTER the retry pass the total is gate-invalid (-1),
+    // not a silently-partial sum (BENCH_r07 under-reported by excluding
+    // its failed-slow query)
+    val nFailed = results.count(!_.cold.ok)
+    val coldSum = results.filter(_.cold.ok).map(_.cold.secs).sum
+    val total = fmt(if (nFailed > 0) -1.0 else coldSum)
+    val warmTotal = fmt(results.map(_.warm).filter(_ >= 0).sum)
+    val colds = results.map(qr =>
+      qr.name -> (if (qr.cold.ok) qr.cold.secs else qr.cold.secs.min(-1.0)))
+    val qsFull = dmap(colds)
+    val warmFull = dmap(results.map(qr => qr.name -> qr.warm))
+    val stealFull = dmap(results.map(qr => qr.name -> qr.cold.steal))
+    val jiffiesFull = jmap(results.map(qr => qr.name -> qr.cold.jiffies.toString))
+    val retryFull = dmap(retryRaw.toSeq.map { case (k, e) =>
+      k -> (if (e.ok) e.secs else e.secs.min(-1.0)) })
+    // run-level steal share, jiffy-weighted: Σ stealΔ / Σ jiffyΔ over the
+    // headline-contributing cold + retry passes — an unweighted mean of
+    // per-query percentages let short clean queries mask long degraded
+    // ones (BENCH_r07 read 2.25 % despite 38 % of wall-time in >3 %-steal
+    // queries)
+    val headlineExecs = results.map(_.cold) ++ retryRaw.values
+    val stealJ = headlineExecs.map(_.stealJ).sum
+    val jiffyJ = headlineExecs.map(_.jiffies).sum
+    val stealRun = if (jiffyJ <= 0) -1.0 else 100.0 * stealJ / jiffyJ
+    val counts = s""""n_queries":${results.size},"n_failed":$nFailed,""" +
+      s""""n_retried":${retryRaw.size}"""
     val full =
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"steal_pct":${fmt(stealRun)},"queries":$qsFull,"warm":$warmFull,"steal":$stealFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$counts,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"warm":$warmFull,"steal":$stealFull,"jiffies":$jiffiesFull,"retry":$retryFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to
     // parse a JSON line out of it. With 150+ queries the full per-query map
     // is ~4.5 KB, so a single fat line gets truncated at the front and never
@@ -204,8 +316,8 @@ object Bench {
     }
     System.err.println(full)
     val budget = 1500 // chars for the "queries" map in the stdout line
-    val slowestFirst = results.sortBy(-_._2._1)
-      .map { case (k, (c, _, _)) => s"\"" + k + "\":" + fmt(c) }
+    val slowestFirst = colds.sortBy(-_._2)
+      .map { case (k, c) => s"\"" + k + "\":" + fmt(c) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     slowestFirst.foreach { s =>
@@ -213,7 +325,7 @@ object Bench {
     }
     val qsTop = kept.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec","n_queries":${results.size},"steal_pct":${fmt(stealRun)},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$counts,"steal_pct":${fmt(stealRun)},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

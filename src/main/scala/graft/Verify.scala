@@ -31,11 +31,7 @@ object Verify {
       // queries legitimately stay pinned past their action — without a
       // sweep, 242 back-to-back queries accumulate those blocks in one
       // session (the BENCH_r06 failure mode, just at sf0.01 scale)
-      try {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
-      } catch { case _: Throwable => () }
+      graft.plans.Checkpoints.sweep(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -25,6 +25,27 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
+  /** Hermetic barrier between measured/verified executions: drop every
+    * cached query AND every persisted RDD (blocking, so the next execution
+    * starts with the block manager actually empty, not merely
+    * scheduled-empty). Iterative operators pin one localCheckpoint per
+    * loop round and the final round's blocks legitimately outlive the
+    * query (they back the returned frame); without this sweep hundreds of
+    * back-to-back executions accumulate pinned blocks until eviction
+    * churn dominates the tail of the run — the BENCH_r06 failure mode
+    * (1708 s for a ~450 s suite). ONE definition, used by Bench, Verify,
+    * and the hygiene/manifest specs, so the tests exercise the exact
+    * production barrier (VERDICT r7 task 6). */
+  def sweep(spark: org.apache.spark.sql.SparkSession): Unit = {
+    try {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    } catch { case e: Throwable =>
+      System.err.println(s"[sweep] failed: ${e.getMessage}")
+    }
+  }
+
   /** The RDD id a checkpointed frame pins — STRICTLY the plan root. A
     * frame produced by `localCheckpoint` has a [[LogicalRDD]] root; any
     * other shape (e.g. a projection OVER a checkpointed frame) yields

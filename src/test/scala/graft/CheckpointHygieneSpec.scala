@@ -16,11 +16,9 @@ package graft
   */
 class CheckpointHygieneSpec extends SparkSpec {
 
-  private def sweep(): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = true))
-  }
+  // the production hermetic barrier itself — the spec exercises the exact
+  // code path Bench/Verify run between executions (VERDICT r7 task 6)
+  private def sweep(): Unit = graft.plans.Checkpoints.sweep(spark)
 
   // query -> max persisted RDDs allowed to survive its action: the final
   // frames the returned plan holds (loop results + shared lazy subframes

@@ -26,6 +26,11 @@ class PlanManifestSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
     import org.apache.spark.sql.execution.joins._
     val rows = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // eager-checkpointing builders EXECUTE their loop rounds when the
+      // plan is built, pinning blocks — sweep between queries so the
+      // manifest loop doesn't re-accumulate them across 242 queries (the
+      // exact leak pattern the production sweep exists for)
+      graft.plans.Checkpoints.sweep(spark)
       // initialPlan = after EnsureRequirements placed the exchanges,
       // before AQE's runtime re-planning (inputPlan would be BEFORE the
       // exchanges exist and records zero shuffles for everything)
@@ -54,11 +59,16 @@ class PlanManifestSpec extends SparkSpec {
     }
     val w = new java.io.PrintWriter("PLANS.json")
     try rows.foreach(w.println) finally w.close()
+    graft.plans.Checkpoints.sweep(spark)
     // the manifest must cover the whole fleet, and nothing may plan a
     // cartesian (same invariant as the guardrail, re-checked on the
-    // recorded numbers so the artifact can't drift from the assertion)
+    // recorded numbers so the artifact can't drift from the assertion) —
+    // asserted as the exact count 0, not the absence of ":1" (a row with
+    // "cartesian":2 must fail too)
     assert(rows.size == SparkEntry.queries.size)
-    assert(!rows.exists(_.contains(""""cartesian":1""")),
-      "a query records a cartesian product in PLANS.json")
+    val offenders = rows.filterNot(_.contains(""""cartesian":0"""))
+    assert(offenders.isEmpty,
+      s"queries record a cartesian product in PLANS.json: " +
+        offenders.map(_.takeWhile(_ != ',')).mkString(", "))
   }
 }

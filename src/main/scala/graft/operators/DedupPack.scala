@@ -436,22 +436,33 @@ object DedupPack extends QueryPack {
     // map-side), joined back to the per-doc grams — cost Σ df, never
     // pairwise.
     "q205_ngram_novelty" -> ((s, dir) => {
-      // NO pin despite two consumers: both sides hash-partition on gh, so
-      // the shingle pipeline's exchange is physically identical and
-      // ReuseExchange shares one scan (checked: localCheckpoint here was
-      // ~40% SLOWER — eager materialization without saving the re-read)
+      // The join-back of the wide gram table to the first-seen table is
+      // gone (VERDICT r7 task 5): a gram is novel for EXACTLY the doc
+      // that is its global min, so per-doc novel counts come from the
+      // first-seen table ALONE (groupBy first_id) and per-doc totals
+      // from a count — the gram table crosses one shuffle per
+      // aggregation and never rides a join. The final stitch joins two
+      // doc-sized aggregates on doc_id (the left side already
+      // partitioned by it). Eager pin (fleet rule: multi-consumer
+      // checkpoint): the two consumers partition on DIFFERENT keys
+      // (doc_id vs gh), so ReuseExchange can no longer share the shingle
+      // pipeline the way the old same-key shape did; one materialization
+      // feeds both. (Re-measured r8 on this shape, closing the old
+      // "no-pin was 40% faster" note that applied to the join form:
+      // cold 12.9 → ~4 s at sf0.1.)
       val sh = Dedup.shingles(
         Tables.table(s, dir, "documents").select(col("doc_id"), col("text")), 3)
         .select(col("doc_id"), md5(col("sh")).as("gh"))
-      val firstSeen = sh.groupBy("gh").agg(min(col("doc_id")).as("first_id"))
-      sh.join(firstSeen, "gh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
-            .as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6)
-            .as("novelty"))
+        .localCheckpoint()
+      val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val novel = sh.groupBy("gh").agg(min(col("doc_id")).as("first_id"))
+        .groupBy(col("first_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_novel"))
+      perDoc.join(novel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double")
+            / col("n_grams"), 6).as("novelty"))
         .orderBy("doc_id")
     }),
 

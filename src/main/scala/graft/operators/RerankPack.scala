@@ -300,18 +300,32 @@ object RerankPack extends QueryPack {
   private val kmCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  private def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    def live(p: (DataFrame, DataFrame)): Boolean = {
-      val ids = s.sparkContext.getPersistentRDDs.keySet
-      Seq(p._1, p._2).forall(f =>
-        graft.plans.Checkpoints.pinnedRddId(f).exists(ids.contains))
+  /** Memoized fit, guarded three ways (ADVICE r7): entries whose session
+    * has stopped are evicted on every access (a dead entry would pin the
+    * stopped session + its frames for the JVM lifetime); the
+    * check-then-fit runs under a lock so concurrent q241/q242 callers
+    * can't run the expensive fit twice; and `live` re-validates the
+    * checkpoint blocks against the block manager so a hermetic sweep
+    * invalidates instead of serving dangling frames. Remaining documented
+    * staleness: rewriting the data UNDER `dir` within one session while
+    * the blocks stay live serves the old fit — acceptable because the
+    * testdata dirs are immutable inputs; a mutable deployment would key
+    * the cache by (dir, snapshot version). */
+  private def kmeansFit(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmCache.synchronized {
+      kmCache.filterInPlace { case ((sess, _), _) =>
+        !sess.sparkContext.isStopped }
+      def live(p: (DataFrame, DataFrame)): Boolean = {
+        val ids = s.sparkContext.getPersistentRDDs.keySet
+        Seq(p._1, p._2).forall(f =>
+          graft.plans.Checkpoints.pinnedRddId(f).exists(ids.contains))
+      }
+      kmCache.get((s, dir)).filter(live).getOrElse {
+        val fit = kmeansFitImpl(s, dir)
+        kmCache((s, dir)) = fit
+        fit
+      }
     }
-    kmCache.get((s, dir)).filter(live).getOrElse {
-      val fit = kmeansFitImpl(s, dir)
-      kmCache((s, dir)) = fit
-      fit
-    }
-  }
 
   private def kmeansFitImpl(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = corpus(s, dir)

@@ -38,9 +38,15 @@ object TrainPack extends QueryPack {
     // draws win. The catalog size rides the plan as a 1-row broadcast
     // (no driver action); the anti-join shuffles (user, item) pairs —
     // the only shuffle, keyed exactly like the ALS co-partitioning.
+    // The positive-pair table is pinned EAGERLY (fleet rule:
+    // multi-consumer checkpoint) — its three consumers (catalog bound,
+    // sampled-user set, anti-join probe) were each re-running the
+    // orders⋈lineitem join + distinct (measured r8: cold 10.2 → ~4 s
+    // at sf0.1).
     "q209_negative_sampling" -> ((s, dir) => {
       val pos = Ratings.ratings(s, dir)
         .select(col("user_id"), col("item_id")).distinct()
+        .localCheckpoint()
       val maxItem = pos.agg(max(col("item_id")).as("max_item"))
       val users = pos.select(col("user_id")).distinct()
         .filter(col("user_id") % 7 === 0)

@@ -51,13 +51,44 @@ object Bench {
   private[graft] def retryThreshold(anchor: Option[Double]): Option[Double] =
     anchor.map(a => math.max(3.0, 3.0 * a))
 
+  /** Should a query's WARM figure be re-measured (VERDICT r8 task 2)?
+    * BENCH_r08's warm column read 951.9 s against a 618.4 s cold —
+    * physically impossible steady-state — because warm passes landing in
+    * degraded windows were never retried. Fires when: no successful warm
+    * exists at all (warm < 0, e.g. the first cold failed and only a retry
+    * succeeded), the measurement is `suspect` (it ran while a
+    * deadline-killed job was still unwinding), it exceeds the same
+    * max(3 s, 3× anchor) bar as a cold, or it exceeds the query's own
+    * headline COLD by more than the 3 s jitter floor (steady-state slower
+    * than cold is the physically-wrong signature itself). Only called for
+    * queries whose headline cold succeeded. */
+  private[graft] def warmRetryNeeded(warm: Double, coldSecs: Double,
+      anchor: Option[Double], suspect: Boolean): Boolean =
+    warm < 0 || suspect ||
+      retryThreshold(anchor).exists(warm > _) ||
+      (warm > 3.0 && warm > coldSecs)
+
+  /** Should a query get the ONE end-of-run final re-measurement (VERDICT
+    * r8 task 4)? Fires when, after the main retry pass, the headline cold
+    * still failed, still sits above its retry threshold, or was itself
+    * measured under contamination (the winning pass ran while a killed
+    * job lingered). Running these at the very end of the suite gives the
+    * furthest possible decorrelation from the degraded window the first
+    * two passes shared (r8's q164: first 81.1 s, retry deadline-killed in
+    * the same window, headline kept 81.1 s of pure noise — clean value
+    * 2.17 s). Bounded: at most one extra execution per query. */
+  private[graft] def finalRetryNeeded(coldOk: Boolean, coldSecs: Double,
+      anchor: Option[Double], suspect: Boolean): Boolean =
+    !coldOk || suspect || retryThreshold(anchor).exists(coldSecs > _)
+
   /** One measured execution. `stealJ`/`jiffies` are the raw /proc/stat
     * deltas (0 when unreadable) so the run-level steal figure can be
     * jiffy-weighted instead of an unweighted mean of percentages (a 1-s
     * query at 0 % must not offset a 90-s query at 4 %). `lingered` marks
     * a deadline-cancelled task that was STILL unwinding when the 15 s
-    * grace expired — its tasks may overlap the next query's timing, so
-    * the next query is treated as contaminated and retried. */
+    * grace expired — its tasks may overlap the next execution's timing,
+    * so the next execution (in ANY pass: cold, warm, retry) is treated as
+    * suspect and re-measured. */
   private case class Exec(ok: Boolean, secs: Double, steal: Double,
                           stealJ: Long, jiffies: Long, lingered: Boolean)
 
@@ -122,9 +153,9 @@ object Bench {
     // diagnosis knobs (driver sets none): SPARK_GRAFT_SWEEP=0 turns the
     // hermetic sweep off; SPARK_GRAFT_INLINE=1 runs queries on the caller
     // thread with no deadline — for isolating harness overhead from plan
-    // cost when a number looks off; SPARK_GRAFT_RETRY=0 disables the
-    // bounded retry pass; SPARK_GRAFT_ANCHOR points at an alternate
-    // per-query anchor file
+    // cost when a number looks off; SPARK_GRAFT_RETRY=0 disables every
+    // retry pass (cold, warm, and final); SPARK_GRAFT_ANCHOR points at an
+    // alternate per-query anchor file
     val doSweep = !sys.env.get("SPARK_GRAFT_SWEEP").contains("0")
     val inline = sys.env.get("SPARK_GRAFT_INLINE").contains("1")
     def execute(name: String, tag: String,
@@ -178,14 +209,14 @@ object Bench {
             // not overlap the next query's timing; cancelJobGroup kills
             // RUNNING jobs but not ones the query thread submits next, so
             // if the grace expires the next measurement is suspect — flag
-            // it (the caller marks the following query contaminated and
-            // the retry pass re-measures it)
+            // it (the caller marks the following execution contaminated
+            // and the retry machinery re-measures it)
             val unwound =
               try { task.get(15, java.util.concurrent.TimeUnit.SECONDS); true }
               catch { case _: Throwable => false }
             if (!unwound) System.err.println(
               s"[bench] $name $tag still unwinding after 15s grace — " +
-                "next query marked contaminated")
+                "next execution marked contaminated")
             done(ok = false, -2.0, lingered = !unwound)
           case e: Throwable =>
             System.err.println(s"[bench] $name $tag FAILED: " +
@@ -197,12 +228,20 @@ object Bench {
       out
     }
     val benchStart = System.nanoTime()
-    // lingering deadline-kill from the PREVIOUS execution: the next cold
-    // measurement may have shared the host with its unwinding tasks
+    // lingering deadline-kill from the PREVIOUS execution: the next
+    // measurement (whatever pass it belongs to) may have shared the host
+    // with its unwinding tasks. Threaded through ALL passes below.
     var lingering = false
+    // `first` is the IMMUTABLE raw first-pass cold (VERDICT r8 task 3 /
+    // ADVICE: min() used to destroy the evidence when a retry won — r8's
+    // q162 true first pass is unrecoverable). `cold` is the current
+    // headline. `coldSuspect` marks a headline whose winning measurement
+    // ran while a killed job lingered; `warmSuspect` likewise for warm.
     case class QR(name: String,
                   fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                  cold: Exec, warm: Double, contaminated: Boolean)
+                  first: Exec, cold: Exec, warmFirst: Double, warm: Double,
+                  contaminated: Boolean, coldSuspect: Boolean,
+                  warmSuspect: Boolean)
     val firstPass = selected.map { case (name, fn) =>
       val contaminated = lingering
       val cold = execute(name, "cold", fn)
@@ -212,9 +251,12 @@ object Bench {
       System.err.println(f"[bench] $name cold: ${cold.secs}%.2f s (at " +
         f"${(System.nanoTime() - benchStart) / 1e9}%.0f s into the run, " +
         f"host steal ${cold.steal}%.1f%%)")
-      // best (min) warm seconds across repeat-1 re-runs, -1 if none ran ok
+      // best (min) warm seconds across repeat-1 re-runs, -1 if none ran
+      // ok; a warm run that follows a lingering execution is suspect
+      var warmSuspect = false
       val warm = if (!cold.ok) -1.0
       else (2 to repeat).foldLeft(-1.0) { (best, r) =>
+        if (lingering) warmSuspect = true
         val w = execute(name, s"warm$r", fn)
         lingering = w.lingered
         // a failed warm run must not print a plausible-looking timing
@@ -222,25 +264,26 @@ object Bench {
           f"[bench] $name warm run $r: ${w.secs}%.2f s (cold ${cold.secs}%.2f)")
         if (!w.ok) best else if (best < 0) w.secs else math.min(best, w.secs)
       }
-      QR(name, fn, cold, warm, contaminated)
+      QR(name, fn, cold, cold, warm, warm, contaminated,
+        coldSuspect = contaminated, warmSuspect = warmSuspect)
     }
     // Bounded retry pass (VERDICT r7 task 1): the host provably loads
     // ~half of all runs (same-code spread 452–1056 s), so one post-sweep
     // cold re-run of every query that failed, was contaminated by a
     // lingering deadline kill, or exceeded 3× its recorded clean anchor
     // decorrelates the headline from the steal window the first pass
-    // happened to land in. Headline cold = min(cold, retry); both raw
-    // values land in BENCH_DETAIL.
+    // happened to land in. Headline cold = min(first, retry); both raw
+    // values land in BENCH_DETAIL ("first" and "retry" maps).
     val doRetry = !sys.env.get("SPARK_GRAFT_RETRY").contains("0")
     val anchors = parseAnchors(
       sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_ANCHOR.txt"))
     if (doRetry && anchors.isEmpty) System.err.println(
-      "[bench] no anchor file — retry pass fires on failures only")
+      "[bench] no anchor file — retry passes fire on failures only")
     val retryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
-    val results = firstPass.map { qr =>
+    val afterRetry = firstPass.map { qr =>
       val needsRetry = doRetry && (!qr.cold.ok || qr.contaminated ||
         retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _))
-      if (!needsRetry) qr
+      if (!needsRetry) qr.copy(coldSuspect = false)
       else {
         val why =
           if (!qr.cold.ok) "failed"
@@ -249,22 +292,88 @@ object Bench {
             "contaminated"
           else f"cold ${qr.cold.secs}%.2f s > 3x anchor"
         System.err.println(s"[bench] retrying ${qr.name} ($why)")
+        // a retry launched while the PREVIOUS retry's kill still lingers
+        // is itself suspect — if it wins, the final pass re-measures it
+        val retrySuspect = lingering
         val re = execute(qr.name, "retry", qr.fn)
+        lingering = re.lingered
         retryRaw(qr.name) = re
         if (re.ok) System.err.println(
           f"[bench] ${qr.name} retry: ${re.secs}%.2f s (first ${qr.cold.secs}%.2f)")
         val better = re.ok && (!qr.cold.ok || re.secs < qr.cold.secs)
         val cold2 = if (better) re.copy(lingered = false) else qr.cold
-        // a query whose first pass failed has no warm measurement; give
-        // it one now that a cold pass has succeeded, so the warm total
-        // stays complete
-        val warm2 =
-          if (qr.warm >= 0 || !cold2.ok || repeat < 2) qr.warm
+        val suspect2 =
+          if (better) retrySuspect
+          else qr.cold.ok && qr.contaminated // kept a contaminated first pass
+        qr.copy(cold = cold2, coldSuspect = suspect2)
+      }
+    }
+    // Warm retry pass (VERDICT r8 task 2): one post-sweep warm re-run of
+    // every query whose warm figure is missing, suspect, above the cold
+    // retry bar, or above its own headline cold (steady-state slower than
+    // cold is the BENCH_r08 951.9-s-warm-vs-618.4-s-cold impossibility).
+    // Headline warm = min over all successful warm executions; the raw
+    // pre-retry warm stays in the "warm_first" map.
+    val warmRetryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
+    val afterWarm =
+      if (repeat < 2) afterRetry
+      else afterRetry.map { qr =>
+        val needs = doRetry && qr.cold.ok && warmRetryNeeded(
+          qr.warm, qr.cold.secs, anchors.get(qr.name),
+          qr.warmSuspect || lingering)
+        if (!needs) qr
+        else {
+          val why =
+            if (qr.warm < 0) "no successful warm pass"
+            else if (qr.warmSuspect) "warm ran behind a lingering kill"
+            else f"warm ${qr.warm}%.2f s vs cold ${qr.cold.secs}%.2f s"
+          System.err.println(s"[bench] warm-retrying ${qr.name} ($why)")
+          val w = execute(qr.name, "warm-retry", qr.fn)
+          lingering = w.lingered
+          warmRetryRaw(qr.name) = w
+          if (w.ok) System.err.println(
+            f"[bench] ${qr.name} warm-retry: ${w.secs}%.2f s (first warm ${qr.warm}%.2f)")
+          val warm2 =
+            if (!w.ok) qr.warm
+            else if (qr.warm < 0) w.secs else math.min(qr.warm, w.secs)
+          qr.copy(warm = warm2, warmSuspect = false)
+        }
+      }
+    // Final re-retry pass (VERDICT r8 task 4): a query whose retry ALSO
+    // failed or still exceeded its threshold gets ONE more measurement at
+    // the very end of the run — the furthest decorrelation from the
+    // degraded window the earlier passes shared. r8's q164 kept 81.1 s of
+    // pure contamination (clean: 2.17 s) because its single retry was
+    // deadline-killed in the same window. Bounded: ≤ 1 extra execution
+    // per query, and only for queries the earlier passes already flagged.
+    val retry2Raw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
+    val results = afterWarm.map { qr =>
+      val needs = doRetry && finalRetryNeeded(qr.cold.ok, qr.cold.secs,
+        anchors.get(qr.name), qr.coldSuspect || lingering)
+      if (!needs) qr
+      else {
+        val why =
+          if (!qr.cold.ok) "still failed"
+          else if (qr.coldSuspect) "headline measured under contamination"
+          else f"headline ${qr.cold.secs}%.2f s still > 3x anchor"
+        System.err.println(s"[bench] final re-retry ${qr.name} ($why)")
+        val re = execute(qr.name, "retry2", qr.fn)
+        lingering = re.lingered
+        retry2Raw(qr.name) = re
+        if (re.ok) System.err.println(
+          f"[bench] ${qr.name} retry2: ${re.secs}%.2f s (headline was ${qr.cold.secs}%.2f)")
+        val better = re.ok && (!qr.cold.ok || re.secs < qr.cold.secs)
+        val cold3 = if (better) re.copy(lingered = false) else qr.cold
+        // a query that only produced a successful cold HERE has no warm
+        // measurement; give it one so the warm total stays complete
+        val warm3 =
+          if (!(better && !qr.cold.ok) || qr.warm >= 0 || repeat < 2) qr.warm
           else {
-            val w = execute(qr.name, "retry-warm", qr.fn)
-            if (w.ok) w.secs else -1.0
+            val w = execute(qr.name, "retry2-warm", qr.fn)
+            lingering = w.lingered
+            if (w.ok) { warmRetryRaw(qr.name) = w; w.secs } else -1.0
           }
-        qr.copy(cold = cold2, warm = warm2)
+        qr.copy(cold = cold3, warm = warm3, coldSuspect = false)
       }
     }
     def fmt(v: Double) = f"$v%.3f"
@@ -273,34 +382,39 @@ object Bench {
         .mkString("{", ",", "}")
     def dmap(vs: Seq[(String, Double)]) = jmap(vs.map { case (k, v) => k -> fmt(v) })
     // a failed query must not vanish from the headline: when any query is
-    // still failed AFTER the retry pass the total is gate-invalid (-1),
+    // still failed AFTER the retry passes the total is gate-invalid (-1),
     // not a silently-partial sum (BENCH_r07 under-reported by excluding
     // its failed-slow query)
     val nFailed = results.count(!_.cold.ok)
     val coldSum = results.filter(_.cold.ok).map(_.cold.secs).sum
     val total = fmt(if (nFailed > 0) -1.0 else coldSum)
     val warmTotal = fmt(results.map(_.warm).filter(_ >= 0).sum)
-    val colds = results.map(qr =>
-      qr.name -> (if (qr.cold.ok) qr.cold.secs else qr.cold.secs.min(-1.0)))
+    def clamp(e: Exec): Double = if (e.ok) e.secs else e.secs.min(-1.0)
+    val colds = results.map(qr => qr.name -> clamp(qr.cold))
     val qsFull = dmap(colds)
+    val firstFull = dmap(results.map(qr => qr.name -> clamp(qr.first)))
     val warmFull = dmap(results.map(qr => qr.name -> qr.warm))
+    val warmFirstFull = dmap(results.map(qr => qr.name -> qr.warmFirst))
     val stealFull = dmap(results.map(qr => qr.name -> qr.cold.steal))
     val jiffiesFull = jmap(results.map(qr => qr.name -> qr.cold.jiffies.toString))
-    val retryFull = dmap(retryRaw.toSeq.map { case (k, e) =>
-      k -> (if (e.ok) e.secs else e.secs.min(-1.0)) })
+    val retryFull = dmap(retryRaw.toSeq.map { case (k, e) => k -> clamp(e) })
+    val retry2Full = dmap(retry2Raw.toSeq.map { case (k, e) => k -> clamp(e) })
+    val warmRetryFull = dmap(warmRetryRaw.toSeq.map { case (k, e) => k -> clamp(e) })
     // run-level steal share, jiffy-weighted: Σ stealΔ / Σ jiffyΔ over the
-    // headline-contributing cold + retry passes — an unweighted mean of
-    // per-query percentages let short clean queries mask long degraded
-    // ones (BENCH_r07 read 2.25 % despite 38 % of wall-time in >3 %-steal
-    // queries)
-    val headlineExecs = results.map(_.cold) ++ retryRaw.values
+    // HEADLINE cold passes exactly once each — results already carry the
+    // winning exec (first or retry or retry2), so summing retry maps on
+    // top would double-count winners and count losing passes that never
+    // reached the headline (the r8 ADVICE finding)
+    val headlineExecs = results.map(_.cold)
     val stealJ = headlineExecs.map(_.stealJ).sum
     val jiffyJ = headlineExecs.map(_.jiffies).sum
     val stealRun = if (jiffyJ <= 0) -1.0 else 100.0 * stealJ / jiffyJ
     val counts = s""""n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""n_retried":${retryRaw.size}"""
+    val countsDetail = counts +
+      s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size}"""
     val full =
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$counts,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"warm":$warmFull,"steal":$stealFull,"jiffies":$jiffiesFull,"retry":$retryFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$countsDetail,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"first":$firstFull,"warm":$warmFull,"warm_first":$warmFirstFull,"steal":$stealFull,"jiffies":$jiffiesFull,"retry":$retryFull,"retry2":$retry2Full,"warm_retry":$warmRetryFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to
     // parse a JSON line out of it. With 150+ queries the full per-query map
     // is ~4.5 KB, so a single fat line gets truncated at the front and never

@@ -47,6 +47,54 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.retryThreshold(None).isEmpty)
   }
 
+  test("the committed anchor total is a plausible clean run, not a degraded one") {
+    // The retry policy's teeth are exactly as sharp as the anchors: an
+    // anchor file regenerated from a degraded run would multiply every
+    // threshold by the degradation and let real regressions slide (the r8
+    // stale-anchor finding: 3 reworked queries carried 5-8x-loose
+    // anchors). Gate: the anchor totals must stay within 2x of the
+    // BASELINE.md 451.7 s round-7 anchor run — the same 2x bar the bench
+    // gate itself uses.
+    val m = Bench.parseAnchors("BENCH_ANCHOR.txt")
+    val total = m.values.sum
+    assert(total > 50.0, f"anchor total $total%.1f s implausibly small")
+    assert(total <= 2 * 451.67,
+      f"anchor total $total%.1f s exceeds 2x the 451.67 s BASELINE anchor — " +
+        "this anchor file was regenerated from a degraded run; re-record")
+  }
+
+  test("warmRetryNeeded: missing, suspect, over-anchor, or slower-than-cold warms") {
+    // no successful warm at all (first cold failed, retry rescued it)
+    assert(Bench.warmRetryNeeded(-1.0, 2.0, Some(1.0), suspect = false))
+    // measured behind a lingering deadline-kill
+    assert(Bench.warmRetryNeeded(1.0, 2.0, Some(1.0), suspect = true))
+    // over the same max(3s, 3x anchor) bar as a cold
+    assert(Bench.warmRetryNeeded(3.5, 4.0, Some(1.0), suspect = false))
+    assert(!Bench.warmRetryNeeded(2.9, 4.0, Some(1.0), suspect = false))
+    // steady-state slower than cold (the BENCH_r08 951.9s-warm signature),
+    // but only above the 3 s jitter floor
+    assert(Bench.warmRetryNeeded(3.2, 3.1, Some(2.0), suspect = false))
+    assert(!Bench.warmRetryNeeded(0.5, 0.4, Some(2.0), suspect = false))
+    // clean warm below cold and anchor: no retry
+    assert(!Bench.warmRetryNeeded(1.0, 2.0, Some(1.0), suspect = false))
+    // no anchor: only the missing/suspect/slower-than-cold clauses apply
+    assert(!Bench.warmRetryNeeded(10.0, 20.0, None, suspect = false))
+    assert(Bench.warmRetryNeeded(25.0, 20.0, None, suspect = false))
+  }
+
+  test("finalRetryNeeded: still-failed, still-over-threshold, or suspect headlines") {
+    // retry also failed → one last end-of-run chance
+    assert(Bench.finalRetryNeeded(coldOk = false, -2.0, Some(1.0), suspect = false))
+    // headline still above 3x anchor after the main retry
+    assert(Bench.finalRetryNeeded(coldOk = true, 4.0, Some(1.0), suspect = false))
+    assert(!Bench.finalRetryNeeded(coldOk = true, 2.5, Some(1.0), suspect = false))
+    // winning pass itself measured under contamination
+    assert(Bench.finalRetryNeeded(coldOk = true, 1.0, Some(1.0), suspect = true))
+    // no anchor: only failure/suspect trigger
+    assert(!Bench.finalRetryNeeded(coldOk = true, 100.0, None, suspect = false))
+    assert(Bench.finalRetryNeeded(coldOk = false, -1.0, None, suspect = false))
+  }
+
   test("cpuSteal sums only the first 8 /proc/stat fields (no guest double-count)") {
     val (steal, total) = Bench.cpuSteal()
     if (total >= 0) { // Linux

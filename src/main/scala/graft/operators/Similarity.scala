@@ -41,6 +41,26 @@ object Similarity {
       toDoubleArray(col(vecCol)).as(s"vec$suffix"),
       sqNorm(toDoubleArray(col(vecCol))).as(s"n2$suffix"))
 
+  /** Spread a narrow scan across the session's cores before a FLOP-bound
+    * broadcast cross join. BroadcastNestedLoopJoin inherits the STREAM
+    * side's partitioning, and a small single-file parquet corpus scans as
+    * ONE split (parquet cannot split below a row group) — serializing the
+    * whole |corpus| × |queries| scoring loop on a single core (measured:
+    * q240's two kNN passes each ran as a 1-task 1.8–2.1 s stage on a
+    * 32-core session). Conditional on the input actually being narrower
+    * than the session's parallelism: at 100 TB the scan arrives with
+    * thousands of splits and this is a no-op — an unconditional
+    * repartition there would COLLAPSE the scan into `defaultParallelism`
+    * partitions and shuffle the corpus, exactly the wrong direction. The
+    * shuffle, when it fires, carries only the rows already entering the
+    * join, and every consumer's result is partitioning-independent
+    * (deterministic rank/max_by tie-breaks), so values and hashes are
+    * unchanged. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   /** Cosine from precomputed sides — one dot per pair. A zero-norm vector
     * has no defined cosine: null (ranked last, never "similar") instead of
     * an ANSI division error killing the scan. */
@@ -52,7 +72,7 @@ object Similarity {
 
   /** Exact top-k neighbors per query by cosine similarity. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = prepped(corpus, "id", "vec", "_c")
+    val c = spread(prepped(corpus, "id", "vec", "_c"))
     val q = prepped(queries, "qid", "qvec", "_q")
     val scored = c.crossJoin(broadcast(q))
       .filter(col("id_c") =!= col("id_q"))
@@ -81,7 +101,7 @@ object Similarity {
       toDoubleArray(col("qvec")).as("vec_q"),
       sqNorm(toDoubleArray(col("qvec"))).as("n2_q"),
       col("qlabel").as("lbl_q"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = spread(c).crossJoin(broadcast(q))
       .filter(col("id_c") =!= col("id_q") && col("lbl_c") =!= col("lbl_q"))
       .select(col("id_q").as("qid"), col("id_c").as("id"),
         pairSim("_c", "_q").as("sim"))
@@ -102,7 +122,7 @@ object Similarity {
     * centroid, never "closest"). */
   def assign(data: DataFrame, centroids: DataFrame,
              idCol: String, vecCol: String): DataFrame = {
-    val d = prepped(data, idCol, vecCol, "_d")
+    val d = spread(prepped(data, idCol, vecCol, "_d"))
     val c = prepped(centroids, "cid", "cvec", "_k")
     d.crossJoin(broadcast(c))
       .groupBy(col("id_d"))

@@ -98,6 +98,15 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Match AQE's coalesce floor to bench scale the same way
+      // shuffle.partitions is matched to the host: the default 1 MB
+      // minPartitionSize is sized for I/O-bound stages at cluster scale,
+      // but at sf0.1 several CPU-dense post-shuffle stages (BM25
+      // weighting, shingle joins) carry only 1-4 MB and were coalesced
+      // to 1-2 tasks — q237's weight join measured as a 4.3 s 2-task
+      // stage on this 32-core session (event-log profile, round 9). At
+      // 100 TB shuffles dwarf the floor and this knob changes nothing.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
     // SPARK_GRAFT_CONF="k=v;k=v": extra session confs for perf experiments
     // (e.g. spark.sql.codegen.wholeStage=false to isolate compile cost)

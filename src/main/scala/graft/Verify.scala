@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // same host-scale AQE floor as Bench (see the comment there):
+      // results are partitioning-independent, this only widens
+      // CPU-dense post-shuffle stages that AQE would coalesce to 1-2
+      // tasks at sf0.01 data sizes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -204,7 +204,11 @@ object CorpusOps {
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
                   window: Int, stride: Int): DataFrame = {
     require(window >= 1 && stride >= 1, "window and stride must be >= 1")
-    docs
+    // per-row cost (tokenize + window explode) dwarfs the scan; a
+    // narrow single-row-group input would serialize it on one core
+    // (q237's index build measured as a 4.5 s 2-task stage) — no-op on
+    // an already-wide scan, see graft.plans.Spread
+    graft.plans.Spread(docs)
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .select(col(idCol), col("_toks"),
         posexplode(sequence(lit(0), greatest(size(col("_toks")) - 1, lit(0)),

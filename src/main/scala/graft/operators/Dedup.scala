@@ -35,10 +35,14 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-`n`-gram shingles per document: (id, sh). */
+  /** Distinct word-`n`-gram shingles per document: (id, sh). Tokenize +
+    * n-gram explode is the heavy map of the whole MinHash family — a
+    * narrow single-row-group input would serialize it on one core, so
+    * the scan is spread when narrower than the session's parallelism
+    * (no-op on an already-wide scan, see [[graft.plans.Spread]]). */
   def shingles(docs: DataFrame, n: Int,
                id: String = "doc_id", text: String = "text"): DataFrame =
-    docs
+    graft.plans.Spread(docs)
       .select(col(id), explode(T.wordNgrams(T.tokens(col(text)), n)).as("sh"))
       .distinct()
 

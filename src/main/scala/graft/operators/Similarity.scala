@@ -42,24 +42,11 @@ object Similarity {
       sqNorm(toDoubleArray(col(vecCol))).as(s"n2$suffix"))
 
   /** Spread a narrow scan across the session's cores before a FLOP-bound
-    * broadcast cross join. BroadcastNestedLoopJoin inherits the STREAM
-    * side's partitioning, and a small single-file parquet corpus scans as
-    * ONE split (parquet cannot split below a row group) — serializing the
-    * whole |corpus| × |queries| scoring loop on a single core (measured:
-    * q240's two kNN passes each ran as a 1-task 1.8–2.1 s stage on a
-    * 32-core session). Conditional on the input actually being narrower
-    * than the session's parallelism: at 100 TB the scan arrives with
-    * thousands of splits and this is a no-op — an unconditional
-    * repartition there would COLLAPSE the scan into `defaultParallelism`
-    * partitions and shuffle the corpus, exactly the wrong direction. The
-    * shuffle, when it fires, carries only the rows already entering the
-    * join, and every consumer's result is partitioning-independent
-    * (deterministic rank/max_by tie-breaks), so values and hashes are
-    * unchanged. */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
-  }
+    * broadcast cross join — BroadcastNestedLoopJoin inherits the STREAM
+    * side's partitioning (measured: q240's two kNN passes each ran as a
+    * 1-task 1.8–2.1 s stage on a 32-core session). See
+    * [[graft.plans.Spread]] for the guard's full rationale. */
+  private def spread(df: DataFrame): DataFrame = graft.plans.Spread(df)
 
   /** Cosine from precomputed sides — one dot per pair. A zero-norm vector
     * has no defined cosine: null (ranked last, never "similar") instead of
@@ -391,7 +378,7 @@ object Similarity {
   def cosineNearDup(corpus: DataFrame, threshold: Double, dim: Int,
                     bands: Int = 16, bitsPerBand: Int = 8,
                     seed: Long = 42L): DataFrame = {
-    val p = prepped(corpus, "id", "vec", "")
+    val p = spread(prepped(corpus, "id", "vec", ""))
     val bandRows = p
       .select(col("id"), posexplode(
         signBitBands(col("vec"), dim, bands, bitsPerBand, seed))

@@ -26,6 +26,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Spread {
   def apply(df: DataFrame): DataFrame = {
+    // streaming frames: the partition-count probe (.rdd) is illegal on
+    // an unstarted stream, and micro-batch partitioning is the source's
+    // contract — operators that need a rebalance on a stream declare it
+    // explicitly (SURVEY §2.9), so the guard is batch-only by design
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }

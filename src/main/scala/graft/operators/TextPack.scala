@@ -491,8 +491,12 @@ object TextPack extends QueryPack {
     "q87_bigram_xent" -> ((s, dir) => {
       // tokenization feeds three consumers (bigram counts, vocab, the
       // probe-side join) — cache it instead of re-scanning per branch
-      // (the Dedup.allPairsJaccard pattern)
-      val toks = Tables.table(s, dir, "documents")
+      // (the Dedup.allPairsJaccard pattern). The scan is spread first:
+      // tokenize + the bigram explode below are the heavy maps, and a
+      // 1-split scan would pin them (and both checkpoints) to one core
+      // (round-9 fleet profile: q87 carried the suite's last >1 s of
+      // narrow-stage time)
+      val toks = graft.plans.Spread(Tables.table(s, dir, "documents"))
         .select(col("doc_id"), T.tokens(col("text")).as("toks"))
         .localCheckpoint()
       val docBigrams = toks

@@ -24,6 +24,42 @@ object Bench {
       } finally src.close()
     } catch { case _: Throwable => (-1L, -1L) }
 
+  // written by the spin probe so the JIT cannot dead-code-eliminate it
+  @volatile private var blackhole = 0L
+
+  /** Calibrated single-thread spin (~10-30 ms on a healthy host): wall
+    * time scales inversely with DELIVERED CPU speed, surfacing
+    * hypervisor-level slowdown waves that /proc/stat steal does NOT.
+    * Round 10 measured the same q237 plan at 24-76 s isolated with 0.6 %
+    * steal, then 5.7-9.5 s minutes later — a Python spin probe confirmed
+    * ~2.5-10× single-thread speed swings with near-zero steal the whole
+    * time, so the steal-based detector alone is blind to this host's
+    * dominant degradation mode. min of two back-to-back spins rejects a
+    * one-off GC/scheduler pause landing inside a probe. */
+  private[graft] def hostmark(): Double = {
+    def spin(): Double = {
+      val t0 = System.nanoTime
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < 8000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      blackhole = x
+      (System.nanoTime - t0) / 1e6
+    }
+    math.min(spin(), spin())
+  }
+
+  /** Should a DEGRADED-WINDOW cold be retried even though it sits under
+    * the 3× blanket threshold? Fires when the execution's bracketing
+    * spin probes read > 2× the run's best (the host was provably slow
+    * around this measurement) AND the cold exceeds a tighter
+    * max(3 s, 1.5× anchor) bar (the slowdown actually reached the
+    * query). Anchor-less queries never fire — there is nothing to
+    * compare against. */
+  private[graft] def degradedRetryNeeded(coldSecs: Double,
+      anchor: Option[Double], mark: Double, minMark: Double): Boolean =
+    mark > 2.0 * minMark &&
+      anchor.exists(a => coldSecs > math.max(3.0, 1.5 * a))
+
   /** Per-query cold anchors ("name seconds" lines, '#' comments) from a
     * recorded clean run of the full suite — the reference the bounded
     * retry pass compares against. Missing/garbled file → empty map (the
@@ -90,7 +126,8 @@ object Bench {
     * so the next execution (in ANY pass: cold, warm, retry) is treated as
     * suspect and re-measured. */
   private case class Exec(ok: Boolean, secs: Double, steal: Double,
-                          stealJ: Long, jiffies: Long, lingered: Boolean)
+                          stealJ: Long, jiffies: Long, lingered: Boolean,
+                          mark: Double = -1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -167,9 +204,16 @@ object Bench {
     // alternate per-query anchor file
     val doSweep = !sys.env.get("SPARK_GRAFT_SWEEP").contains("0")
     val inline = sys.env.get("SPARK_GRAFT_INLINE").contains("1")
+    // hostmark calibration: ~12 unmeasured probes JIT-compile the spin
+    // loop itself (the first interpreted reads are 10-20× the compiled
+    // cost and must not pollute the run minimum), then the minimum over
+    // them seeds the run's healthy-host reference. The reference keeps
+    // tightening: every later probe folds into it.
+    var minMark = (1 to 12).map(_ => hostmark()).min
     def execute(name: String, tag: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Exec = {
+      val preMark = hostmark()
       val (steal0, jiffies0) = cpuSteal()
       def stealOf(): (Double, Long, Long) = {
         val (steal1, jiffies1) = cpuSteal()
@@ -180,7 +224,12 @@ object Bench {
       }
       def done(ok: Boolean, secs: Double, lingered: Boolean = false): Exec = {
         val (pct, sj, jf) = stealOf()
-        Exec(ok, secs, pct, sj, jf, lingered)
+        // the execution's window indicator is the WORSE of the two
+        // bracketing probes: a wave starting mid-query shows in the post
+        // probe, one ending mid-query in the pre probe
+        val postMark = hostmark()
+        minMark = math.min(minMark, math.min(preMark, postMark))
+        Exec(ok, secs, pct, sj, jf, lingered, math.max(preMark, postMark))
       }
       if (inline) {
         val t0 = System.nanoTime()
@@ -259,7 +308,7 @@ object Bench {
       // artifact is correlatable with GC logs / host contention directly
       System.err.println(f"[bench] $name cold: ${cold.secs}%.2f s (at " +
         f"${(System.nanoTime() - benchStart) / 1e9}%.0f s into the run, " +
-        f"host steal ${cold.steal}%.1f%%)")
+        f"host steal ${cold.steal}%.1f%%, mark ${cold.mark}%.0f/$minMark%.0f ms)")
       // best (min) warm seconds across repeat-1 re-runs, -1 if none ran
       // ok; a warm run that follows a lingering execution is suspect
       var warmSuspect = false
@@ -288,19 +337,43 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_ANCHOR.txt"))
     if (doRetry && anchors.isEmpty) System.err.println(
       "[bench] no anchor file — retry passes fire on failures only")
+    // Bounded wait for a CLEAN window before each retry execution: the
+    // round-10 degradation waves are minutes long, so a retry fired
+    // straight into the wave that inflated the first pass mostly
+    // re-records it (exactly r8's q164 failure mode, which the final
+    // re-retry only partially caps). Probing until the spin reads
+    // < 1.5× the run's best costs ~30 ms per probe; the budget is shared
+    // across the whole run so a permanently-degraded host cannot stall
+    // the driver — once spent, retries fire immediately as before.
+    var waitBudgetMs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_S")
+      .flatMap(_.toIntOption).getOrElse(300) * 1000L
+    def awaitCleanWindow(): Unit = {
+      var m = hostmark()
+      minMark = math.min(minMark, m)
+      while (waitBudgetMs > 0 && m > 1.5 * minMark) {
+        Thread.sleep(3000); waitBudgetMs -= 3000
+        m = hostmark(); minMark = math.min(minMark, m)
+      }
+    }
     val retryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
     val afterRetry = firstPass.map { qr =>
-      val needsRetry = doRetry && (!qr.cold.ok || qr.contaminated ||
-        retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _))
+      val overThreshold =
+        retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _)
+      val degraded = qr.cold.ok && degradedRetryNeeded(qr.cold.secs,
+        anchors.get(qr.name), qr.cold.mark, minMark)
+      val needsRetry = doRetry &&
+        (!qr.cold.ok || qr.contaminated || overThreshold || degraded)
       if (!needsRetry) qr.copy(coldSuspect = false)
       else {
         val why =
           if (!qr.cold.ok) "failed"
-          else if (qr.contaminated &&
-            !retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _))
+          else if (qr.contaminated && !overThreshold && !degraded)
             "contaminated"
-          else f"cold ${qr.cold.secs}%.2f s > 3x anchor"
+          else if (overThreshold) f"cold ${qr.cold.secs}%.2f s > 3x anchor"
+          else f"cold ${qr.cold.secs}%.2f s in a degraded window " +
+            f"(mark ${qr.cold.mark}%.0f vs min $minMark%.0f ms)"
         System.err.println(s"[bench] retrying ${qr.name} ($why)")
+        awaitCleanWindow()
         // a retry launched while the PREVIOUS retry's kill still lingers
         // is itself suspect — if it wins, the final pass re-measures it
         val retrySuspect = lingering
@@ -337,6 +410,7 @@ object Bench {
             else if (qr.warmSuspect) "warm ran behind a lingering kill"
             else f"warm ${qr.warm}%.2f s vs cold ${qr.cold.secs}%.2f s"
           System.err.println(s"[bench] warm-retrying ${qr.name} ($why)")
+          awaitCleanWindow()
           val w = execute(qr.name, "warm-retry", qr.fn)
           lingering = w.lingered
           warmRetryRaw(qr.name) = w
@@ -357,15 +431,21 @@ object Bench {
     // per query, and only for queries the earlier passes already flagged.
     val retry2Raw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
     val results = afterWarm.map { qr =>
-      val needs = doRetry && finalRetryNeeded(qr.cold.ok, qr.cold.secs,
-        anchors.get(qr.name), qr.coldSuspect || lingering)
+      val stillDegraded = qr.cold.ok && degradedRetryNeeded(qr.cold.secs,
+        anchors.get(qr.name), qr.cold.mark, minMark)
+      val needs = doRetry && (stillDegraded ||
+        finalRetryNeeded(qr.cold.ok, qr.cold.secs,
+          anchors.get(qr.name), qr.coldSuspect || lingering))
       if (!needs) qr
       else {
         val why =
           if (!qr.cold.ok) "still failed"
           else if (qr.coldSuspect) "headline measured under contamination"
+          else if (stillDegraded)
+            f"headline ${qr.cold.secs}%.2f s still from a degraded window"
           else f"headline ${qr.cold.secs}%.2f s still > 3x anchor"
         System.err.println(s"[bench] final re-retry ${qr.name} ($why)")
+        awaitCleanWindow()
         val re = execute(qr.name, "retry2", qr.fn)
         lingering = re.lingered
         retry2Raw(qr.name) = re
@@ -405,6 +485,12 @@ object Bench {
     val warmFull = dmap(results.map(qr => qr.name -> qr.warm))
     val warmFirstFull = dmap(results.map(qr => qr.name -> qr.warmFirst))
     val stealFull = dmap(results.map(qr => qr.name -> qr.cold.steal))
+    // the headline execution's window indicator (max of its bracketing
+    // spin probes, ms) — a per-query entry far above hostmark_min proves
+    // from the artifact that the measurement sat in a degraded window
+    val markFull = dmap(results.map(qr => qr.name -> qr.cold.mark))
+    val nDegraded = results.count(qr =>
+      qr.cold.ok && qr.cold.mark > 2.0 * minMark)
     val jiffiesFull = jmap(results.map(qr => qr.name -> qr.cold.jiffies.toString))
     val retryFull = dmap(retryRaw.toSeq.map { case (k, e) => k -> clamp(e) })
     val retry2Full = dmap(retry2Raw.toSeq.map { case (k, e) => k -> clamp(e) })
@@ -421,9 +507,9 @@ object Bench {
     val counts = s""""n_queries":${results.size},"n_failed":$nFailed,""" +
       s""""n_retried":${retryRaw.size}"""
     val countsDetail = counts +
-      s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size}"""
+      s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size},"n_degraded":$nDegraded,"hostmark_min":${fmt(minMark)}"""
     val full =
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$countsDetail,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"first":$firstFull,"warm":$warmFull,"warm_first":$warmFirstFull,"steal":$stealFull,"jiffies":$jiffiesFull,"retry":$retryFull,"retry2":$retry2Full,"warm_retry":$warmRetryFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$countsDetail,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"first":$firstFull,"warm":$warmFull,"warm_first":$warmFirstFull,"steal":$stealFull,"hostmark":$markFull,"jiffies":$jiffiesFull,"retry":$retryFull,"retry2":$retry2Full,"warm_retry":$warmRetryFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to
     // parse a JSON line out of it. With 150+ queries the full per-query map
     // is ~4.5 KB, so a single fat line gets truncated at the front and never
@@ -448,7 +534,7 @@ object Bench {
     }
     val qsTop = kept.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$counts,"steal_pct":${fmt(stealRun)},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$counts,"n_degraded":$nDegraded,"hostmark_min":${fmt(minMark)},"steal_pct":${fmt(stealRun)},"queries":$qsTop,"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

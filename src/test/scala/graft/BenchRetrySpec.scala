@@ -95,6 +95,32 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.finalRetryNeeded(coldOk = false, -1.0, None, suspect = false))
   }
 
+  test("degradedRetryNeeded: slow-window marks with a tighter 1.5x anchor bar") {
+    // mark 2x over the run minimum + cold over max(3, 1.5x anchor) → retry
+    assert(Bench.degradedRetryNeeded(4.0, Some(2.0), mark = 50, minMark = 20))
+    // cold under the 1.5x bar: the wave did not reach the query
+    assert(!Bench.degradedRetryNeeded(2.9, Some(2.0), mark = 50, minMark = 20))
+    // 3s floor holds for tiny anchors
+    assert(!Bench.degradedRetryNeeded(2.9, Some(0.3), mark = 50, minMark = 20))
+    assert(Bench.degradedRetryNeeded(3.1, Some(0.3), mark = 50, minMark = 20))
+    // clean window (mark within 2x of the run min): never fires
+    assert(!Bench.degradedRetryNeeded(100.0, Some(2.0), mark = 30, minMark = 20))
+    // anchor-less queries: nothing to compare against
+    assert(!Bench.degradedRetryNeeded(100.0, None, mark = 90, minMark = 20))
+  }
+
+  test("hostmark returns a positive bounded spin time and tightens with JIT") {
+    val first = Bench.hostmark()
+    assert(first > 0)
+    // after a few warm-up reads the compiled spin sits well under a
+    // second on any plausible host; the warmed minimum is the figure the
+    // bench compares windows against
+    val warmed = (1 to 8).map(_ => Bench.hostmark()).min
+    assert(warmed > 0 && warmed < 1000.0,
+      s"warmed hostmark $warmed ms out of range")
+    assert(warmed <= first * 2.0 + 1.0) // never wildly above the cold read
+  }
+
   test("cpuSteal sums only the first 8 /proc/stat fields (no guest double-count)") {
     val (steal, total) = Bench.cpuSteal()
     if (total >= 0) { // Linux

@@ -66,7 +66,10 @@ object Bench {
     * retry pass then only fires on outright failures). */
   private[graft] def parseAnchors(path: String): Map[String, Double] =
     try {
-      val src = scala.io.Source.fromFile(path)
+      // explicit UTF-8: under a default-ASCII forked JVM a single
+      // non-ASCII byte in a COMMENT line would throw mid-iteration and
+      // silently defang every retry threshold (caught as an empty map)
+      val src = scala.io.Source.fromFile(path)(scala.io.Codec.UTF8)
       try src.getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
         .flatMap { l =>

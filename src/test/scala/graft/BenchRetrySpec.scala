@@ -27,6 +27,16 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(m == Map("q01_mse" -> 2.774, "q02_codec" -> 1.951))
   }
 
+  test("parseAnchors survives non-ASCII comment bytes (UTF-8 read)") {
+    val f = java.io.File.createTempFile("anchor-utf8", ".txt")
+    f.deleteOnExit()
+    val w = new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(f), java.nio.charset.StandardCharsets.UTF_8)
+    try w.write("# provenance — r10 clean run\nq01_mse 1.25\n")
+    finally w.close()
+    assert(Bench.parseAnchors(f.getAbsolutePath) == Map("q01_mse" -> 1.25))
+  }
+
   test("parseAnchors of a missing file is empty, not an exception") {
     assert(Bench.parseAnchors("/nonexistent/anchors.txt").isEmpty)
   }

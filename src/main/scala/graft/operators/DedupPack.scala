@@ -93,10 +93,15 @@ object DedupPack extends QueryPack {
       val cand = Dedup.lshCandidates(
         Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 16, 4))
         .localCheckpoint() // consumed by n_cand AND the verify join
-      val lsh = Dedup.jaccard(cand, sh).filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b").localCheckpoint()
       val exact = Dedup.allPairsJaccard(sh).filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b").localCheckpoint()
+      // verified-LSH pairs = candidates whose exact Jaccard clears the
+      // threshold, and the exact table already holds EVERY pair that
+      // clears it — so the verify stage is a pair-key semi-join against
+      // it; walking Σ df(shingle) a second time over the candidate pairs
+      // (Dedup.jaccard(cand, sh)) recomputed the same numbers
+      val lsh = cand.join(exact, Seq("doc_a", "doc_b"), "left_semi")
+        .localCheckpoint()
       val m = cand.agg(count(lit(1)).as("n_cand"))
         .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
         .crossJoin(exact.agg(count(lit(1)).as("n_exact")))

@@ -48,6 +48,36 @@ object Bench {
     math.min(spin(), spin())
   }
 
+  /** Hypervisor steal measured UNDER LOAD: spin `threads` busy loops for
+    * `ms`, read the /proc/stat steal delta across the burst. An IDLE
+    * guest records near-zero steal even on a contended host (an idle
+    * vCPU is not runnable, so nothing is "stolen" from it) — round 10
+    * measured 11-14 % steal during 32-thread query bursts in windows
+    * whose idle-sampled steal and single-thread spin both read clean.
+    * This is the only probe that sees the contention mode queries
+    * actually run under. */
+  private[graft] def loadedStealPct(threads: Int, ms: Long): Double = {
+    val (s0, j0) = cpuSteal()
+    if (s0 < 0) return -1.0
+    val deadline = System.nanoTime + ms * 1000000L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (1 to threads).foreach { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var x = 0x9E3779B97F4A7C15L
+          while (System.nanoTime < deadline) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          }
+          blackhole = x
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(ms * 4, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val (s1, j1) = cpuSteal()
+    if (s1 < 0 || j1 <= j0) -1.0 else 100.0 * (s1 - s0) / (j1 - j0)
+  }
+
   /** Should a DEGRADED-WINDOW cold be retried even though it sits under
     * the 3× blanket threshold? Fires when the execution's bracketing
     * spin probes read > 2× the run's best (the host was provably slow
@@ -350,12 +380,19 @@ object Bench {
     // the driver — once spent, retries fire immediately as before.
     var waitBudgetMs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_S")
       .flatMap(_.toIntOption).getOrElse(300) * 1000L
+    // clean = the single-thread spin reads near the run's best (uniform
+    // slowdown) AND steal under a brief all-core burst is low (contention
+    // — idle-sampled steal misses it, see loadedStealPct). The loaded
+    // probe costs ~250 ms, so it runs only here, never around queries.
+    val nThreads = cpus.toIntOption.getOrElse(4)
     def awaitCleanWindow(): Unit = {
       var m = hostmark()
       minMark = math.min(minMark, m)
-      while (waitBudgetMs > 0 && m > 1.5 * minMark) {
-        Thread.sleep(3000); waitBudgetMs -= 3000
+      var st = loadedStealPct(nThreads, 250)
+      while (waitBudgetMs > 0 && (m > 1.5 * minMark || st > 5.0)) {
+        Thread.sleep(3000); waitBudgetMs -= 3250
         m = hostmark(); minMark = math.min(minMark, m)
+        st = loadedStealPct(nThreads, 250)
       }
     }
     val retryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]

@@ -131,6 +131,14 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(warmed <= first * 2.0 + 1.0) // never wildly above the cold read
   }
 
+  test("loadedStealPct burns briefly and returns a bounded percentage") {
+    val t0 = System.nanoTime
+    val pct = Bench.loadedStealPct(threads = 2, ms = 100)
+    val elapsed = (System.nanoTime - t0) / 1e6
+    assert(pct == -1.0 || (pct >= 0.0 && pct <= 100.0))
+    assert(elapsed < 5000, s"probe took ${elapsed}ms — must stay bounded")
+  }
+
   test("cpuSteal sums only the first 8 /proc/stat fields (no guest double-count)") {
     val (steal, total) = Bench.cpuSteal()
     if (total >= 0) { // Linux

@@ -48,6 +48,40 @@ object Bench {
     math.min(spin(), spin())
   }
 
+  /** (busy, total) jiffies from /proc/stat's aggregate line: busy =
+    * everything but idle+iowait. Paired with [[selfJiffies]] this yields
+    * the EXTERNAL CPU share of a window — cycles burned by other
+    * processes in the guest. A fair-share competitor inflates query
+    * wall time 2-3× while steal reads 0 (it is guest-internal, nothing
+    * is stolen from the hypervisor's view) and the short spin probe
+    * reads clean (a 17 ms burst is scheduled immediately under CFS) —
+    * measured exactly so in round 10's hog experiment. (-1,-1) when
+    * unreadable. */
+  private[graft] def cpuBusy(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val tot = f.take(8).sum
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        (tot - idle, tot)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+
+  /** This process's own cumulative CPU jiffies (utime+stime across all
+    * threads, /proc/self/stat fields 14-15 — same USER_HZ unit as
+    * /proc/stat). -1 when unreadable. */
+  private[graft] def selfJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        // comm (field 2) may contain spaces — split after the closing paren
+        val line = src.getLines().next()
+        val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
+        rest(11).toLong + rest(12).toLong // utime, stime (fields 14, 15)
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
   /** Hypervisor steal measured UNDER LOAD: spin `threads` busy loops for
     * `ms`, read the /proc/stat steal delta across the burst. An IDLE
     * guest records near-zero steal even on a contended host (an idle
@@ -79,15 +113,15 @@ object Bench {
   }
 
   /** Should a DEGRADED-WINDOW cold be retried even though it sits under
-    * the 3× blanket threshold? Fires when the execution's bracketing
-    * spin probes read > 2× the run's best (the host was provably slow
-    * around this measurement) AND the cold exceeds a tighter
-    * max(3 s, 1.5× anchor) bar (the slowdown actually reached the
-    * query). Anchor-less queries never fire — there is nothing to
-    * compare against. */
+    * the 3× blanket threshold? `degradedWindow` is any window-level
+    * evidence the host was slow around the measurement (spin probes
+    * > 2× the run's best, or external CPU share above the noise floor);
+    * the cold must also exceed a tighter max(3 s, 1.5× anchor) bar (the
+    * slowdown actually reached the query). Anchor-less queries never
+    * fire — there is nothing to compare against. */
   private[graft] def degradedRetryNeeded(coldSecs: Double,
-      anchor: Option[Double], mark: Double, minMark: Double): Boolean =
-    mark > 2.0 * minMark &&
+      anchor: Option[Double], degradedWindow: Boolean): Boolean =
+    degradedWindow &&
       anchor.exists(a => coldSecs > math.max(3.0, 1.5 * a))
 
   /** Per-query cold anchors ("name seconds" lines, '#' comments) from a
@@ -160,7 +194,7 @@ object Bench {
     * suspect and re-measured. */
   private case class Exec(ok: Boolean, secs: Double, steal: Double,
                           stealJ: Long, jiffies: Long, lingered: Boolean,
-                          mark: Double = -1.0)
+                          mark: Double = -1.0, ext: Double = -1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -248,6 +282,8 @@ object Bench {
         : Exec = {
       val preMark = hostmark()
       val (steal0, jiffies0) = cpuSteal()
+      val (busy0, _) = cpuBusy()
+      val self0 = selfJiffies()
       def stealOf(): (Double, Long, Long) = {
         val (steal1, jiffies1) = cpuSteal()
         if (steal0 < 0 || steal1 < 0 || jiffies1 <= jiffies0)
@@ -257,12 +293,22 @@ object Bench {
       }
       def done(ok: Boolean, secs: Double, lingered: Boolean = false): Exec = {
         val (pct, sj, jf) = stealOf()
+        // external CPU share of the window: guest-busy jiffies NOT burned
+        // by this process — a fair-share competitor inside the guest
+        // (invisible to both steal and the short spin probe)
+        val (busy1, _) = cpuBusy()
+        val self1 = selfJiffies()
+        val ext =
+          if (busy0 < 0 || busy1 < 0 || self0 < 0 || self1 < 0 || jf <= 0)
+            -1.0
+          else 100.0 * math.max(0L, (busy1 - busy0) - (self1 - self0)) / jf
         // the execution's window indicator is the WORSE of the two
         // bracketing probes: a wave starting mid-query shows in the post
         // probe, one ending mid-query in the pre probe
         val postMark = hostmark()
         minMark = math.min(minMark, math.min(preMark, postMark))
-        Exec(ok, secs, pct, sj, jf, lingered, math.max(preMark, postMark))
+        Exec(ok, secs, pct, sj, jf, lingered,
+          math.max(preMark, postMark), ext)
       }
       if (inline) {
         val t0 = System.nanoTime()
@@ -341,7 +387,8 @@ object Bench {
       // artifact is correlatable with GC logs / host contention directly
       System.err.println(f"[bench] $name cold: ${cold.secs}%.2f s (at " +
         f"${(System.nanoTime() - benchStart) / 1e9}%.0f s into the run, " +
-        f"host steal ${cold.steal}%.1f%%, mark ${cold.mark}%.0f/$minMark%.0f ms)")
+        f"host steal ${cold.steal}%.1f%%, mark ${cold.mark}%.0f/$minMark%.0f ms, " +
+        f"ext ${cold.ext}%.1f%%)")
       // best (min) warm seconds across repeat-1 re-runs, -1 if none ran
       // ok; a warm run that follows a lingering execution is suspect
       var warmSuspect = false
@@ -381,26 +428,39 @@ object Bench {
     var waitBudgetMs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_S")
       .flatMap(_.toIntOption).getOrElse(300) * 1000L
     // clean = the single-thread spin reads near the run's best (uniform
-    // slowdown) AND steal under a brief all-core burst is low (contention
-    // — idle-sampled steal misses it, see loadedStealPct). The loaded
-    // probe costs ~250 ms, so it runs only here, never around queries.
+    // slowdown), steal under a brief all-core burst is low (hypervisor
+    // contention — idle-sampled steal misses it, see loadedStealPct),
+    // AND no other guest process is burning CPU (fair-share competition
+    // — invisible to both of the above; sampled over a short idle beat).
+    // The probes cost ~0.5 s, so they run only here, never around queries.
     val nThreads = cpus.toIntOption.getOrElse(4)
     def awaitCleanWindow(): Unit = {
-      var m = hostmark()
-      minMark = math.min(minMark, m)
-      var st = loadedStealPct(nThreads, 250)
-      while (waitBudgetMs > 0 && (m > 1.5 * minMark || st > 5.0)) {
-        Thread.sleep(3000); waitBudgetMs -= 3250
-        m = hostmark(); minMark = math.min(minMark, m)
-        st = loadedStealPct(nThreads, 250)
+      var ok = false
+      while (!ok && waitBudgetMs > 0) {
+        val m = hostmark(); minMark = math.min(minMark, m)
+        val st = loadedStealPct(nThreads, 250)
+        val (b0, t0) = cpuBusy(); val s0 = selfJiffies()
+        Thread.sleep(250)
+        val (b1, t1) = cpuBusy(); val s1 = selfJiffies()
+        val ext =
+          if (b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0) 0.0
+          else 100.0 * math.max(0L, (b1 - b0) - (s1 - s0)) / (t1 - t0)
+        waitBudgetMs -= 500
+        ok = m <= 1.5 * minMark && st <= 5.0 && ext <= 10.0
+        if (!ok) { Thread.sleep(2500); waitBudgetMs -= 2500 }
       }
     }
+    // window-level degradation evidence for an execution: slow spin
+    // probes OR external CPU burn above the noise floor (GC/housekeeping
+    // threads of a co-resident process sit well under 10 %)
+    def windowDegraded(e: Exec): Boolean =
+      e.mark > 2.0 * minMark || e.ext > 10.0
     val retryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
     val afterRetry = firstPass.map { qr =>
       val overThreshold =
         retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _)
       val degraded = qr.cold.ok && degradedRetryNeeded(qr.cold.secs,
-        anchors.get(qr.name), qr.cold.mark, minMark)
+        anchors.get(qr.name), windowDegraded(qr.cold))
       val needsRetry = doRetry &&
         (!qr.cold.ok || qr.contaminated || overThreshold || degraded)
       if (!needsRetry) qr.copy(coldSuspect = false)
@@ -411,7 +471,8 @@ object Bench {
             "contaminated"
           else if (overThreshold) f"cold ${qr.cold.secs}%.2f s > 3x anchor"
           else f"cold ${qr.cold.secs}%.2f s in a degraded window " +
-            f"(mark ${qr.cold.mark}%.0f vs min $minMark%.0f ms)"
+            f"(mark ${qr.cold.mark}%.0f vs min $minMark%.0f ms, " +
+            f"ext ${qr.cold.ext}%.1f%%)"
         System.err.println(s"[bench] retrying ${qr.name} ($why)")
         awaitCleanWindow()
         // a retry launched while the PREVIOUS retry's kill still lingers
@@ -472,7 +533,7 @@ object Bench {
     val retry2Raw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
     val results = afterWarm.map { qr =>
       val stillDegraded = qr.cold.ok && degradedRetryNeeded(qr.cold.secs,
-        anchors.get(qr.name), qr.cold.mark, minMark)
+        anchors.get(qr.name), windowDegraded(qr.cold))
       val needs = doRetry && (stillDegraded ||
         finalRetryNeeded(qr.cold.ok, qr.cold.secs,
           anchors.get(qr.name), qr.coldSuspect || lingering))
@@ -529,8 +590,9 @@ object Bench {
     // spin probes, ms) — a per-query entry far above hostmark_min proves
     // from the artifact that the measurement sat in a degraded window
     val markFull = dmap(results.map(qr => qr.name -> qr.cold.mark))
-    val nDegraded = results.count(qr =>
-      qr.cold.ok && qr.cold.mark > 2.0 * minMark)
+    // external CPU share of each headline window (guest co-residents)
+    val extFull = dmap(results.map(qr => qr.name -> qr.cold.ext))
+    val nDegraded = results.count(qr => qr.cold.ok && windowDegraded(qr.cold))
     val jiffiesFull = jmap(results.map(qr => qr.name -> qr.cold.jiffies.toString))
     val retryFull = dmap(retryRaw.toSeq.map { case (k, e) => k -> clamp(e) })
     val retry2Full = dmap(retry2Raw.toSeq.map { case (k, e) => k -> clamp(e) })
@@ -549,7 +611,7 @@ object Bench {
     val countsDetail = counts +
       s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size},"n_degraded":$nDegraded,"hostmark_min":${fmt(minMark)}"""
     val full =
-      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$countsDetail,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"first":$firstFull,"warm":$warmFull,"warm_first":$warmFirstFull,"steal":$stealFull,"hostmark":$markFull,"jiffies":$jiffiesFull,"retry":$retryFull,"retry2":$retry2Full,"warm_retry":$warmRetryFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$countsDetail,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"first":$firstFull,"warm":$warmFull,"warm_first":$warmFirstFull,"steal":$stealFull,"hostmark":$markFull,"ext":$extFull,"jiffies":$jiffiesFull,"retry":$retryFull,"retry2":$retry2Full,"warm_retry":$warmRetryFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to
     // parse a JSON line out of it. With 150+ queries the full per-query map
     // is ~4.5 KB, so a single fat line gets truncated at the front and never

@@ -105,18 +105,35 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.finalRetryNeeded(coldOk = false, -1.0, None, suspect = false))
   }
 
-  test("degradedRetryNeeded: slow-window marks with a tighter 1.5x anchor bar") {
-    // mark 2x over the run minimum + cold over max(3, 1.5x anchor) → retry
-    assert(Bench.degradedRetryNeeded(4.0, Some(2.0), mark = 50, minMark = 20))
+  test("degradedRetryNeeded: degraded windows with a tighter 1.5x anchor bar") {
+    // degraded window + cold over max(3, 1.5x anchor) → retry
+    assert(Bench.degradedRetryNeeded(4.0, Some(2.0), degradedWindow = true))
     // cold under the 1.5x bar: the wave did not reach the query
-    assert(!Bench.degradedRetryNeeded(2.9, Some(2.0), mark = 50, minMark = 20))
+    assert(!Bench.degradedRetryNeeded(2.9, Some(2.0), degradedWindow = true))
     // 3s floor holds for tiny anchors
-    assert(!Bench.degradedRetryNeeded(2.9, Some(0.3), mark = 50, minMark = 20))
-    assert(Bench.degradedRetryNeeded(3.1, Some(0.3), mark = 50, minMark = 20))
-    // clean window (mark within 2x of the run min): never fires
-    assert(!Bench.degradedRetryNeeded(100.0, Some(2.0), mark = 30, minMark = 20))
+    assert(!Bench.degradedRetryNeeded(2.9, Some(0.3), degradedWindow = true))
+    assert(Bench.degradedRetryNeeded(3.1, Some(0.3), degradedWindow = true))
+    // clean window: never fires, however slow the cold
+    assert(!Bench.degradedRetryNeeded(100.0, Some(2.0), degradedWindow = false))
     // anchor-less queries: nothing to compare against
-    assert(!Bench.degradedRetryNeeded(100.0, None, mark = 90, minMark = 20))
+    assert(!Bench.degradedRetryNeeded(100.0, None, degradedWindow = true))
+  }
+
+  test("cpuBusy and selfJiffies read consistent monotone counters") {
+    val (b0, t0) = Bench.cpuBusy()
+    val s0 = Bench.selfJiffies()
+    if (t0 >= 0) { // Linux
+      assert(b0 >= 0 && b0 <= t0)
+      // burn a little CPU so self advances measurably
+      var x = 0L; var i = 0
+      while (i < 50000000) { x ^= i; i += 1 }
+      assert(x != Long.MinValue)
+      val (b1, t1) = Bench.cpuBusy()
+      val s1 = Bench.selfJiffies()
+      assert(b1 >= b0 && t1 >= t0 && s1 >= s0)
+      // this process's burn is part of the guest's busy jiffies
+      assert(b1 - b0 >= 0)
+    }
   }
 
   test("hostmark returns a positive bounded spin time and tightens with JIT") {

@@ -49,22 +49,25 @@ object Bench {
   }
 
   /** (busy, total) jiffies from /proc/stat's aggregate line: busy =
-    * everything but idle+iowait. Paired with [[selfJiffies]] this yields
+    * user+nice+system ONLY. Paired with [[selfJiffies]] this yields
     * the EXTERNAL CPU share of a window — cycles burned by other
     * processes in the guest. A fair-share competitor inflates query
     * wall time 2-3× while steal reads 0 (it is guest-internal, nothing
     * is stolen from the hypervisor's view) and the short spin probe
     * reads clean (a 17 ms burst is scheduled immediately under CFS) —
-    * measured exactly so in round 10's hog experiment. (-1,-1) when
-    * unreadable. */
+    * measured exactly so in round 10's hog experiment. steal, irq and
+    * softirq are deliberately EXCLUDED from busy (round-10 ADVICE):
+    * selfJiffies counts only this process's user+system, so folding
+    * hypervisor steal or kernel interrupt time into busy would be
+    * attributed to "guest co-resident processes", inflating ext and
+    * double-triggering the detector in high-steal or IO-heavy windows
+    * that the steal probes already cover. (-1,-1) when unreadable. */
   private[graft] def cpuBusy(): (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
       try {
         val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        val tot = f.take(8).sum
-        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
-        (tot - idle, tot)
+        (f(0) + f(1) + f(2), f.take(8).sum)
       } finally src.close()
     } catch { case _: Throwable => (-1L, -1L) }
 
@@ -194,7 +197,16 @@ object Bench {
     * suspect and re-measured. */
   private case class Exec(ok: Boolean, secs: Double, steal: Double,
                           stealJ: Long, jiffies: Long, lingered: Boolean,
-                          mark: Double = -1.0, ext: Double = -1.0)
+                          mark: Double = -1.0, ext: Double = -1.0,
+                          // the run-best hostmark IN EFFECT when this
+                          // execution finished (its own probes folded in).
+                          // Degradation is judged against this snapshot,
+                          // not the end-of-run minimum: on a DVFS/turbo
+                          // host the run minimum keeps tightening, so a
+                          // clean early query could read >2x a later,
+                          // faster minimum and be spuriously flagged
+                          // (round-10 ADVICE).
+                          markRef: Double = -1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -308,7 +320,7 @@ object Bench {
         val postMark = hostmark()
         minMark = math.min(minMark, math.min(preMark, postMark))
         Exec(ok, secs, pct, sj, jf, lingered,
-          math.max(preMark, postMark), ext)
+          math.max(preMark, postMark), ext, markRef = minMark)
       }
       if (inline) {
         val t0 = System.nanoTime()
@@ -364,6 +376,80 @@ object Bench {
       if (doSweep) sweepSession(spark) // hermetic: next execution starts clean
       out
     }
+    // Bounded retry pass (VERDICT r7 task 1): the host provably loads
+    // ~half of all runs (same-code spread 452–1056 s), so one post-sweep
+    // cold re-run of every query that failed, was contaminated by a
+    // lingering deadline kill, or exceeded 3× its recorded clean anchor
+    // decorrelates the headline from the steal window the first pass
+    // happened to land in. Headline cold = min(first, retry); both raw
+    // values land in BENCH_DETAIL ("first" and "retry" maps).
+    val doRetry = !sys.env.get("SPARK_GRAFT_RETRY").contains("0")
+    val anchors = parseAnchors(
+      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_ANCHOR.txt"))
+    if (doRetry && anchors.isEmpty) System.err.println(
+      "[bench] no anchor file — retry passes fire on failures only")
+    // Bounded wait for a CLEAN window before the first sweep and before
+    // each retry execution: the round-10 degradation waves are minutes
+    // long, so a retry fired straight into the wave that inflated the
+    // first pass mostly re-records it (exactly r8's q164 failure mode,
+    // which the final re-retry only partially caps). Probing until the
+    // spin reads < 1.5× the run's best costs ~30 ms per probe; the
+    // budget is shared across the whole run so a permanently-degraded
+    // host cannot stall the driver — once spent, retries fire
+    // immediately as before.
+    var waitBudgetMs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_S")
+      .flatMap(_.toIntOption).getOrElse(300) * 1000L
+    // clean = the single-thread spin reads near the run's best (uniform
+    // slowdown), steal under a brief all-core burst is low (hypervisor
+    // contention — idle-sampled steal misses it, see loadedStealPct),
+    // AND no other guest process is burning CPU (fair-share competition
+    // — invisible to both of the above; sampled over a short idle beat).
+    // The probes cost ~0.5 s, so they run only here, never around queries.
+    val nThreads = cpus.toIntOption.getOrElse(4)
+    def awaitCleanWindow(): Unit = {
+      var ok = false
+      while (!ok && waitBudgetMs > 0) {
+        // deduct MEASURED elapsed time per iteration, not a flat
+        // constant: one iteration costs hostmark (seconds on exactly
+        // the degraded host this loop runs on) + the 250 ms loaded
+        // burst (awaitTermination up to 4×) + the idle beat, so flat
+        // 500/3000 ms deductions let wall time overrun the budget
+        // severalfold (round-10 ADVICE)
+        val it0 = System.nanoTime
+        val m = hostmark(); minMark = math.min(minMark, m)
+        val st = loadedStealPct(nThreads, 250)
+        val (b0, t0) = cpuBusy(); val s0 = selfJiffies()
+        Thread.sleep(250)
+        val (b1, t1) = cpuBusy(); val s1 = selfJiffies()
+        val ext =
+          if (b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0) 0.0
+          else 100.0 * math.max(0L, (b1 - b0) - (s1 - s0)) / (t1 - t0)
+        ok = m <= 1.5 * minMark && st <= 5.0 && ext <= 10.0
+        if (!ok) Thread.sleep(2500)
+        waitBudgetMs -= math.max(1L, (System.nanoTime - it0) / 1000000L)
+      }
+    }
+    // window-level degradation evidence for an execution: slow spin
+    // probes OR external CPU burn above the noise floor (GC/housekeeping
+    // threads of a co-resident process sit well under 10 %). Compared
+    // against the run-best hostmark AS OF that execution (Exec.markRef),
+    // not the end-of-run minimum — see the Exec field note.
+    def windowDegraded(e: Exec): Boolean =
+      (e.markRef > 0 && e.mark > 2.0 * e.markRef) || e.ext > 10.0
+    // Gate the FIRST cold sweep on a clean window too (VERDICT r10
+    // task 2): the retry passes already waited for a clean window, but
+    // an official run LAUNCHED into a degraded window burned one full
+    // noisy sweep before the retry machinery caught up (BENCH_r10: 39
+    // retries, ~90 s of recoverable noise). Same shared bounded budget,
+    // so a permanently-degraded host still starts within
+    // SPARK_GRAFT_RETRY_WAIT_S.
+    if (doRetry) {
+      val w0 = System.nanoTime
+      awaitCleanWindow()
+      val waitedS = (System.nanoTime - w0) / 1e9
+      if (waitedS > 1.0) System.err.println(
+        f"[bench] waited $waitedS%.1f s for a clean window before the first sweep")
+    }
     val benchStart = System.nanoTime()
     // lingering deadline-kill from the PREVIOUS execution: the next
     // measurement (whatever pass it belongs to) may have shared the host
@@ -405,56 +491,6 @@ object Bench {
       QR(name, fn, cold, cold, warm, warm, contaminated,
         coldSuspect = contaminated, warmSuspect = warmSuspect)
     }
-    // Bounded retry pass (VERDICT r7 task 1): the host provably loads
-    // ~half of all runs (same-code spread 452–1056 s), so one post-sweep
-    // cold re-run of every query that failed, was contaminated by a
-    // lingering deadline kill, or exceeded 3× its recorded clean anchor
-    // decorrelates the headline from the steal window the first pass
-    // happened to land in. Headline cold = min(first, retry); both raw
-    // values land in BENCH_DETAIL ("first" and "retry" maps).
-    val doRetry = !sys.env.get("SPARK_GRAFT_RETRY").contains("0")
-    val anchors = parseAnchors(
-      sys.env.getOrElse("SPARK_GRAFT_ANCHOR", "BENCH_ANCHOR.txt"))
-    if (doRetry && anchors.isEmpty) System.err.println(
-      "[bench] no anchor file — retry passes fire on failures only")
-    // Bounded wait for a CLEAN window before each retry execution: the
-    // round-10 degradation waves are minutes long, so a retry fired
-    // straight into the wave that inflated the first pass mostly
-    // re-records it (exactly r8's q164 failure mode, which the final
-    // re-retry only partially caps). Probing until the spin reads
-    // < 1.5× the run's best costs ~30 ms per probe; the budget is shared
-    // across the whole run so a permanently-degraded host cannot stall
-    // the driver — once spent, retries fire immediately as before.
-    var waitBudgetMs = sys.env.get("SPARK_GRAFT_RETRY_WAIT_S")
-      .flatMap(_.toIntOption).getOrElse(300) * 1000L
-    // clean = the single-thread spin reads near the run's best (uniform
-    // slowdown), steal under a brief all-core burst is low (hypervisor
-    // contention — idle-sampled steal misses it, see loadedStealPct),
-    // AND no other guest process is burning CPU (fair-share competition
-    // — invisible to both of the above; sampled over a short idle beat).
-    // The probes cost ~0.5 s, so they run only here, never around queries.
-    val nThreads = cpus.toIntOption.getOrElse(4)
-    def awaitCleanWindow(): Unit = {
-      var ok = false
-      while (!ok && waitBudgetMs > 0) {
-        val m = hostmark(); minMark = math.min(minMark, m)
-        val st = loadedStealPct(nThreads, 250)
-        val (b0, t0) = cpuBusy(); val s0 = selfJiffies()
-        Thread.sleep(250)
-        val (b1, t1) = cpuBusy(); val s1 = selfJiffies()
-        val ext =
-          if (b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0) 0.0
-          else 100.0 * math.max(0L, (b1 - b0) - (s1 - s0)) / (t1 - t0)
-        waitBudgetMs -= 500
-        ok = m <= 1.5 * minMark && st <= 5.0 && ext <= 10.0
-        if (!ok) { Thread.sleep(2500); waitBudgetMs -= 2500 }
-      }
-    }
-    // window-level degradation evidence for an execution: slow spin
-    // probes OR external CPU burn above the noise floor (GC/housekeeping
-    // threads of a co-resident process sit well under 10 %)
-    def windowDegraded(e: Exec): Boolean =
-      e.mark > 2.0 * minMark || e.ext > 10.0
     val retryRaw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
     val afterRetry = firstPass.map { qr =>
       val overThreshold =
@@ -579,6 +615,14 @@ object Bench {
     val coldSum = results.filter(_.cold.ok).map(_.cold.secs).sum
     val total = fmt(if (nFailed > 0) -1.0 else coldSum)
     val warmTotal = fmt(results.map(_.warm).filter(_ >= 0).sum)
+    // the UNRETRIED single-throw total (round-10 ADVICE): the headline
+    // "value" is a min over up to 3 executions for retried queries, so
+    // it is not comparable to pre-round-10 single-throw artifacts;
+    // "first_value" is. -1 when any first pass failed outright (same
+    // no-silent-partial rule as the headline).
+    val firstValue = fmt(
+      if (results.exists(!_.first.ok)) -1.0
+      else results.map(_.first.secs).sum)
     def clamp(e: Exec): Double = if (e.ok) e.secs else e.secs.min(-1.0)
     val colds = results.map(qr => qr.name -> clamp(qr.cold))
     val qsFull = dmap(colds)
@@ -607,7 +651,7 @@ object Bench {
     val jiffyJ = headlineExecs.map(_.jiffies).sum
     val stealRun = if (jiffyJ <= 0) -1.0 else 100.0 * stealJ / jiffyJ
     val counts = s""""n_queries":${results.size},"n_failed":$nFailed,""" +
-      s""""n_retried":${retryRaw.size}"""
+      s""""n_retried":${retryRaw.size},"first_value":$firstValue"""
     val countsDetail = counts +
       s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size},"n_degraded":$nDegraded,"hostmark_min":${fmt(minMark)}"""
     val full =

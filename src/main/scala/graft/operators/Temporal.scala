@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 /** Time-series completion and event-time sliding aggregates.
   *
   * The reference's only notion of time is Kafka ingestion order
-  * (als-ms/src/main/java/de/tub/cs/bdapro/als/ms/ALSKafkaProducer.java:29
+  * (als-ms/src/main/java/de/tub/it4bi/modelserving/qs/ALSKafkaProducer.java:29
   * attaches timestamps nobody consumes); a serving/analytics engine needs
   * real event-time operators: filling a metric series onto a regular grid
   * (dashboards, drift monitors over training-data ingestion) and trailing

@@ -145,7 +145,11 @@ class BenchRetrySpec extends AnyFunSuite {
     val warmed = (1 to 8).map(_ => Bench.hostmark()).min
     assert(warmed > 0 && warmed < 1000.0,
       s"warmed hostmark $warmed ms out of range")
-    assert(warmed <= first * 2.0 + 1.0) // never wildly above the cold read
+    // no upper bound vs `first`: on exactly the degraded hosts this probe
+    // exists to detect, the host can slow 2.5-10x BETWEEN the first read
+    // and the follow-ups, so warmed > first is a legitimate reading, not
+    // a probe bug (round-10 ADVICE — the old `warmed <= 2*first+1` assert
+    // was flaky under the documented slowdown waves)
   }
 
   test("loadedStealPct burns briefly and returns a bounded percentage") {

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Assert every reference citation in src/ resolves against /root/reference.
+
+Scaladoc in this repo cites the reference implementation as
+`path/Basename.ext:line[-line]` (path often abbreviated, e.g.
+`als-ms/SGD.java:142-147` for
+`als-ms/src/main/java/de/tub/it4bi/modelserving/qs/SGD.java`). A citation
+resolves iff some reference file (a) has the cited basename, (b) contains
+every cited path component in order (a `...` component is an explicit
+skip), and (c) is long enough for the cited line range. Citations whose
+basename names no reference file are skipped — they point at this repo or
+at Spark, not at the reference. Exit 1 with a listing if anything is
+stale (VERDICT r10 task 4: a moved/misremembered path must fail loudly,
+not rot in a doc comment). CitationSpec runs the same check in sbt test.
+"""
+import os
+import re
+import sys
+
+REF = "/root/reference"
+SRC = "src"
+
+CITE = re.compile(r"([A-Za-z0-9_$./-]+\.(?:java|scala))(?::(\d+)(?:-(\d+))?)?")
+
+
+def main() -> int:
+    ref_files = {}  # basename -> [(components, line_count)]
+    for root, _, files in os.walk(REF):
+        for f in files:
+            if f.endswith((".java", ".scala")):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    n = sum(1 for _ in fh)
+                rel = os.path.relpath(p, REF).split(os.sep)
+                ref_files.setdefault(f, []).append((rel, n))
+    stale = []
+    for root, _, files in os.walk(SRC):
+        for f in files:
+            if not f.endswith(".scala"):
+                continue
+            p = os.path.join(root, f)
+            with open(p, encoding="utf-8") as fh:
+                for ln, line in enumerate(fh, 1):
+                    for m in CITE.finditer(line):
+                        path, lo, hi = m.group(1), m.group(2), m.group(3)
+                        base = path.split("/")[-1]
+                        if base not in ref_files:
+                            continue  # repo-internal or Spark citation
+                        comps = [c for c in path.split("/")
+                                 if c not in ("", "...", "..")]
+                        want = int(hi or lo or 0)
+
+                        def resolves(rel, n):
+                            it = iter(rel)
+                            return all(c in it for c in comps) and want <= n
+
+                        if not any(resolves(rel, n)
+                                   for rel, n in ref_files[base]):
+                            stale.append(f"{p}:{ln}: {m.group(0)}")
+    if stale:
+        print("STALE reference citations (path or line range does not "
+              "resolve under /root/reference):")
+        print("\n".join(stale))
+        return 1
+    print("all reference citations resolve")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

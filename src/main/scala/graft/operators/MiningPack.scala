@@ -360,11 +360,15 @@ object MiningPack extends QueryPack {
         .select(col("user_id").cast("string").as("k")))
       val b = keyed(Tables.table(s, dir, "orders")
         .select((col("o_custkey") % 150).cast("string").as("k")))
-      def cms(t: DataFrame) = (0 until CmsDepth).map { d =>
-          t.select(lit(d).as("d"),
-            (Portable.permute(Portable.hash32m(col("k")), d) % CmsWidth)
-              .as("w"), col("c"))
-        }.reduce(_ unionAll _)
+      // one pass per side: posexplode over the depth-indexed cell array
+      // replaces a CmsDepth-way unionAll that re-scanned the keyed
+      // aggregate once per depth (r10 verdict: the only plan in the
+      // fleet that re-read an aggregate D times; same (d, w, cnt) rows)
+      def cms(t: DataFrame) = t
+        .select(col("c"), posexplode(array((0 until CmsDepth).map { d =>
+          Portable.permute(Portable.hash32m(col("k")), d) % CmsWidth
+        }: _*)))
+        .toDF("c", "d", "w")
         .groupBy("d", "w").agg(sum(col("c")).as("cnt"))
       val estPerDepth = cms(a).select(col("d"), col("w"), col("cnt").as("ca"))
         .join(cms(b).select(col("d"), col("w"), col("cnt").as("cb")),

@@ -172,7 +172,15 @@ object Dedup {
   def allPairsJaccard(shIn: DataFrame, id: String = "doc_id"): DataFrame = {
     // three references below (counts + both join sides) — cache, don't
     // recompute the upstream shingle pipeline per branch
-    val sh = shIn.localCheckpoint()
+    allPairsJaccardOn(shIn.localCheckpoint(), id)
+  }
+
+  /** [[allPairsJaccard]] over a shingle table the CALLER already
+    * materialized (checkpoint/cache): no second checkpoint. q116 shares
+    * one shingle checkpoint across this, the MinHash signatures, and the
+    * audit's count aggregates — re-checkpointing it here cost one full
+    * extra pass over the shingle blocks. */
+  def allPairsJaccardOn(sh: DataFrame, id: String = "doc_id"): DataFrame = {
     val counts = sh.groupBy(col(id)).agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col(id).as("doc_a"), col("sh"))
       .join(sh.select(col(id).as("doc_b"), col("sh")), "sh")

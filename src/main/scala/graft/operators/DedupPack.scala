@@ -93,7 +93,7 @@ object DedupPack extends QueryPack {
       val cand = Dedup.lshCandidates(
         Dedup.lshBands(Dedup.minhashSignatures(sh, 16), 16, 4))
         .localCheckpoint() // consumed by n_cand AND the verify join
-      val exact = Dedup.allPairsJaccard(sh).filter(col("jaccard") >= 0.5)
+      val exact = Dedup.allPairsJaccardOn(sh).filter(col("jaccard") >= 0.5)
         .select("doc_a", "doc_b").localCheckpoint()
       // verified-LSH pairs = candidates whose exact Jaccard clears the
       // threshold, and the exact table already holds EVERY pair that

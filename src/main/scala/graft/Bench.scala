@@ -187,6 +187,18 @@ object Bench {
       anchor: Option[Double], suspect: Boolean): Boolean =
     !coldOk || suspect || retryThreshold(anchor).exists(coldSecs > _)
 
+  /** Should the headline sweep pause for a clean window MID-RUN (VERDICT
+    * r11 task 4)? The first-sweep gate and the per-retry waits protect
+    * the run's edges, but BENCH_r11's warm sweep ran entirely inside a
+    * degradation wave that STARTED mid-run (366 s warm vs 160 s clean;
+    * 41 warm retries) with no protection between them. Trigger: K=3
+    * consecutive sweep executions carrying window-degradation evidence —
+    * one flagged execution is a transient (a single GC-length probe
+    * blip must not pause a healthy run), three in a row is a wave.
+    * Isolated blips reset the streak. */
+  private[graft] def midRunRegateNeeded(consecutiveDegraded: Int): Boolean =
+    consecutiveDegraded >= 3
+
   /** One measured execution. `stealJ`/`jiffies` are the raw /proc/stat
     * deltas (0 when unreadable) so the run-level steal figure can be
     * jiffy-weighted instead of an unweighted mean of percentages (a 1-s
@@ -406,9 +418,21 @@ object Bench {
     // — invisible to both of the above; sampled over a short idle beat).
     // The probes cost ~0.5 s, so they run only here, never around queries.
     val nThreads = cpus.toIntOption.getOrElse(4)
-    def awaitCleanWindow(): Unit = {
+    // log-once flag: on a host without /proc the gate's external-CPU
+    // criterion is inert (fail-open, by design) — record that in the run
+    // log so an artifact from such a host carries the caveat (r11 ADVICE)
+    var extProbeWarned = false
+    // `capMs` bounds ONE gate invocation without owning the shared
+    // budget (r11 ADVICE): the first-sweep gate and the mid-run re-gate
+    // each pass a cap of half the REMAINING budget, so a degraded
+    // startup can no longer drain all of SPARK_GRAFT_RETRY_WAIT_S
+    // before any query runs and leave every retry to fire immediately
+    // into the same wave (the r8 q164 failure mode the budget exists to
+    // prevent). Per-retry waits stay uncapped — they are many and small.
+    def awaitCleanWindow(capMs: Long = Long.MaxValue): Unit = {
       var ok = false
-      while (!ok && waitBudgetMs > 0) {
+      var spentMs = 0L
+      while (!ok && waitBudgetMs > 0 && spentMs < capMs) {
         // deduct MEASURED elapsed time per iteration, not a flat
         // constant: one iteration costs hostmark (seconds on exactly
         // the degraded host this loop runs on) + the 250 ms loaded
@@ -421,12 +445,21 @@ object Bench {
         val (b0, t0) = cpuBusy(); val s0 = selfJiffies()
         Thread.sleep(250)
         val (b1, t1) = cpuBusy(); val s1 = selfJiffies()
+        val extReadable = b0 >= 0 && b1 >= 0 && s0 >= 0 && s1 >= 0 && t1 > t0
+        if (!extReadable && !extProbeWarned) {
+          extProbeWarned = true
+          System.err.println("[bench] /proc busy/self probes unreadable — " +
+            "the clean-window gate's external-CPU criterion is inert " +
+            "(fail-open) for this run")
+        }
         val ext =
-          if (b0 < 0 || b1 < 0 || s0 < 0 || s1 < 0 || t1 <= t0) 0.0
+          if (!extReadable) 0.0
           else 100.0 * math.max(0L, (b1 - b0) - (s1 - s0)) / (t1 - t0)
         ok = m <= 1.5 * minMark && st <= 5.0 && ext <= 10.0
         if (!ok) Thread.sleep(2500)
-        waitBudgetMs -= math.max(1L, (System.nanoTime - it0) / 1000000L)
+        val itMs = math.max(1L, (System.nanoTime - it0) / 1000000L)
+        waitBudgetMs -= itMs
+        spentMs += itMs
       }
     }
     // window-level degradation evidence for an execution: slow spin
@@ -436,6 +469,28 @@ object Bench {
     // not the end-of-run minimum — see the Exec field note.
     def windowDegraded(e: Exec): Boolean =
       (e.markRef > 0 && e.mark > 2.0 * e.markRef) || e.ext > 10.0
+    // Mid-run clean-window re-gate (VERDICT r11 task 4): called after
+    // every headline-sweep execution; on the 3rd consecutive degraded
+    // window it pauses once on the shared bounded budget, capped at half
+    // of what remains so the retry passes keep a reserve. The budget is
+    // shared and finite, so a permanently-sick host still terminates —
+    // once spent, this is a no-op and the sweep proceeds as before.
+    var consecDegraded = 0
+    var nRegated = 0
+    def noteWindow(e: Exec): Unit = {
+      if (windowDegraded(e)) consecDegraded += 1 else consecDegraded = 0
+      if (doRetry && midRunRegateNeeded(consecDegraded)) {
+        System.err.println(s"[bench] $consecDegraded consecutive degraded " +
+          "executions — pausing the sweep for a clean window")
+        val w0 = System.nanoTime
+        awaitCleanWindow(capMs = waitBudgetMs / 2)
+        val waitedS = (System.nanoTime - w0) / 1e9
+        if (waitedS > 1.0) System.err.println(
+          f"[bench] mid-run re-gate waited $waitedS%.1f s for a clean window")
+        nRegated += 1
+        consecDegraded = 0
+      }
+    }
     // Gate the FIRST cold sweep on a clean window too (VERDICT r10
     // task 2): the retry passes already waited for a clean window, but
     // an official run LAUNCHED into a degraded window burned one full
@@ -445,7 +500,10 @@ object Bench {
     // SPARK_GRAFT_RETRY_WAIT_S.
     if (doRetry) {
       val w0 = System.nanoTime
-      awaitCleanWindow()
+      // cap: half the budget, so a degraded startup leaves the retry
+      // passes a reserve instead of sending them straight back into the
+      // wave with an exhausted budget (r11 ADVICE)
+      awaitCleanWindow(capMs = waitBudgetMs / 2)
       val waitedS = (System.nanoTime - w0) / 1e9
       if (waitedS > 1.0) System.err.println(
         f"[bench] waited $waitedS%.1f s for a clean window before the first sweep")
@@ -469,6 +527,7 @@ object Bench {
       val contaminated = lingering
       val cold = execute(name, "cold", fn)
       lingering = cold.lingered
+      noteWindow(cold)
       // run-relative clock + steal share per query: a spike in the
       // artifact is correlatable with GC logs / host contention directly
       System.err.println(f"[bench] $name cold: ${cold.secs}%.2f s (at " +
@@ -483,6 +542,7 @@ object Bench {
         if (lingering) warmSuspect = true
         val w = execute(name, s"warm$r", fn)
         lingering = w.lingered
+        noteWindow(w)
         // a failed warm run must not print a plausible-looking timing
         if (w.ok) System.err.println(
           f"[bench] $name warm run $r: ${w.secs}%.2f s (cold ${cold.secs}%.2f)")
@@ -618,11 +678,17 @@ object Bench {
     // the UNRETRIED single-throw total (round-10 ADVICE): the headline
     // "value" is a min over up to 3 executions for retried queries, so
     // it is not comparable to pre-round-10 single-throw artifacts;
-    // "first_value" is. -1 when any first pass failed outright (same
-    // no-silent-partial rule as the headline).
-    val firstValue = fmt(
-      if (results.exists(!_.first.ok)) -1.0
-      else results.map(_.first.secs).sum)
+    // "first_value" is. When first passes failed, the sum over the
+    // non-failed first throws is published WITH the failed names in
+    // "first_failed" (VERDICT r11 task 3) — the old -1 sentinel
+    // destroyed single-throw comparability on exactly the degraded runs
+    // that need adjudication, while the headline's own -1 rule already
+    // guards the gate. A non-empty first_failed list marks the figure
+    // partial; readers exclude those queries from the comparison run.
+    val firstFailedNames = results.filter(!_.first.ok).map(_.name)
+    val firstValue = fmt(results.filter(_.first.ok).map(_.first.secs).sum)
+    val firstFailed =
+      firstFailedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     def clamp(e: Exec): Double = if (e.ok) e.secs else e.secs.min(-1.0)
     val colds = results.map(qr => qr.name -> clamp(qr.cold))
     val qsFull = dmap(colds)
@@ -651,9 +717,10 @@ object Bench {
     val jiffyJ = headlineExecs.map(_.jiffies).sum
     val stealRun = if (jiffyJ <= 0) -1.0 else 100.0 * stealJ / jiffyJ
     val counts = s""""n_queries":${results.size},"n_failed":$nFailed,""" +
-      s""""n_retried":${retryRaw.size},"first_value":$firstValue"""
+      s""""n_retried":${retryRaw.size},"first_value":$firstValue,""" +
+      s""""first_failed":$firstFailed"""
     val countsDetail = counts +
-      s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size},"n_degraded":$nDegraded,"hostmark_min":${fmt(minMark)}"""
+      s""","n_warm_retried":${warmRetryRaw.size},"n_retried2":${retry2Raw.size},"n_degraded":$nDegraded,"n_regated":$nRegated,"hostmark_min":${fmt(minMark)}"""
     val full =
       s"""{"metric":"total","value":$total,"warm_value":$warmTotal,"unit":"sec",$countsDetail,"steal_pct":${fmt(stealRun)},"queries":$qsFull,"first":$firstFull,"warm":$warmFull,"warm_first":$warmFirstFull,"steal":$stealFull,"hostmark":$markFull,"ext":$extFull,"jiffies":$jiffiesFull,"retry":$retryFull,"retry2":$retry2Full,"warm_retry":$warmRetryFull,"sf":"$sfDir"}"""
     // The driver harvests only the LAST ~2000 chars of stdout and tries to

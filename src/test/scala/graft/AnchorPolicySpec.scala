@@ -63,10 +63,14 @@ class AnchorPolicySpec extends AnyFunSuite {
     assert(anchors.nonEmpty)
     def expected(vs: Seq[Double]): Double = stat match {
       case "min" => vs.min
-      case _ => // median: mean of middle two for even n
+      case "median" => // mean of middle two for even n
         val s = vs.sorted
         val n = s.length
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      // exhaustive on purpose (r11 ADVICE): a typo'd or new "# stat:"
+      // value must fail here, not be silently validated as median
+      case other => fail(s"unknown anchor stat '$other' — extend this " +
+        "match (and the policy assertion above) deliberately")
     }
     val drifted = anchors.flatMap { case (name, a) =>
       val vs = runs.flatMap(_.get(name))

@@ -119,6 +119,27 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(!Bench.degradedRetryNeeded(100.0, None, degradedWindow = true))
   }
 
+  test("midRunRegateNeeded: three consecutive degraded windows, not blips") {
+    // BENCH_r11's warm sweep ran entirely inside a mid-run degradation
+    // wave (366 s vs 160 s clean) — the gate must fire on a sustained
+    // wave but never on an isolated probe blip (a healthy run with
+    // scattered single flags must not pause)
+    assert(!Bench.midRunRegateNeeded(0))
+    assert(!Bench.midRunRegateNeeded(1))
+    assert(!Bench.midRunRegateNeeded(2))
+    assert(Bench.midRunRegateNeeded(3))
+    assert(Bench.midRunRegateNeeded(4)) // budget spent → gate was a no-op
+    // the caller resets the streak on any clean execution, so an
+    // alternating degraded/clean pattern keeps the count under 3 —
+    // simulate that contract here
+    val flags = Seq(true, false, true, true, false, true, true, true)
+    val maxStreak = flags.foldLeft((0, 0)) { case ((cur, mx), d) =>
+      val c = if (d) cur + 1 else 0; (c, math.max(mx, c))
+    }
+    assert(maxStreak._1 == 3 && Bench.midRunRegateNeeded(maxStreak._1))
+    assert(!Bench.midRunRegateNeeded(2)) // the alternating prefix never fires
+  }
+
   test("cpuBusy and selfJiffies read consistent monotone counters") {
     val (b0, t0) = Bench.cpuBusy()
     val s0 = Bench.selfJiffies()

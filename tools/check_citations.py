@@ -20,6 +20,13 @@ import sys
 REF = "/root/reference"
 SRC = "src"
 
+# Repo files whose BASENAME coincides with a reference file would have
+# their repo-internal self-citations spuriously checked against the
+# reference's path/line-count (r11 ADVICE). No such collision exists
+# today; if one ever appears, the loud failure below forces a deliberate
+# entry here instead of letting the checker rot quietly.
+BASENAME_SKIP: set[str] = set()
+
 CITE = re.compile(r"([A-Za-z0-9_$./-]+\.(?:java|scala))(?::(\d+)(?:-(\d+))?)?")
 
 
@@ -34,6 +41,16 @@ def main() -> int:
                 rel = os.path.relpath(p, REF).split(os.sep)
                 ref_files.setdefault(f, []).append((rel, n))
     stale = []
+    # fail loudly on a repo/reference basename collision (minus the
+    # explicit skip-list) BEFORE any citation check can misfire on it
+    repo_base = {f for root, _, files in os.walk(SRC) for f in files
+                 if f.endswith((".java", ".scala"))}
+    collisions = sorted((repo_base & set(ref_files)) - BASENAME_SKIP)
+    if collisions:
+        print("repo files share a basename with reference files — their "
+              "self-citations would be checked against the reference; add "
+              f"them to BASENAME_SKIP deliberately: {collisions}")
+        return 1
     for root, _, files in os.walk(SRC):
         for f in files:
             if not f.endswith(".scala"):

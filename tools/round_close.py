@@ -1,0 +1,134 @@
+#!/usr/bin/env python3
+"""Executable round-close checklist (VERDICT r11 task 2).
+
+Every check below already existed as prose in BASELINE.md's round-close
+checklist or as an sbt test — and for three consecutive rounds the prose
+was skipped (the official BENCH/CORRECTNESS artifacts sat untracked at
+round close). This script composes the checks so skipping one fails
+loudly instead of silently:
+
+  (a) `git status` is clean — nothing untracked, nothing modified;
+  (b) the current round's official driver artifacts
+      (BENCH_r<NN>.json + CORRECTNESS_r<NN>.json) are git-tracked;
+  (c) every reference citation in src/ resolves (check_citations.py);
+  (d) BENCH_ANCHOR.txt re-derives exactly from its own machine-readable
+      provenance header (same derivation AnchorPolicySpec pins in sbt
+      test — duplicated here so the close check needs no JVM);
+  (e) PLANS.json records ZERO cartesian products fleet-wide.
+
+Usage: python3 tools/round_close.py [round]
+`round` defaults to the highest N with a BENCH_r<NN>.json present —
+pass it explicitly when closing a round whose artifacts the driver has
+not written yet (the check then fails, which is the point: close AFTER
+the driver artifacts land and are committed).
+
+Exit 0 = the round is closeable; nonzero = the listing says what's left.
+"""
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+
+
+def check(name, ok, detail=""):
+    print(f"  [{'ok' if ok else 'FAIL'}] {name}" + (f" — {detail}" if detail else ""))
+    return ok
+
+
+def git_clean():
+    out = subprocess.run(["git", "status", "--porcelain"],
+                         capture_output=True, text=True, check=True).stdout
+    dirty = [l for l in out.splitlines() if l.strip()]
+    return check("git status clean", not dirty,
+                 "" if not dirty else f"{len(dirty)} dirty/untracked: "
+                 + ", ".join(l.split()[-1] for l in dirty[:8]))
+
+
+def artifacts_tracked(rnd):
+    tracked = set(subprocess.run(["git", "ls-files"], capture_output=True,
+                                 text=True, check=True).stdout.split())
+    ok = True
+    for f in (f"BENCH_r{rnd:02d}.json", f"CORRECTNESS_r{rnd:02d}.json"):
+        ok &= check(f"{f} tracked", f in tracked,
+                    "" if f in tracked else "official driver artifact missing "
+                    "from git — the r9/r10/r11 recurring failure mode")
+    return ok
+
+
+def citations():
+    r = subprocess.run([sys.executable, "tools/check_citations.py"],
+                       capture_output=True, text=True)
+    return check("reference citations resolve", r.returncode == 0,
+                 "" if r.returncode == 0 else r.stdout.strip().splitlines()[0])
+
+
+def anchors():
+    """Re-derive BENCH_ANCHOR.txt from its '# stat:'/'# source:' header —
+    the same check AnchorPolicySpec runs in sbt test, JVM-free here."""
+    with open("BENCH_ANCHOR.txt") as f:
+        lines = f.read().splitlines()
+    stat = next((l.split(":", 1)[1].strip() for l in lines
+                 if l.startswith("# stat:")), "")
+    sources = [l.split(":", 1)[1].strip() for l in lines
+               if l.startswith("# source:")]
+    anchors = {}
+    for l in lines:
+        l = l.strip()
+        if l and not l.startswith("#"):
+            k, v = l.split()
+            anchors[k] = float(v)
+    if stat not in ("median", "min") or not sources or not anchors:
+        return check("anchor provenance header", False,
+                     f"stat={stat!r}, {len(sources)} sources, "
+                     f"{len(anchors)} anchors")
+    agg = statistics.median if stat == "median" else min
+    values = {}
+    for p in sources:
+        if not os.path.isfile(p):
+            return check("anchor source runs committed", False, f"missing {p}")
+        with open(p) as f:
+            text = f.read()
+        m = re.search(r'"queries":\{([^}]*)\}', text)
+        for kv in m.group(1).split(","):
+            k, v = kv.split(":", 1)
+            values.setdefault(k.strip().strip('"'), []).append(float(v))
+    drifted = [k for k, a in anchors.items()
+               if k not in values or abs(agg(values[k]) - a) > 0.0005 + 1e-9]
+    uncovered = sorted(set(values) - set(anchors))
+    ok = not drifted and not uncovered
+    return check(f"BENCH_ANCHOR.txt re-derives ({stat} over "
+                 f"{len(sources)} runs)", ok,
+                 "" if ok else f"drifted={drifted[:5]} uncovered={uncovered[:5]}"
+                 " — regenerate with tools/anchor.py")
+
+
+def plans():
+    cart = []
+    with open("PLANS.json") as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    cart = [r["q"] for r in rows if r.get("cartesian", 0) != 0]
+    return check(f"PLANS.json cartesians = 0 ({len(rows)} plans)", not cart,
+                 "" if not cart else f"cartesian products in: {cart}")
+
+
+def main():
+    os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+    if len(sys.argv) > 1:
+        rnd = int(sys.argv[1])
+    else:
+        have = [int(m.group(1)) for f in os.listdir(".")
+                if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))]
+        rnd = max(have)
+    print(f"round-close checklist (round {rnd}):")
+    ok = True
+    for fn in (git_clean, lambda: artifacts_tracked(rnd), citations,
+               anchors, plans):
+        ok &= fn()
+    print("CLOSEABLE" if ok else "NOT CLOSEABLE — fix the FAIL lines above")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,14 @@ def artifacts_tracked(rnd):
         ok &= check(f"{f} tracked", f in tracked,
                     "" if f in tracked else "official driver artifact missing "
                     "from git — the r9/r10/r11 recurring failure mode")
+    # the round's full per-query detail must survive too (the official r8
+    # detail was lost as an uncommitted working-tree file)
+    details = [f for f in tracked
+               if re.fullmatch(rf"BENCH_DETAIL_r{rnd:02d}\w*\.json", f)]
+    ok &= check(f"a BENCH_DETAIL_r{rnd:02d}* evidence file tracked",
+                bool(details), ", ".join(details[:4]) if details else
+                "commit the round's per-query detail "
+                f"(e.g. BENCH_DETAIL_r{rnd:02d}_clean.json)")
     return ok
 
 

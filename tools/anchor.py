@@ -5,20 +5,32 @@ Usage: python3 tools/anchor.py [--stat median|min] <commit>
        DETAIL.json [DETAIL2.json ...]  [> BENCH_ANCHOR.txt]
 
 Each anchor is the per-query MEDIAN (default; round-11 policy decision,
-see BASELINE.md "Anchor-bias policy") or MIN of the headline colds (the
-"queries" map — itself min over each run's recorded passes) across the
-given runs of the SAME code. Median over clean runs is the expected
-clean cold cost; min (the round 9-10 policy) is the tightest bound but
-sits below every achievable run, which guaranteed a background retry
-rate even in clean windows (BENCH_r10: 39/242 retried). Refuses any
-source run that is not plausibly clean: a failed query, or a total more
-than 2x the 451.67 s round-7 BASELINE anchor (the same bar
-BenchRetrySpec enforces on the committed file) — a degraded source run
-would silently defang the policy.
+see BASELINE.md "Anchor-bias policy") or MIN of the per-run honest cold
+observations across the given runs of the SAME code. A run's observation
+for query q is its headline cold (the "queries" map — min over the run's
+recorded passes) UNLESS that headline win was a retry (q appears in the
+run's "retry" map), in which case the run's FIRST throw ("first" map) is
+used instead — the first-on-retry basis, round-12 verdict task. Retry
+wins execute against a warmer JVM/page cache than any honest cold pass,
+so an anchor derived from them sits below every achievable first throw
+and guarantees a retry on that query in every subsequent run (q100 at
+anchor 0.981 vs stable 3.5-4.3 s first throws was the recurring case).
+A first throw contaminated by genuine transient noise is out-voted by
+the median across runs, so the substitution is safe per-run.
 
-The header it emits is machine-readable ("# stat:" and "# source:"
-lines): AnchorPolicySpec re-derives every anchor from the committed
-source runs and fails if the file drifts from the declared statistic.
+Median over clean runs is the expected clean cold cost; min (the round
+9-10 policy) is the tightest bound but sits below every achievable run,
+which guaranteed a background retry rate even in clean windows
+(BENCH_r10: 39/242 retried). Refuses any source run that is not
+plausibly clean: a failed query, or a total more than 2x the 451.67 s
+round-7 BASELINE anchor (the same bar BenchRetrySpec enforces on the
+committed file) — a degraded source run would silently defang the
+policy.
+
+The header it emits is machine-readable ("# stat:", "# basis:" and
+"# source:" lines): AnchorPolicySpec and tools/round_close.py re-derive
+every anchor from the committed source runs and fail if the file drifts
+from the declared statistic/basis.
 """
 import json
 import statistics
@@ -39,10 +51,13 @@ def main() -> int:
     commit, paths = argv[0], argv[1:]
     values: dict[str, list[float]] = {}
     totals = []
+    n_substituted = 0
     for p in paths:
         with open(p) as f:
             d = json.load(f)
         queries = d["queries"]
+        first = d.get("first", {})
+        retry = d.get("retry", {})
         bad = sorted(k for k, v in queries.items() if v <= 0)
         if bad or d.get("n_failed", 0) > 0:
             print(f"REFUSED: failed queries in {p}: {bad}", file=sys.stderr)
@@ -55,21 +70,27 @@ def main() -> int:
             return 1
         totals.append(total)
         for k, v in queries.items():
+            if k in retry and k in first:
+                v = first[k]
+                n_substituted += 1
             values.setdefault(k, []).append(v)
     agg = statistics.median if stat == "median" else min
     anchors = {k: agg(vs) for k, vs in values.items()}
     print(f"# Per-query cold anchor (seconds): per-query {stat.upper()} of")
-    print(f"# the headline colds across {len(paths)} recorded clean full "
+    print(f"# the honest colds across {len(paths)} recorded clean full "
           f"run(s) of commit {commit}")
     print(f"# at sf0.1 local[32] (run totals: "
           f"{', '.join(f'{t:.1f}' for t in totals)} s; "
-          f"anchor sum {sum(anchors.values()):.1f} s).")
+          f"anchor sum {sum(anchors.values()):.1f} s; "
+          f"{n_substituted} retry-win headline(s) replaced by the run's "
+          "first throw).")
     print("# Bench.scala reads this to gauge every retry pass: a measurement")
     print("# above max(3, 3x anchor) is treated as degraded and re-measured.")
     print("# Regenerate ONLY from clean runs: python3 tools/anchor.py")
     print("# <commit> BENCH_DETAIL.json [...]  (refuses degraded/failed runs).")
     print("# Machine-readable provenance (verified by AnchorPolicySpec):")
     print(f"# stat: {stat}")
+    print("# basis: first-on-retry")
     for p in paths:
         print(f"# source: {p}")
     for name in sorted(anchors):

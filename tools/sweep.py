@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Per-query regression sweep between two sets of clean bench runs.
+
+Usage: python3 tools/sweep.py --base DETAIL.json [...] --new DETAIL.json [...]
+
+Compares per-query HONEST colds under the first-on-retry basis (a run's
+observation for q is its first throw when the run's headline win was a
+retry, else the headline cold — the round-13 anchor-policy basis, see
+BASELINE.md). Best-of-runs on both sides. The r11/r12 sweeps compared
+retry-win headlines instead, which manufactured a known-artifact flag
+every round (q100: 0.97 s retry-win "cold" vs a stable 3.5-4.3 s first
+throw — flagged as a 1.9x "regression" that was never real).
+
+Flags a query when BOTH:
+  - new_best > 1.5x base_best (the degraded-eligible bar), AND
+  - new_best > 3 s (the retry jitter floor — sub-second churn is noise).
+
+Exit 0 = no flags; 1 = flags listed (adjudicate from the raw first/warm
+columns before calling it a regression); 2 = usage/data error.
+"""
+import json
+import sys
+
+
+def observations(path):
+    with open(path) as f:
+        d = json.load(f)
+    if d.get("n_failed", 0) > 0:
+        print(f"REFUSED: {path} has failed queries — not a clean run",
+              file=sys.stderr)
+        sys.exit(2)
+    queries, first, retry = d["queries"], d.get("first", {}), d.get("retry", {})
+    return {k: (first[k] if k in retry and k in first else v)
+            for k, v in queries.items()}
+
+
+def best_of(paths):
+    best = {}
+    for p in paths:
+        for k, v in observations(p).items():
+            best[k] = min(best.get(k, float("inf")), v)
+    return best
+
+
+def main():
+    argv = sys.argv[1:]
+    if "--base" not in argv or "--new" not in argv:
+        print(__doc__, file=sys.stderr)
+        return 2
+    b = argv.index("--base")
+    n = argv.index("--new")
+    base_paths = argv[b + 1:n] if b < n else argv[b + 1:]
+    new_paths = argv[n + 1:b] if n < b else argv[n + 1:]
+    if not base_paths or not new_paths:
+        print("need at least one file on each side", file=sys.stderr)
+        return 2
+    base, new = best_of(base_paths), best_of(new_paths)
+    flags = []
+    for q in sorted(new):
+        if q not in base:
+            print(f"  [new]  {q}: {new[q]:.2f}s (no base observation)")
+            continue
+        if new[q] > 1.5 * base[q] and new[q] > 3.0:
+            flags.append(f"  [FLAG] {q}: {base[q]:.2f}s -> {new[q]:.2f}s "
+                         f"({new[q] / base[q]:.2f}x)")
+    gone = sorted(set(base) - set(new))
+    for q in gone:
+        print(f"  [gone] {q}: in base runs but not in new runs")
+    print(f"sweep: {len(new)} queries, honest-cold best-of "
+          f"{len(new_paths)} new vs {len(base_paths)} base run(s), "
+          f"{len(flags)} flag(s)")
+    for f_ in flags:
+        print(f_)
+    return 1 if flags or gone else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,10 +51,20 @@ def main() -> int:
     commit, paths = argv[0], argv[1:]
     values: dict[str, list[float]] = {}
     totals = []
+    sfs = set()
     n_substituted = 0
     for p in paths:
         with open(p) as f:
             d = json.load(f)
+        sfs.add(d.get("sf", "?"))
+        if len(sfs) > 1:
+            # an sf0.01 run mixed into sf0.1 sources would yield anchors
+            # ~2x too tight and reintroduce the clean-window retry churn
+            # the median policy exists to prevent
+            print(f"REFUSED: mixed scale factors across sources: "
+                  f"{sorted(sfs)} — anchors must come from runs at ONE "
+                  "sf (the bench scale, sf0.1)", file=sys.stderr)
+            return 1
         queries = d["queries"]
         first = d.get("first", {})
         retry = d.get("retry", {})
@@ -91,6 +101,7 @@ def main() -> int:
     print("# Machine-readable provenance (verified by AnchorPolicySpec):")
     print(f"# stat: {stat}")
     print("# basis: first-on-retry")
+    print(f"# sf: {next(iter(sfs))}")
     for p in paths:
         print(f"# source: {p}")
     for name in sorted(anchors):

@@ -22,11 +22,21 @@ import json
 import sys
 
 
+_SFS = set()
+
+
 def observations(path):
     with open(path) as f:
         d = json.load(f)
     if d.get("n_failed", 0) > 0:
         print(f"REFUSED: {path} has failed queries — not a clean run",
+              file=sys.stderr)
+        sys.exit(2)
+    _SFS.add(d.get("sf", "?"))
+    if len(_SFS) > 1:
+        # an sf0.01 run against sf0.1 bases (or vice versa) produces
+        # nonsense ratios on every query
+        print(f"REFUSED: mixed scale factors across runs: {sorted(_SFS)}",
               file=sys.stderr)
         sys.exit(2)
     queries, first, retry = d["queries"], d.get("first", {}), d.get("retry", {})

@@ -86,7 +86,16 @@ class AnchorPolicySpec extends AnyFunSuite {
         val first = mapOf(text, "first")
         val retry = mapOf(text, "retry")
         queries.map { case (k, v) =>
-          k -> (if (retry.contains(k) && first.contains(k)) first(k) else v)
+          if (retry.contains(k) && first.contains(k)) {
+            // Bench clamps a FAILED first pass to a negative value; a
+            // retry-rescued run has n_failed=0 and a positive headline,
+            // so without this guard a negative observation would poison
+            // the anchor median/min (round-14 ADVICE, medium)
+            assert(first(k) > 0,
+              s"$path: first pass of $k failed (${first(k)}) — a " +
+                "retry-rescued run is not a clean anchor source")
+            k -> first(k)
+          } else k -> v
         }
       case other => fail(s"unknown anchor basis '$other' — extend this " +
         "match (and the policy assertion below) deliberately")
@@ -141,6 +150,55 @@ class AnchorPolicySpec extends AnyFunSuite {
     val uncovered = runs.flatMap(_.keySet).toSet -- anchors.keySet
     assert(uncovered.isEmpty,
       s"queries in source runs without an anchor: ${uncovered.toSeq.sorted}")
+  }
+
+  test("every source run's scale factor matches the declared '# sf:' header") {
+    // the mixed-sf refusal in tools/anchor.py only guards GENERATION; a
+    // hand-edited anchor file mixing sf sources must fail re-derivation
+    // too (round-14 ADVICE). Basenames compared: detail files record sf
+    // as a machine-local absolute path, the header commits the portable
+    // basename (e.g. "sf0.1").
+    val src = scala.io.Source.fromFile("BENCH_ANCHOR.txt")(scala.io.Codec.UTF8)
+    val lines = try src.getLines().toList finally src.close()
+    val declSf = lines.collectFirst {
+      case l if l.startsWith("# sf:") => l.stripPrefix("# sf:").trim
+    }.getOrElse("")
+    assert(declSf.nonEmpty, "anchor file declares no '# sf:' header")
+    assert(!declSf.contains("/"),
+      s"'# sf:' header '$declSf' is a machine-local path — commit the " +
+        "portable basename (regenerate with tools/anchor.py)")
+    val (_, _, sources) = provenance("BENCH_ANCHOR.txt")
+    val sfRe = "\"sf\":\"([^\"]*)\"".r
+    sources.foreach { p =>
+      val s = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
+      val text = try s.mkString finally s.close()
+      val runSf = sfRe.findFirstMatchIn(text)
+        .map(m => m.group(1).stripSuffix("/").split("/").last)
+        .getOrElse("?")
+      assert(runSf == declSf,
+        s"anchor source $p ran at sf '$runSf' but the file declares " +
+          s"'$declSf' — mixed-scale anchors would defang every threshold")
+    }
+  }
+
+  test("first-on-retry refuses a retry-rescued run (negative first throw)") {
+    // q_a's first pass FAILED (clamped to -2.0 by Bench) and the retry
+    // rescued the headline: n_failed=0, every refusal check passes, yet
+    // substituting first(q_a) would inject -2.0 into the anchor median
+    // (round-14 ADVICE, medium). The basis must fail loudly instead.
+    val text = """{"queries":{"q_a":1.0,"q_b":2.0},""" +
+      """"first":{"q_a":-2.0,"q_b":2.0},"retry":{"q_a":1.0}}"""
+    val tmp = java.io.File.createTempFile("anchor-negfirst", ".json")
+    tmp.deleteOnExit()
+    val w = new java.io.PrintWriter(tmp, "UTF-8")
+    try w.write(text) finally w.close()
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      observationsOf(tmp.getPath, "first-on-retry")
+    }
+    assert(e.getMessage.contains("retry-rescued"))
+    // the headline basis is unaffected (it never reads "first")
+    assert(observationsOf(tmp.getPath, "headline") ==
+      Map("q_a" -> 1.0, "q_b" -> 2.0))
   }
 
   test("first-on-retry substitutes the first throw only for retry wins") {

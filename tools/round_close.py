@@ -95,6 +95,8 @@ def anchors():
                  if l.startswith("# stat:")), "")
     basis = next((l.split(":", 1)[1].strip() for l in lines
                   if l.startswith("# basis:")), "headline")
+    decl_sf = next((l.split(":", 1)[1].strip() for l in lines
+                    if l.startswith("# sf:")), "")
     sources = [l.split(":", 1)[1].strip() for l in lines
                if l.startswith("# source:")]
     anchors = {}
@@ -116,11 +118,26 @@ def anchors():
             return check("anchor source runs committed", False, f"missing {p}")
         with open(p) as f:
             text = f.read()
+        # every source run's own scale factor must match the declared
+        # "# sf:" header — without this the mixed-sf guard exists only at
+        # generation time and a hand-edited file passes (round-14 ADVICE);
+        # basenames compared: runs record a machine-local absolute path
+        if decl_sf:
+            m = re.search(r'"sf":"([^"]*)"', text)
+            run_sf = os.path.basename(m.group(1).rstrip("/")) if m else "?"
+            if run_sf != os.path.basename(decl_sf.rstrip("/")):
+                return check("anchor sources at the declared sf", False,
+                             f"{p} ran at {run_sf!r}, header says {decl_sf!r}")
         queries = _flat_map(text, "queries")
         first = _flat_map(text, "first") if basis == "first-on-retry" else {}
         retry = _flat_map(text, "retry") if basis == "first-on-retry" else {}
         for k, v in queries.items():
             if k in retry and k in first:
+                # a failed first pass is clamped negative by Bench; such a
+                # run is not a clean anchor source (round-14 ADVICE, medium)
+                if first[k] <= 0:
+                    return check("anchor sources plausibly clean", False,
+                                 f"{p} first pass of {k} failed ({first[k]})")
                 v = first[k]
             values.setdefault(k, []).append(v)
     drifted = [k for k, a in anchors.items()

@@ -15,8 +15,10 @@ Flags a query when BOTH:
   - new_best > 1.5x base_best (the degraded-eligible bar), AND
   - new_best > 3 s (the retry jitter floor — sub-second churn is noise).
 
-Exit 0 = no flags; 1 = flags listed (adjudicate from the raw first/warm
-columns before calling it a regression); 2 = usage/data error.
+Exit 0 = no flags and no gone queries; 1 = flags listed (adjudicate from
+the raw first/warm columns before calling it a regression) AND/OR queries
+present in base but missing from new ("gone" lines — a silently dropped
+query must fail the sweep too); 2 = usage/data error.
 """
 import json
 import sys
@@ -40,6 +42,15 @@ def observations(path):
               file=sys.stderr)
         sys.exit(2)
     queries, first, retry = d["queries"], d.get("first", {}), d.get("retry", {})
+    # Bench clamps a FAILED first pass negative in "first"; a retry-rescued
+    # run has n_failed=0, so the check above misses it — substituting the
+    # negative value would poison the best-of minima (round-14 ADVICE)
+    bad = sorted(k for k in retry if k in first and first[k] <= 0)
+    if bad:
+        print(f"REFUSED: {path} first pass failed for {bad} — retry-rescued "
+              "run, not comparable under the first-on-retry basis",
+              file=sys.stderr)
+        sys.exit(2)
     return {k: (first[k] if k in retry and k in first else v)
             for k, v in queries.items()}
 

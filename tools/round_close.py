@@ -16,11 +16,24 @@ loudly instead of silently:
       test — duplicated here so the close check needs no JVM);
   (e) PLANS.json records ZERO cartesian products fleet-wide.
 
-Usage: python3 tools/round_close.py [round]
+Usage: python3 tools/round_close.py [--fix] [round]
 `round` defaults to the highest N with a BENCH_r<NN>.json present —
 pass it explicitly when closing a round whose artifacts the driver has
 not written yet (the check then fails, which is the point: close AFTER
 the driver artifacts land and are committed).
+
+--fix (VERDICT r13 task 1): the driver writes its official artifacts
+AFTER the builder's last commit by construction, so for five straight
+rounds (r9-r13) they sat untracked at judge time despite this checklist
+naming them. --fix self-heals exactly that case: when the ONLY dirty
+paths are the round's driver artifacts — untracked BENCH_r<NN>.json /
+CORRECTNESS_r<NN>.json and modified BENCH_DETAIL.json / LEAKCHECK.json
+(the two tracked files the driver overwrites in place) — it stages and
+commits precisely those files with a fixed message, then runs the
+checklist. ANY other dirty path is a blocker: --fix refuses and commits
+nothing (it must never launder unrelated work into an artifact commit).
+Each artifact must parse as JSON before it is committed (a partial
+driver write must not be enshrined as evidence).
 
 Exit 0 = the round is closeable; nonzero = the listing says what's left.
 """
@@ -159,14 +172,81 @@ def plans():
                  "" if not cart else f"cartesian products in: {cart}")
 
 
+def classify_fix(rnd, porcelain_lines):
+    """Split `git status --porcelain` lines into (to_commit, blockers) for
+    --fix. to_commit = exactly the round's driver artifacts: untracked
+    BENCH_r<NN>.json / CORRECTNESS_r<NN>.json, and modified (never
+    untracked, never staged-with-other-changes) BENCH_DETAIL.json /
+    LEAKCHECK.json. EVERYTHING else dirty is a blocker — --fix must
+    refuse to touch any other file. Pure: no git calls, unit-testable."""
+    untracked_ok = {f"BENCH_r{rnd:02d}.json", f"CORRECTNESS_r{rnd:02d}.json"}
+    modified_ok = {"BENCH_DETAIL.json", "LEAKCHECK.json"}
+    to_commit, blockers = [], []
+    for line in porcelain_lines:
+        if not line.strip():
+            continue
+        xy, path = line[:2], line[3:]
+        if xy == "??" and path in untracked_ok:
+            to_commit.append(path)
+        elif xy in (" M", "M ", "MM") and path in modified_ok:
+            to_commit.append(path)
+        else:
+            blockers.append(line)
+    return to_commit, blockers
+
+
+def fix(rnd):
+    """Self-heal the recurring driver-artifact close failure (see module
+    docstring). Returns True when the working tree is ready for the
+    checklist (committed the artifacts, or nothing to do), False when
+    blockers forced a refusal."""
+    out = subprocess.run(["git", "status", "--porcelain"],
+                         capture_output=True, text=True, check=True).stdout
+    to_commit, blockers = classify_fix(rnd, out.splitlines())
+    if blockers:
+        print(f"--fix REFUSED: {len(blockers)} dirty path(s) that are not "
+              f"round-{rnd} driver artifacts — commit or clean them "
+              "yourself, --fix only ever touches the driver's files:")
+        for b in blockers[:10]:
+            print(f"    {b}")
+        return False
+    if not to_commit:
+        print("--fix: no dirty driver artifacts — nothing to do")
+        return True
+    for p in to_commit:
+        try:
+            with open(p) as f:
+                json.load(f)
+        except (OSError, ValueError) as e:
+            print(f"--fix REFUSED: {p} is not valid JSON ({e}) — a partial "
+                  "driver write must not be committed as evidence")
+            return False
+    subprocess.run(["git", "add", "--"] + to_commit, check=True)
+    msg = (f"round {rnd}: track official driver bench/correctness artifacts"
+           f"\n\nCommitted by round_close.py --fix: {', '.join(sorted(to_commit))}."
+           "\nThe driver writes these after the builder's last commit by"
+           "\nconstruction, so the builder can never see its own round close"
+           "\ngreen without this automation (VERDICT r13 task 1).")
+    subprocess.run(["git", "commit", "-m", msg], check=True,
+                   capture_output=True)
+    print(f"--fix: committed {len(to_commit)} driver artifact(s): "
+          + ", ".join(sorted(to_commit)))
+    return True
+
+
 def main():
     os.chdir(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-    if len(sys.argv) > 1:
-        rnd = int(sys.argv[1])
+    args = sys.argv[1:]
+    do_fix = "--fix" in args
+    args = [a for a in args if a != "--fix"]
+    if args:
+        rnd = int(args[0])
     else:
         have = [int(m.group(1)) for f in os.listdir(".")
                 if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))]
         rnd = max(have)
+    if do_fix and not fix(rnd):
+        return 1
     print(f"round-close checklist (round {rnd}):")
     ok = True
     for fn in (git_clean, lambda: artifacts_tracked(rnd), citations,

@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Selftest for round_close.py --fix (VERDICT r13 task 1).
+
+The --fix contract: stage and commit EXACTLY the round's driver
+artifacts (untracked BENCH_r<NN>.json / CORRECTNESS_r<NN>.json, modified
+BENCH_DETAIL.json / LEAKCHECK.json) and refuse — committing nothing —
+when any other path is dirty. The classification is pure
+(classify_fix), so most of the contract is unit-tested with no git; one
+end-to-end test drives the real script against the real repo with a
+sentinel dirty file and asserts refusal + untouched state (safe: the
+refusal path is exactly what it exercises).
+
+Run: python3 tools/test_round_close.py   (also run by RoundCloseSpec in
+sbt test so the contract is part of the standard gate).
+"""
+import os
+import subprocess
+import sys
+import unittest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import round_close  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+
+
+class ClassifyFix(unittest.TestCase):
+    def test_exactly_the_driver_artifacts_commit(self):
+        lines = ["?? BENCH_r14.json", "?? CORRECTNESS_r14.json",
+                 " M BENCH_DETAIL.json", " M LEAKCHECK.json"]
+        to_commit, blockers = round_close.classify_fix(14, lines)
+        self.assertEqual(sorted(to_commit),
+                         ["BENCH_DETAIL.json", "BENCH_r14.json",
+                          "CORRECTNESS_r14.json", "LEAKCHECK.json"])
+        self.assertEqual(blockers, [])
+
+    def test_subset_is_fine(self):
+        to_commit, blockers = round_close.classify_fix(
+            14, ["?? BENCH_r14.json"])
+        self.assertEqual(to_commit, ["BENCH_r14.json"])
+        self.assertEqual(blockers, [])
+
+    def test_any_other_dirty_path_blocks(self):
+        lines = ["?? BENCH_r14.json",
+                 " M src/main/scala/graft/SparkEntry.scala"]
+        to_commit, blockers = round_close.classify_fix(14, lines)
+        self.assertEqual(to_commit, ["BENCH_r14.json"])
+        self.assertEqual(blockers,
+                         [" M src/main/scala/graft/SparkEntry.scala"])
+
+    def test_wrong_round_artifact_blocks(self):
+        # the PREVIOUS round's artifact appearing dirty is not ours to fix
+        to_commit, blockers = round_close.classify_fix(
+            14, ["?? BENCH_r13.json"])
+        self.assertEqual(to_commit, [])
+        self.assertEqual(blockers, ["?? BENCH_r13.json"])
+
+    def test_detail_modified_only_not_untracked(self):
+        # an UNTRACKED BENCH_DETAIL.json means the tracked one was deleted
+        # or the repo layout changed — not the driver-overwrite case
+        to_commit, blockers = round_close.classify_fix(
+            14, ["?? BENCH_DETAIL.json"])
+        self.assertEqual(to_commit, [])
+        self.assertEqual(blockers, ["?? BENCH_DETAIL.json"])
+
+    def test_deleted_or_renamed_artifacts_block(self):
+        for line in (" D BENCH_DETAIL.json",
+                     "R  LEAKCHECK.json -> LEAKCHECK2.json"):
+            to_commit, blockers = round_close.classify_fix(14, [line])
+            self.assertEqual(to_commit, [], line)
+            self.assertEqual(blockers, [line], line)
+
+    def test_official_artifact_modified_not_untracked_blocks(self):
+        # a MODIFIED BENCH_r14.json means it was already committed once and
+        # the driver (or someone) rewrote it — adjudicate by hand, the
+        # second version overwriting tracked evidence is not auto-healable
+        to_commit, blockers = round_close.classify_fix(
+            14, [" M BENCH_r14.json"])
+        self.assertEqual(to_commit, [])
+        self.assertEqual(blockers, [" M BENCH_r14.json"])
+
+    def test_clean_tree_is_a_noop(self):
+        self.assertEqual(round_close.classify_fix(14, []), ([], []))
+
+
+class FixEndToEnd(unittest.TestCase):
+    def test_refuses_and_commits_nothing_on_a_blocker(self):
+        out = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                             capture_output=True, text=True).stdout
+        if out.strip():
+            self.skipTest("repo dirty — the refusal e2e needs a clean tree")
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+        sentinel = os.path.join(REPO, "FIX_SELFTEST_SENTINEL.txt")
+        with open(sentinel, "w") as f:
+            f.write("unrelated dirty file --fix must refuse to touch\n")
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/round_close.py", "--fix", "99"],
+                cwd=REPO, capture_output=True, text=True)
+            self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+            self.assertIn("REFUSED", r.stdout)
+            # nothing committed, sentinel untouched and still untracked
+            head2 = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                   capture_output=True,
+                                   text=True).stdout.strip()
+            self.assertEqual(head, head2, "--fix committed despite a blocker")
+            self.assertTrue(os.path.isfile(sentinel))
+            status = subprocess.run(["git", "status", "--porcelain"],
+                                    cwd=REPO, capture_output=True,
+                                    text=True).stdout
+            self.assertIn("?? FIX_SELFTEST_SENTINEL.txt", status)
+        finally:
+            os.unlink(sentinel)
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)

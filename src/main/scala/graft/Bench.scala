@@ -115,17 +115,42 @@ object Bench {
     if (s1 < 0 || j1 <= j0) -1.0 else 100.0 * (s1 - s0) / (j1 - j0)
   }
 
-  /** Should a DEGRADED-WINDOW cold be retried even though it sits under
-    * the 3× blanket threshold? `degradedWindow` is any window-level
-    * evidence the host was slow around the measurement (spin probes
-    * > 2× the run's best, or external CPU share above the noise floor);
-    * the cold must also exceed a tighter max(3 s, 1.5× anchor) bar (the
-    * slowdown actually reached the query). Anchor-less queries never
-    * fire — there is nothing to compare against. */
+  /** Should a cold measured in or near a degraded window be retried even
+    * though it sits under the 3× blanket threshold? Two tiers (VERDICT
+    * r13 task 6):
+    *
+    *  - `ownWindow` — the execution's OWN bracketing evidence flagged it
+    *    (spin probes > 2× the run's best, or external CPU share above
+    *    the noise floor): retry regardless of any anchor-relative
+    *    threshold; only the 3 s jitter floor holds (re-measuring a
+    *    sub-3 s cold cannot move the headline materially and sub-second
+    *    churn is retry noise by policy).
+    *  - `nearWave` — the execution's own probes read clean but it ran
+    *    within the ±60 s expansion of a window some OTHER execution's
+    *    probes flagged (waves are minutes long and the probes only
+    *    bracket, so a wave can inflate a query whose own brackets landed
+    *    in lulls — exactly the r13 official q78/q116/q117 spikes, which
+    *    passed their anchor thresholds while 4 windows were degraded):
+    *    here the anchor must corroborate that the slowdown actually
+    *    reached the query — cold > max(3 s, 1.5× anchor), the pre-r14
+    *    bar. Anchor-less queries never fire on wave adjacency alone.
+    *
+    * In a clean run both flags are false for every execution and the
+    * rule never fires — no behavior change in clean windows. */
   private[graft] def degradedRetryNeeded(coldSecs: Double,
-      anchor: Option[Double], degradedWindow: Boolean): Boolean =
-    degradedWindow &&
-      anchor.exists(a => coldSecs > math.max(3.0, 1.5 * a))
+      anchor: Option[Double], ownWindow: Boolean,
+      nearWave: Boolean = false): Boolean =
+    if (ownWindow) coldSecs > 3.0
+    else nearWave && anchor.exists(a => coldSecs > math.max(3.0, 1.5 * a))
+
+  /** Did a measurement spanning [t0, t1] (nanoTime) fall inside the
+    * ±margin expansion of any detected degraded window? Pure interval
+    * overlap so the retry passes — which run AFTER the sweep and thus
+    * see the run's full wave list — can retro-flag executions whose own
+    * probes read clean. */
+  private[graft] def inWave(t0: Long, t1: Long,
+      waves: Seq[(Long, Long)], marginNs: Long): Boolean =
+    waves.exists { case (a, b) => t1 >= a - marginNs && t0 <= b + marginNs }
 
   /** Per-query cold anchors ("name seconds" lines, '#' comments) from a
     * recorded clean run of the full suite — the reference the bounded
@@ -218,7 +243,10 @@ object Bench {
                           // clean early query could read >2x a later,
                           // faster minimum and be spuriously flagged
                           // (round-10 ADVICE).
-                          markRef: Double = -1.0)
+                          markRef: Double = -1.0,
+                          // nanoTime window of the measured work, for the
+                          // retro wave-adjacency check (r13 task 6)
+                          t0: Long = 0L, t1: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -304,6 +332,7 @@ object Bench {
     def execute(name: String, tag: String,
                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Exec = {
+      val tStart = System.nanoTime()
       val preMark = hostmark()
       val (steal0, jiffies0) = cpuSteal()
       val (busy0, _) = cpuBusy()
@@ -332,7 +361,8 @@ object Bench {
         val postMark = hostmark()
         minMark = math.min(minMark, math.min(preMark, postMark))
         Exec(ok, secs, pct, sj, jf, lingered,
-          math.max(preMark, postMark), ext, markRef = minMark)
+          math.max(preMark, postMark), ext, markRef = minMark,
+          t0 = tStart, t1 = System.nanoTime())
       }
       if (inline) {
         val t0 = System.nanoTime()
@@ -469,6 +499,14 @@ object Bench {
     // not the end-of-run minimum — see the Exec field note.
     def windowDegraded(e: Exec): Boolean =
       (e.markRef > 0 && e.mark > 2.0 * e.markRef) || e.ext > 10.0
+    // every flagged execution's time span, collected during the sweep so
+    // the retry passes (which run after it) can retro-flag executions
+    // that ran NEAR a degraded window but whose own bracketing probes
+    // landed in lulls (r13 task 6 — the official q78/q116/q117 spikes)
+    val degradedWaves = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val waveMarginNs = 60L * 1000000000L
+    def inDegradedWave(e: Exec): Boolean =
+      inWave(e.t0, e.t1, degradedWaves.toSeq, waveMarginNs)
     // Mid-run clean-window re-gate (VERDICT r11 task 4): called after
     // every headline-sweep execution; on the 3rd consecutive degraded
     // window it pauses once on the shared bounded budget, capped at half
@@ -478,7 +516,10 @@ object Bench {
     var consecDegraded = 0
     var nRegated = 0
     def noteWindow(e: Exec): Unit = {
-      if (windowDegraded(e)) consecDegraded += 1 else consecDegraded = 0
+      if (windowDegraded(e)) {
+        consecDegraded += 1
+        degradedWaves += ((e.t0, e.t1))
+      } else consecDegraded = 0
       if (doRetry && midRunRegateNeeded(consecDegraded)) {
         System.err.println(s"[bench] $consecDegraded consecutive degraded " +
           "executions — pausing the sweep for a clean window")
@@ -556,7 +597,8 @@ object Bench {
       val overThreshold =
         retryThreshold(anchors.get(qr.name)).exists(qr.cold.secs > _)
       val degraded = qr.cold.ok && degradedRetryNeeded(qr.cold.secs,
-        anchors.get(qr.name), windowDegraded(qr.cold))
+        anchors.get(qr.name), windowDegraded(qr.cold),
+        nearWave = inDegradedWave(qr.cold))
       val needsRetry = doRetry &&
         (!qr.cold.ok || qr.contaminated || overThreshold || degraded)
       if (!needsRetry) qr.copy(coldSuspect = false)
@@ -566,9 +608,12 @@ object Bench {
           else if (qr.contaminated && !overThreshold && !degraded)
             "contaminated"
           else if (overThreshold) f"cold ${qr.cold.secs}%.2f s > 3x anchor"
-          else f"cold ${qr.cold.secs}%.2f s in a degraded window " +
-            f"(mark ${qr.cold.mark}%.0f vs min $minMark%.0f ms, " +
-            f"ext ${qr.cold.ext}%.1f%%)"
+          else if (windowDegraded(qr.cold))
+            f"cold ${qr.cold.secs}%.2f s in a degraded window " +
+              f"(mark ${qr.cold.mark}%.0f vs min $minMark%.0f ms, " +
+              f"ext ${qr.cold.ext}%.1f%%)"
+          else f"cold ${qr.cold.secs}%.2f s > 1.5x anchor within 60 s " +
+            "of a degraded window"
         System.err.println(s"[bench] retrying ${qr.name} ($why)")
         awaitCleanWindow()
         // a retry launched while the PREVIOUS retry's kill still lingers
@@ -629,7 +674,8 @@ object Bench {
     val retry2Raw = scala.collection.mutable.LinkedHashMap.empty[String, Exec]
     val results = afterWarm.map { qr =>
       val stillDegraded = qr.cold.ok && degradedRetryNeeded(qr.cold.secs,
-        anchors.get(qr.name), windowDegraded(qr.cold))
+        anchors.get(qr.name), windowDegraded(qr.cold),
+        nearWave = inDegradedWave(qr.cold))
       val needs = doRetry && (stillDegraded ||
         finalRetryNeeded(qr.cold.ok, qr.cold.secs,
           anchors.get(qr.name), qr.coldSuspect || lingering))

@@ -105,18 +105,63 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.finalRetryNeeded(coldOk = false, -1.0, None, suspect = false))
   }
 
-  test("degradedRetryNeeded: degraded windows with a tighter 1.5x anchor bar") {
-    // degraded window + cold over max(3, 1.5x anchor) → retry
-    assert(Bench.degradedRetryNeeded(4.0, Some(2.0), degradedWindow = true))
-    // cold under the 1.5x bar: the wave did not reach the query
-    assert(!Bench.degradedRetryNeeded(2.9, Some(2.0), degradedWindow = true))
+  test("degradedRetryNeeded: own-flagged windows retry past the 3s floor, " +
+      "regardless of anchor") {
+    // r13 task 6: an execution whose OWN probes flagged the window is
+    // re-measured regardless of any anchor-relative threshold — only the
+    // 3 s jitter floor holds
+    assert(Bench.degradedRetryNeeded(4.0, Some(2.0), ownWindow = true))
+    assert(Bench.degradedRetryNeeded(3.1, Some(100.0), ownWindow = true))
+    assert(Bench.degradedRetryNeeded(3.1, None, ownWindow = true))
+    // the 3 s floor: sub-3s re-measures cannot move the headline
+    assert(!Bench.degradedRetryNeeded(2.9, Some(0.3), ownWindow = true))
+    assert(!Bench.degradedRetryNeeded(2.9, None, ownWindow = true))
+    // clean window, no wave nearby: never fires, however slow the cold
+    // (that is the blanket 3x threshold's job)
+    assert(!Bench.degradedRetryNeeded(100.0, Some(2.0), ownWindow = false))
+  }
+
+  test("degradedRetryNeeded: wave-adjacent executions need the 1.5x anchor bar") {
+    // the r13 official q78/q116/q117 case: own probes clean, but the
+    // execution ran within ±60 s of a window flagged elsewhere — the
+    // anchor must corroborate the slowdown reached the query
+    assert(Bench.degradedRetryNeeded(4.0, Some(2.0),
+      ownWindow = false, nearWave = true))
+    // under the 1.5x bar: the wave did not reach the query
+    assert(!Bench.degradedRetryNeeded(2.9, Some(2.0),
+      ownWindow = false, nearWave = true))
     // 3s floor holds for tiny anchors
-    assert(!Bench.degradedRetryNeeded(2.9, Some(0.3), degradedWindow = true))
-    assert(Bench.degradedRetryNeeded(3.1, Some(0.3), degradedWindow = true))
-    // clean window: never fires, however slow the cold
-    assert(!Bench.degradedRetryNeeded(100.0, Some(2.0), degradedWindow = false))
-    // anchor-less queries: nothing to compare against
-    assert(!Bench.degradedRetryNeeded(100.0, None, degradedWindow = true))
+    assert(!Bench.degradedRetryNeeded(2.9, Some(0.3),
+      ownWindow = false, nearWave = true))
+    assert(Bench.degradedRetryNeeded(3.1, Some(0.3),
+      ownWindow = false, nearWave = true))
+    // anchor-less queries never fire on adjacency alone
+    assert(!Bench.degradedRetryNeeded(100.0, None,
+      ownWindow = false, nearWave = true))
+    // own-flag wins over adjacency: anchor-independent
+    assert(Bench.degradedRetryNeeded(3.1, Some(100.0),
+      ownWindow = true, nearWave = true))
+  }
+
+  test("inWave: interval overlap against ±margin-expanded degraded windows") {
+    val s = 1000000000L // 1 s in ns
+    val waves = Seq((100 * s, 110 * s), (300 * s, 305 * s))
+    val m = 60 * s
+    // inside a wave
+    assert(Bench.inWave(102 * s, 104 * s, waves, m))
+    // within the ±60 s expansion on either side
+    assert(Bench.inWave(45 * s, 50 * s, waves, m))   // ends 50s before wave 1
+    assert(Bench.inWave(160 * s, 168 * s, waves, m)) // starts 50s after it
+    assert(Bench.inWave(360 * s, 362 * s, waves, m)) // 55s after wave 2
+    // spanning a whole wave
+    assert(Bench.inWave(95 * s, 120 * s, waves, m))
+    // clear of both expansions
+    assert(!Bench.inWave(200 * s, 220 * s, waves, m))
+    assert(!Bench.inWave(30 * s, 35 * s, waves, m))
+    assert(!Bench.inWave(400 * s, 410 * s, waves, m))
+    // a clean run records no waves: never fires, so the rule provably
+    // changes nothing in clean windows
+    assert(!Bench.inWave(0, Long.MaxValue / 2, Seq.empty, m))
   }
 
   test("midRunRegateNeeded: three consecutive degraded windows, not blips") {

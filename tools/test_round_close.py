@@ -113,6 +113,32 @@ class FixEndToEnd(unittest.TestCase):
         finally:
             os.unlink(sentinel)
 
+    def test_refuses_an_unparseable_driver_artifact(self):
+        # a partial driver write (truncated JSON) must not be committed
+        # as official evidence, even though the path itself is allowed
+        out = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                             capture_output=True, text=True).stdout
+        if out.strip():
+            self.skipTest("repo dirty — the refusal e2e needs a clean tree")
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+        artifact = os.path.join(REPO, "BENCH_r98.json")
+        with open(artifact, "w") as f:
+            f.write('{"metric":"total","value":')  # truncated mid-write
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/round_close.py", "--fix", "98"],
+                cwd=REPO, capture_output=True, text=True)
+            self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+            self.assertIn("not valid JSON", r.stdout)
+            head2 = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                   capture_output=True,
+                                   text=True).stdout.strip()
+            self.assertEqual(head, head2,
+                             "--fix committed an unparseable artifact")
+        finally:
+            os.unlink(artifact)
+
 
 if __name__ == "__main__":
     unittest.main(verbosity=2)

@@ -33,7 +33,12 @@ commits precisely those files with a fixed message, then runs the
 checklist. ANY other dirty path is a blocker: --fix refuses and commits
 nothing (it must never launder unrelated work into an artifact commit).
 Each artifact must parse as JSON before it is committed (a partial
-driver write must not be enshrined as evidence).
+driver write must not be enshrined as evidence). The modified detail
+files are only claimable when the round's untracked BENCH_r<NN>.json is
+dirty alongside them AND BENCH_DETAIL.json's headline total matches the
+official artifact's (round-14 ADVICE): a local bench run overwrites
+BENCH_DETAIL.json in place, so a forgotten copy-then-checkout must not
+be laundered into a driver-attributed evidence commit.
 
 Exit 0 = the round is closeable; nonzero = the listing says what's left.
 """
@@ -177,22 +182,56 @@ def classify_fix(rnd, porcelain_lines):
     --fix. to_commit = exactly the round's driver artifacts: untracked
     BENCH_r<NN>.json / CORRECTNESS_r<NN>.json, and modified (never
     untracked, never staged-with-other-changes) BENCH_DETAIL.json /
-    LEAKCHECK.json. EVERYTHING else dirty is a blocker — --fix must
+    LEAKCHECK.json — the latter two ONLY when the round's untracked
+    BENCH_r<NN>.json is dirty alongside them (the driver signature:
+    the driver overwrites the detail files in the same run that emits
+    the official artifact, whereas a local builder bench overwrites
+    BENCH_DETAIL.json alone — a forgotten copy-then-checkout must not
+    be laundered into a driver-attributed evidence commit, round-14
+    ADVICE medium). EVERYTHING else dirty is a blocker — --fix must
     refuse to touch any other file. Pure: no git calls, unit-testable."""
     untracked_ok = {f"BENCH_r{rnd:02d}.json", f"CORRECTNESS_r{rnd:02d}.json"}
     modified_ok = {"BENCH_DETAIL.json", "LEAKCHECK.json"}
+    lines = [l for l in porcelain_lines if l.strip()]
+    driver_sig = any(l[:2] == "??" and l[3:] == f"BENCH_r{rnd:02d}.json"
+                     for l in lines)
     to_commit, blockers = [], []
-    for line in porcelain_lines:
-        if not line.strip():
-            continue
+    for line in lines:
         xy, path = line[:2], line[3:]
         if xy == "??" and path in untracked_ok:
             to_commit.append(path)
-        elif xy in (" M", "M ", "MM") and path in modified_ok:
+        elif xy in (" M", "M ", "MM") and path in modified_ok and driver_sig:
             to_commit.append(path)
         else:
             blockers.append(line)
     return to_commit, blockers
+
+
+def official_bench_value(path):
+    """Best-effort headline total from the driver's BENCH_r<NN>.json.
+    The driver's wrapper records either a parsed compact JSON line
+    ("parsed") or only the raw stdout tail ("tail", when its own parse
+    failed) — extract the value from whichever exists. None when
+    undeterminable; pure given the file, unit-testable."""
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError):
+        return None
+    parsed = d.get("parsed")
+    if isinstance(parsed, dict) and "value" in parsed:
+        try:
+            return float(parsed["value"])
+        except (TypeError, ValueError):
+            return None
+    if isinstance(d.get("value"), (int, float)):
+        return float(d["value"])
+    tail = d.get("tail")
+    if isinstance(tail, str):
+        m = re.findall(r'"metric":"total","value":(-?\d+(?:\.\d+)?)', tail)
+        if m:
+            return float(m[-1])
+    return None
 
 
 def fix(rnd):
@@ -221,14 +260,47 @@ def fix(rnd):
             print(f"--fix REFUSED: {p} is not valid JSON ({e}) — a partial "
                   "driver write must not be committed as evidence")
             return False
+    # belt-and-suspenders to the classify_fix driver-signature gate
+    # (round-14 ADVICE medium): the detail file must carry the SAME
+    # headline total as the official artifact written by the same driver
+    # run, else it is a builder's experimental bench that overwrote the
+    # tracked file (forgotten copy-then-checkout) and must not be
+    # committed with driver attribution. Skipped when the official value
+    # is undeterminable — the signature gate still holds then.
+    if "BENCH_DETAIL.json" in to_commit:
+        official = official_bench_value(f"BENCH_r{rnd:02d}.json")
+        try:
+            with open("BENCH_DETAIL.json") as f:
+                detail = float(json.load(f).get("value"))
+        except (OSError, ValueError, TypeError):
+            detail = None
+        if official is not None and detail is not None \
+                and abs(official - detail) > 0.0005:
+            print(f"--fix REFUSED: BENCH_DETAIL.json value={detail} does not "
+                  f"match BENCH_r{rnd:02d}.json's headline {official} — the "
+                  "detail was overwritten by a run other than the official "
+                  "driver bench (copy-then-`git checkout` it, then re-run)")
+            return False
     subprocess.run(["git", "add", "--"] + to_commit, check=True)
     msg = (f"round {rnd}: track official driver bench/correctness artifacts"
            f"\n\nCommitted by round_close.py --fix: {', '.join(sorted(to_commit))}."
            "\nThe driver writes these after the builder's last commit by"
            "\nconstruction, so the builder can never see its own round close"
            "\ngreen without this automation (VERDICT r13 task 1).")
-    subprocess.run(["git", "commit", "-m", msg], check=True,
-                   capture_output=True)
+    try:
+        subprocess.run(["git", "commit", "-m", msg], check=True,
+                       capture_output=True, text=True)
+    except subprocess.CalledProcessError as e:
+        # the refusal contract (commit nothing on failure) must also hold
+        # for commit errors: surface the captured stderr instead of an
+        # opaque traceback, unstage what was staged (round-14 ADVICE)
+        print("--fix: git commit FAILED — unstaging, nothing committed:")
+        for stream in (e.stderr, e.stdout):
+            if stream:
+                print("    " + stream.strip().replace("\n", "\n    "))
+        subprocess.run(["git", "reset", "HEAD", "--"] + to_commit,
+                       capture_output=True)
+        return False
     print(f"--fix: committed {len(to_commit)} driver artifact(s): "
           + ", ".join(sorted(to_commit)))
     return True

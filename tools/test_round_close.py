@@ -82,6 +82,111 @@ class ClassifyFix(unittest.TestCase):
     def test_clean_tree_is_a_noop(self):
         self.assertEqual(round_close.classify_fix(14, []), ([], []))
 
+    def test_detail_without_the_driver_signature_blocks(self):
+        # a modified BENCH_DETAIL.json/LEAKCHECK.json WITHOUT the round's
+        # untracked BENCH_r<NN>.json is a builder's local bench that
+        # overwrote the tracked file (forgotten copy-then-checkout), not
+        # the driver — committing it would launder experimental numbers
+        # into a driver-attributed evidence commit (round-14 ADVICE)
+        for lines in (
+                [" M BENCH_DETAIL.json"],
+                [" M BENCH_DETAIL.json", " M LEAKCHECK.json"],
+                ["?? CORRECTNESS_r14.json", " M LEAKCHECK.json"]):
+            to_commit, blockers = round_close.classify_fix(14, lines)
+            self.assertNotIn("BENCH_DETAIL.json", to_commit, lines)
+            self.assertNotIn("LEAKCHECK.json", to_commit, lines)
+        # the last case still claims the official artifact itself
+        self.assertEqual(to_commit, ["CORRECTNESS_r14.json"])
+        self.assertEqual(blockers, [" M LEAKCHECK.json"])
+
+    def test_detail_with_the_driver_signature_commits(self):
+        to_commit, blockers = round_close.classify_fix(
+            14, ["?? BENCH_r14.json", " M BENCH_DETAIL.json"])
+        self.assertEqual(sorted(to_commit),
+                         ["BENCH_DETAIL.json", "BENCH_r14.json"])
+        self.assertEqual(blockers, [])
+
+
+class OfficialBenchValue(unittest.TestCase):
+    """official_bench_value extracts the headline total from the three
+    shapes the driver's wrapper has actually produced."""
+
+    def _tmp(self, content):
+        import tempfile
+        f = tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False)
+        f.write(content)
+        f.close()
+        self.addCleanup(os.unlink, f.name)
+        return f.name
+
+    def test_parsed_dict(self):
+        p = self._tmp('{"n": 14, "parsed": {"value": 268.212}}')
+        self.assertEqual(round_close.official_bench_value(p), 268.212)
+
+    def test_tail_fallback_takes_the_last_total_line(self):
+        # the tail carries the stderr full line AND the stdout compact
+        # line; both hold the same headline, the last wins
+        p = self._tmp('{"parsed": null, "tail": "noise '
+                      '{\\"metric\\":\\"total\\",\\"value\\":268.212,...} '
+                      '{\\"metric\\":\\"total\\",\\"value\\":268.212,'
+                      '\\"unit\\":\\"sec\\"}"}')
+        self.assertEqual(round_close.official_bench_value(p), 268.212)
+
+    def test_top_level_value(self):
+        p = self._tmp('{"value": -1.0}')
+        self.assertEqual(round_close.official_bench_value(p), -1.0)
+
+    def test_undeterminable_is_none(self):
+        self.assertIsNone(round_close.official_bench_value("/nonexistent"))
+        self.assertIsNone(
+            round_close.official_bench_value(self._tmp('{"n": 14}')))
+        self.assertIsNone(
+            round_close.official_bench_value(self._tmp('not json')))
+
+
+class FixCommitFailure(unittest.TestCase):
+    def test_commit_error_unstages_and_returns_false(self):
+        # a failing `git commit` (hook failure, missing identity) must
+        # surface its stderr and leave the index as it found it — the
+        # refusal contract extends to commit errors (round-14 ADVICE)
+        artifact = os.path.join(REPO, "BENCH_r97.json")
+        with open(artifact, "w") as f:
+            f.write('{"parsed": {"value": 1.0}}')
+        calls = []
+        real_run = round_close.subprocess.run
+
+        def fake_run(cmd, **kw):
+            calls.append(cmd)
+            if cmd[:2] == ["git", "status"]:
+                return subprocess.CompletedProcess(
+                    cmd, 0, stdout="?? BENCH_r97.json\n", stderr="")
+            if cmd[:2] == ["git", "add"]:
+                return subprocess.CompletedProcess(cmd, 0, "", "")
+            if cmd[:2] == ["git", "commit"]:
+                raise subprocess.CalledProcessError(
+                    1, cmd, output="", stderr="fatal: empty ident\n")
+            if cmd[:2] == ["git", "reset"]:
+                return subprocess.CompletedProcess(cmd, 0, "", "")
+            return real_run(cmd, **kw)
+
+        round_close.subprocess.run = fake_run
+        try:
+            cwd = os.getcwd()
+            os.chdir(REPO)
+            try:
+                ok = round_close.fix(97)
+            finally:
+                os.chdir(cwd)
+        finally:
+            round_close.subprocess.run = real_run
+            os.unlink(artifact)
+        self.assertFalse(ok, "fix must report failure on a commit error")
+        resets = [c for c in calls if c[:2] == ["git", "reset"]]
+        self.assertEqual(resets,
+                         [["git", "reset", "HEAD", "--", "BENCH_r97.json"]],
+                         "the staged artifact must be unstaged")
+
 
 class FixEndToEnd(unittest.TestCase):
     def test_refuses_and_commits_nothing_on_a_blocker(self):
@@ -112,6 +217,44 @@ class FixEndToEnd(unittest.TestCase):
             self.assertIn("?? FIX_SELFTEST_SENTINEL.txt", status)
         finally:
             os.unlink(sentinel)
+
+    def test_refuses_a_detail_mismatching_the_official_headline(self):
+        # driver signature present (untracked BENCH_r97.json) but the
+        # modified BENCH_DETAIL.json carries a DIFFERENT headline total:
+        # a builder bench overwrote the detail after the driver ran —
+        # --fix must refuse rather than commit it as driver evidence
+        out = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                             capture_output=True, text=True).stdout
+        if out.strip():
+            self.skipTest("repo dirty — the refusal e2e needs a clean tree")
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+        artifact = os.path.join(REPO, "BENCH_r97.json")
+        detail = os.path.join(REPO, "BENCH_DETAIL.json")
+        with open(artifact, "w") as f:
+            f.write('{"parsed": {"value": 123.456}}')
+        with open(detail, "w") as f:
+            f.write('{"metric":"total","value":1.0,"unit":"sec"}')
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/round_close.py", "--fix", "97"],
+                cwd=REPO, capture_output=True, text=True)
+            self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+            self.assertIn("does not match", r.stdout)
+            head2 = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                   capture_output=True,
+                                   text=True).stdout.strip()
+            self.assertEqual(head, head2,
+                             "--fix committed a mismatching detail")
+            # nothing left staged either
+            staged = subprocess.run(
+                ["git", "diff", "--cached", "--name-only"], cwd=REPO,
+                capture_output=True, text=True).stdout
+            self.assertEqual(staged.strip(), "")
+        finally:
+            os.unlink(artifact)
+            subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
+                           cwd=REPO, capture_output=True)
 
     def test_refuses_an_unparseable_driver_artifact(self):
         # a partial driver write (truncated JSON) must not be committed

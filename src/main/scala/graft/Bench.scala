@@ -121,10 +121,15 @@ object Bench {
     *
     *  - `ownWindow` — the execution's OWN bracketing evidence flagged it
     *    (spin probes > 2× the run's best, or external CPU share above
-    *    the noise floor): retry regardless of any anchor-relative
-    *    threshold; only the 3 s jitter floor holds (re-measuring a
-    *    sub-3 s cold cannot move the headline materially and sub-second
-    *    churn is retry noise by policy).
+    *    the noise floor): retry when the cold exceeds the 3 s jitter
+    *    floor AND its own anchor when one exists (round-14 ADVICE: a
+    *    cold at or under its anchor was demonstrably NOT inflated by
+    *    the window, so re-measuring it spends a full execution plus an
+    *    awaitCleanWindow wait with no possible headline correction;
+    *    anchor-less queries keep the floor-only behavior). No 1.5×
+    *    multiplier here — the window evidence itself is the
+    *    corroboration, the anchor only has to show the measurement
+    *    moved at all.
     *  - `nearWave` — the execution's own probes read clean but it ran
     *    within the ±60 s expansion of a window some OTHER execution's
     *    probes flagged (waves are minutes long and the probes only
@@ -140,7 +145,7 @@ object Bench {
   private[graft] def degradedRetryNeeded(coldSecs: Double,
       anchor: Option[Double], ownWindow: Boolean,
       nearWave: Boolean = false): Boolean =
-    if (ownWindow) coldSecs > 3.0
+    if (ownWindow) coldSecs > 3.0 && anchor.forall(coldSecs > _)
     else nearWave && anchor.exists(a => coldSecs > math.max(3.0, 1.5 * a))
 
   /** Did a measurement spanning [t0, t1] (nanoTime) fall inside the
@@ -515,6 +520,15 @@ object Bench {
     // once spent, this is a no-op and the sweep proceeds as before.
     var consecDegraded = 0
     var nRegated = 0
+    // Retry-phase executions contribute wave evidence too (round-14
+    // ADVICE): a wave that STARTS during the retry/warm-retry/final
+    // passes must be visible to the final pass's retro nearWave check,
+    // which otherwise compares against the sweep-time list only.
+    // Deliberately does NOT touch the consecDegraded streak — the
+    // mid-run re-gate is a headline-sweep concept, and every retry-phase
+    // execution already sits behind its own awaitCleanWindow wait.
+    def noteWave(e: Exec): Unit =
+      if (windowDegraded(e)) degradedWaves += ((e.t0, e.t1))
     def noteWindow(e: Exec): Unit = {
       if (windowDegraded(e)) {
         consecDegraded += 1
@@ -621,6 +635,7 @@ object Bench {
         val retrySuspect = lingering
         val re = execute(qr.name, "retry", qr.fn)
         lingering = re.lingered
+        noteWave(re)
         retryRaw(qr.name) = re
         if (re.ok) System.err.println(
           f"[bench] ${qr.name} retry: ${re.secs}%.2f s (first ${qr.cold.secs}%.2f)")
@@ -655,6 +670,7 @@ object Bench {
           awaitCleanWindow()
           val w = execute(qr.name, "warm-retry", qr.fn)
           lingering = w.lingered
+          noteWave(w)
           warmRetryRaw(qr.name) = w
           if (w.ok) System.err.println(
             f"[bench] ${qr.name} warm-retry: ${w.secs}%.2f s (first warm ${qr.warm}%.2f)")
@@ -691,6 +707,7 @@ object Bench {
         awaitCleanWindow()
         val re = execute(qr.name, "retry2", qr.fn)
         lingering = re.lingered
+        noteWave(re)
         retry2Raw(qr.name) = re
         if (re.ok) System.err.println(
           f"[bench] ${qr.name} retry2: ${re.secs}%.2f s (headline was ${qr.cold.secs}%.2f)")
@@ -703,6 +720,7 @@ object Bench {
           else {
             val w = execute(qr.name, "retry2-warm", qr.fn)
             lingering = w.lingered
+            noteWave(w)
             if (w.ok) { warmRetryRaw(qr.name) = w; w.secs } else -1.0
           }
         qr.copy(cold = cold3, warm = warm3, coldSuspect = false)

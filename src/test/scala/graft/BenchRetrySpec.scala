@@ -105,13 +105,25 @@ class BenchRetrySpec extends AnyFunSuite {
     assert(Bench.finalRetryNeeded(coldOk = false, -1.0, None, suspect = false))
   }
 
-  test("degradedRetryNeeded: own-flagged windows retry past the 3s floor, " +
-      "regardless of anchor") {
-    // r13 task 6: an execution whose OWN probes flagged the window is
-    // re-measured regardless of any anchor-relative threshold — only the
-    // 3 s jitter floor holds
+  test("degradedRetryNeeded: own-flagged windows retry past the 3s floor " +
+      "when the anchor corroborates (or no anchor exists)") {
+    // r13 task 6 + r14 ADVICE: an execution whose OWN probes flagged the
+    // window is re-measured when it cleared the 3 s jitter floor AND its
+    // anchor shows the measurement actually moved — a cold at or under
+    // its anchor was demonstrably not inflated, so re-measuring it
+    // cannot correct the headline and only burns budget
     assert(Bench.degradedRetryNeeded(4.0, Some(2.0), ownWindow = true))
-    assert(Bench.degradedRetryNeeded(3.1, Some(100.0), ownWindow = true))
+    // between 1.0x and 1.5x anchor: the own tier fires where the
+    // nearWave tier (1.5x bar) would not — window evidence itself is
+    // the corroboration
+    assert(Bench.degradedRetryNeeded(12.0, Some(10.0), ownWindow = true))
+    assert(!Bench.degradedRetryNeeded(12.0, Some(10.0),
+      ownWindow = false, nearWave = true))
+    // at or under the anchor: demonstrably not inflated — no retry
+    // (this exact case burned a full execution pre-r15)
+    assert(!Bench.degradedRetryNeeded(3.1, Some(100.0), ownWindow = true))
+    assert(!Bench.degradedRetryNeeded(10.0, Some(10.0), ownWindow = true))
+    // anchor-less queries keep the floor-only behavior
     assert(Bench.degradedRetryNeeded(3.1, None, ownWindow = true))
     // the 3 s floor: sub-3s re-measures cannot move the headline
     assert(!Bench.degradedRetryNeeded(2.9, Some(0.3), ownWindow = true))
@@ -138,8 +150,13 @@ class BenchRetrySpec extends AnyFunSuite {
     // anchor-less queries never fire on adjacency alone
     assert(!Bench.degradedRetryNeeded(100.0, None,
       ownWindow = false, nearWave = true))
-    // own-flag wins over adjacency: anchor-independent
-    assert(Bench.degradedRetryNeeded(3.1, Some(100.0),
+    // own-flag + adjacency with the cold under its anchor: neither tier
+    // fires (own needs cold > anchor, nearWave needs cold > 1.5x)
+    assert(!Bench.degradedRetryNeeded(3.1, Some(100.0),
+      ownWindow = true, nearWave = true))
+    // own-flag wins over adjacency's stricter 1.5x bar once the anchor
+    // corroborates at all
+    assert(Bench.degradedRetryNeeded(12.0, Some(10.0),
       ownWindow = true, nearWave = true))
   }
 

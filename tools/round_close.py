@@ -38,7 +38,9 @@ files are only claimable when the round's untracked BENCH_r<NN>.json is
 dirty alongside them AND BENCH_DETAIL.json's headline total matches the
 official artifact's (round-14 ADVICE): a local bench run overwrites
 BENCH_DETAIL.json in place, so a forgotten copy-then-checkout must not
-be laundered into a driver-attributed evidence commit.
+be laundered into a driver-attributed evidence commit. LEAKCHECK.json
+gets the analogous content check (round-15 ADVICE): its "round" stamp
+must match the round being closed when the field is present.
 
 Exit 0 = the round is closeable; nonzero = the listing says what's left.
 """
@@ -223,7 +225,9 @@ def official_bench_value(path):
         try:
             return float(parsed["value"])
         except (TypeError, ValueError):
-            return None
+            pass  # malformed parsed value: the top-level/tail forms may
+            # still carry the headline (round-15 ADVICE — returning None
+            # here silently disabled the BENCH_DETAIL mismatch gate)
     if isinstance(d.get("value"), (int, float)):
         return float(d["value"])
     tail = d.get("tail")
@@ -280,6 +284,21 @@ def fix(rnd):
                   f"match BENCH_r{rnd:02d}.json's headline {official} — the "
                   "detail was overwritten by a run other than the official "
                   "driver bench (copy-then-`git checkout` it, then re-run)")
+            return False
+    # the analogous content corroboration for LEAKCHECK.json (round-15
+    # ADVICE low): the driver stamps the round it scanned for, so a stale
+    # or locally-regenerated file claiming a different round must not be
+    # committed with driver attribution. LEAKCHECK has no headline total,
+    # so the round stamp is its only content tie to the official run; a
+    # file without the field falls back to the signature gate alone.
+    if "LEAKCHECK.json" in to_commit:
+        with open("LEAKCHECK.json") as f:
+            leak_round = json.load(f).get("round")
+        if leak_round is not None and leak_round != rnd:
+            print(f"--fix REFUSED: LEAKCHECK.json round={leak_round} does "
+                  f"not match the round being closed ({rnd}) — a run other "
+                  "than this round's official driver scan overwrote the "
+                  "tracked file (copy-then-`git checkout` it, then re-run)")
             return False
     subprocess.run(["git", "add", "--"] + to_commit, check=True)
     msg = (f"round {rnd}: track official driver bench/correctness artifacts"

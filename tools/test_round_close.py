@@ -137,6 +137,19 @@ class OfficialBenchValue(unittest.TestCase):
         p = self._tmp('{"value": -1.0}')
         self.assertEqual(round_close.official_bench_value(p), -1.0)
 
+    def test_malformed_parsed_value_falls_through(self):
+        # a parsed dict whose value is unparsable must NOT disable the
+        # mismatch gate — the top-level and tail forms may still carry
+        # the headline (round-15 ADVICE)
+        p = self._tmp('{"parsed": {"value": "n/a"}, "value": 268.212}')
+        self.assertEqual(round_close.official_bench_value(p), 268.212)
+        p = self._tmp('{"parsed": {"value": null}, "tail": '
+                      '"{\\"metric\\":\\"total\\",\\"value\\":268.212}"}')
+        self.assertEqual(round_close.official_bench_value(p), 268.212)
+        # when no other form exists either, it is still undeterminable
+        p = self._tmp('{"parsed": {"value": "n/a"}}')
+        self.assertIsNone(round_close.official_bench_value(p))
+
     def test_undeterminable_is_none(self):
         self.assertIsNone(round_close.official_bench_value("/nonexistent"))
         self.assertIsNone(
@@ -254,6 +267,44 @@ class FixEndToEnd(unittest.TestCase):
         finally:
             os.unlink(artifact)
             subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
+                           cwd=REPO, capture_output=True)
+
+    def test_refuses_a_leakcheck_stamped_for_another_round(self):
+        # driver signature present (untracked BENCH_r97.json) but the
+        # modified LEAKCHECK.json carries a different round stamp: a
+        # stale or local scan overwrote the tracked file — --fix must
+        # refuse rather than commit it as this round's driver evidence
+        # (round-15 ADVICE)
+        out = subprocess.run(["git", "status", "--porcelain"], cwd=REPO,
+                             capture_output=True, text=True).stdout
+        if out.strip():
+            self.skipTest("repo dirty — the refusal e2e needs a clean tree")
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+        artifact = os.path.join(REPO, "BENCH_r97.json")
+        leak = os.path.join(REPO, "LEAKCHECK.json")
+        with open(artifact, "w") as f:
+            f.write('{"parsed": {"value": 123.456}}')
+        with open(leak, "w") as f:
+            f.write('{"round": 42, "n_hits": 0, "hits": {}}')
+        try:
+            r = subprocess.run(
+                [sys.executable, "tools/round_close.py", "--fix", "97"],
+                cwd=REPO, capture_output=True, text=True)
+            self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+            self.assertIn("round=42", r.stdout)
+            head2 = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                                   capture_output=True,
+                                   text=True).stdout.strip()
+            self.assertEqual(head, head2,
+                             "--fix committed a mis-stamped leakcheck")
+            staged = subprocess.run(
+                ["git", "diff", "--cached", "--name-only"], cwd=REPO,
+                capture_output=True, text=True).stdout
+            self.assertEqual(staged.strip(), "")
+        finally:
+            os.unlink(artifact)
+            subprocess.run(["git", "checkout", "--", "LEAKCHECK.json"],
                            cwd=REPO, capture_output=True)
 
     def test_refuses_an_unparseable_driver_artifact(self):

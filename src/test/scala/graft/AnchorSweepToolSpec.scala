@@ -15,13 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class AnchorSweepToolSpec extends AnyFunSuite {
 
   test("anchor.py + sweep.py selftest passes (evidence-chain gates)") {
-    assume(new java.io.File("tools/test_anchor_sweep.py").isFile)
-    val pb = new ProcessBuilder("python3", "tools/test_anchor_sweep.py")
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream)(
-      scala.io.Codec.UTF8).mkString
-    val code = p.waitFor()
+    val (code, out) = PyGate.run("tools/test_anchor_sweep.py")
     assert(code == 0, s"tools/test_anchor_sweep.py failed:\n$out")
   }
 }

@@ -12,13 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RoundCloseSpec extends AnyFunSuite {
 
   test("round_close.py --fix selftest passes (refusal-safety contract)") {
-    assume(new java.io.File("tools/test_round_close.py").isFile)
-    val pb = new ProcessBuilder("python3", "tools/test_round_close.py")
-    pb.redirectErrorStream(true)
-    val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream)(
-      scala.io.Codec.UTF8).mkString
-    val code = p.waitFor()
+    val (code, out) = PyGate.run("tools/test_round_close.py")
     assert(code == 0, s"tools/test_round_close.py failed:\n$out")
   }
 }

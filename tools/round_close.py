@@ -220,6 +220,8 @@ def official_bench_value(path):
             d = json.load(f)
     except (OSError, ValueError):
         return None
+    if not isinstance(d, dict):
+        return None  # valid JSON but not an object (e.g. top-level array)
     parsed = d.get("parsed")
     if isinstance(parsed, dict) and "value" in parsed:
         try:
@@ -235,6 +237,38 @@ def official_bench_value(path):
         m = re.findall(r'"metric":"total","value":(-?\d+(?:\.\d+)?)', tail)
         if m:
             return float(m[-1])
+    return None
+
+
+def leakcheck_refusal(leak_doc, rnd):
+    """Content corroboration for LEAKCHECK.json (round-15 ADVICE low,
+    hardened per round-16 ADVICE): the driver stamps the round it scanned
+    for, so a stale or locally-regenerated file claiming a different round
+    must not be committed with driver attribution. Returns a refusal
+    reason, or None when the file corroborates (or carries no stamp — the
+    signature gate alone holds then). Pure; unit-tested directly.
+
+    Round-16 hardening: a non-dict top level (valid JSON array) no longer
+    crashes with AttributeError, and the round stamp is normalized with
+    int() before comparing so a driver that stamps "16" as a string is
+    not falsely refused."""
+    if not isinstance(leak_doc, dict):
+        return ("LEAKCHECK.json top level is not an object — not a driver "
+                "leak scan; refusing to commit it with driver attribution")
+    leak_round = leak_doc.get("round")
+    if leak_round is None:
+        return None
+    try:
+        leak_round = int(leak_round)
+    except (ValueError, TypeError):
+        return (f"LEAKCHECK.json round={leak_round!r} is not a round "
+                "number — cannot corroborate the file against this "
+                "round's official driver scan")
+    if leak_round != rnd:
+        return (f"LEAKCHECK.json round={leak_round} does not match the "
+                f"round being closed ({rnd}) — a run other than this "
+                "round's official driver scan overwrote the tracked file "
+                "(copy-then-`git checkout` it, then re-run)")
     return None
 
 
@@ -276,7 +310,9 @@ def fix(rnd):
         try:
             with open("BENCH_DETAIL.json") as f:
                 detail = float(json.load(f).get("value"))
-        except (OSError, ValueError, TypeError):
+        except (OSError, ValueError, TypeError, AttributeError):
+            # AttributeError: valid JSON whose top level is not an object
+            # (e.g. a list) has no .get — treat like any unreadable value
             detail = None
         if official is not None and detail is not None \
                 and abs(official - detail) > 0.0005:
@@ -293,12 +329,10 @@ def fix(rnd):
     # file without the field falls back to the signature gate alone.
     if "LEAKCHECK.json" in to_commit:
         with open("LEAKCHECK.json") as f:
-            leak_round = json.load(f).get("round")
-        if leak_round is not None and leak_round != rnd:
-            print(f"--fix REFUSED: LEAKCHECK.json round={leak_round} does "
-                  f"not match the round being closed ({rnd}) — a run other "
-                  "than this round's official driver scan overwrote the "
-                  "tracked file (copy-then-`git checkout` it, then re-run)")
+            leak_doc = json.load(f)
+        reason = leakcheck_refusal(leak_doc, rnd)
+        if reason is not None:
+            print(f"--fix REFUSED: {reason}")
             return False
     subprocess.run(["git", "add", "--"] + to_commit, check=True)
     msg = (f"round {rnd}: track official driver bench/correctness artifacts"

@@ -15,12 +15,21 @@ Flags a query when BOTH:
   - new_best > 1.5x base_best (the degraded-eligible bar), AND
   - new_best > 3 s (the retry jitter floor — sub-second churn is noise).
 
+Each flag line also carries the per-side MEDIANS across runs, and the
+summary carries each run's run-average steal_pct (round-16 VERDICT task
+7): on a steal-storm day the r16 adjudication needed per-query medians
+plus the steal context assembled by hand from six detail files — with
+them inline, one sweep command answers "is this flag code or weather"
+directly (a flag whose medians agree while only one side's best is off,
+on runs with elevated steal, is weather).
+
 Exit 0 = no flags and no gone queries; 1 = flags listed (adjudicate from
 the raw first/warm columns before calling it a regression) AND/OR queries
 present in base but missing from new ("gone" lines — a silently dropped
 query must fail the sweep too); 2 = usage/data error.
 """
 import json
+import statistics
 import sys
 
 
@@ -28,6 +37,7 @@ _SFS = set()
 
 
 def observations(path):
+    """(per-query honest-cold dict, run-average steal_pct or None)."""
     with open(path) as f:
         d = json.load(f)
     if d.get("n_failed", 0) > 0:
@@ -51,16 +61,27 @@ def observations(path):
               "run, not comparable under the first-on-retry basis",
               file=sys.stderr)
         sys.exit(2)
-    return {k: (first[k] if k in retry and k in first else v)
-            for k, v in queries.items()}
+    steal = d.get("steal_pct")
+    if not isinstance(steal, (int, float)):
+        steal = None
+    return ({k: (first[k] if k in retry and k in first else v)
+             for k, v in queries.items()}, steal)
 
 
-def best_of(paths):
-    best = {}
+def collect(paths):
+    """(per-query list of observations across runs, per-run steal list)."""
+    values, steals = {}, []
     for p in paths:
-        for k, v in observations(p).items():
-            best[k] = min(best.get(k, float("inf")), v)
-    return best
+        obs, steal = observations(p)
+        steals.append(steal)
+        for k, v in obs.items():
+            values.setdefault(k, []).append(v)
+    return values, steals
+
+
+def _steal_str(steals):
+    return "[" + ", ".join("?" if s is None else f"{s:.2f}"
+                           for s in steals) + "]"
 
 
 def main():
@@ -75,21 +96,30 @@ def main():
     if not base_paths or not new_paths:
         print("need at least one file on each side", file=sys.stderr)
         return 2
-    base, new = best_of(base_paths), best_of(new_paths)
+    base_all, base_steals = collect(base_paths)
+    new_all, new_steals = collect(new_paths)
+    base = {k: min(vs) for k, vs in base_all.items()}
+    new = {k: min(vs) for k, vs in new_all.items()}
     flags = []
     for q in sorted(new):
         if q not in base:
             print(f"  [new]  {q}: {new[q]:.2f}s (no base observation)")
             continue
         if new[q] > 1.5 * base[q] and new[q] > 3.0:
+            med_b = statistics.median(base_all[q])
+            med_n = statistics.median(new_all[q])
             flags.append(f"  [FLAG] {q}: {base[q]:.2f}s -> {new[q]:.2f}s "
-                         f"({new[q] / base[q]:.2f}x)")
+                         f"({new[q] / base[q]:.2f}x; medians "
+                         f"{med_b:.2f}s -> {med_n:.2f}s)")
     gone = sorted(set(base) - set(new))
     for q in gone:
         print(f"  [gone] {q}: in base runs but not in new runs")
     print(f"sweep: {len(new)} queries, honest-cold best-of "
           f"{len(new_paths)} new vs {len(base_paths)} base run(s), "
           f"{len(flags)} flag(s)")
+    print(f"  run steal %: base {_steal_str(base_steals)} "
+          f"new {_steal_str(new_steals)} (clean band 0.04-0.54; "
+          "storms inflate distributed, see BASELINE.md r16 note)")
     for f_ in flags:
         print(f_)
     return 1 if flags or gone else 0

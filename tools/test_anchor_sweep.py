@@ -189,6 +189,38 @@ class SweepTool(Base):
         self.assertEqual(r.returncode, 2)
         self.assertIn("retry-rescued", r.stderr)
 
+    def test_flag_lines_carry_per_side_medians(self):
+        # r16 VERDICT task 7: adjudicating a storm-day flag needs the
+        # medians, not just the best-of minima. base runs 4.0/6.0 ->
+        # best 4, median 5; new runs 7.0/9.0 -> best 7, median 8.
+        b1 = self.write("b1.json", detail({"q1": 4.0}))
+        b2 = self.write("b2.json", detail({"q1": 6.0}))
+        n1 = self.write("n1.json", detail({"q1": 7.0}))
+        n2 = self.write("n2.json", detail({"q1": 9.0}))
+        r = self.run_tool(SWEEP, "--base", b1, b2, "--new", n1, n2)
+        self.assertEqual(r.returncode, 1)
+        self.assertIn("[FLAG] q1: 4.00s -> 7.00s", r.stdout)
+        self.assertIn("medians 5.00s -> 8.00s", r.stdout)
+
+    def test_summary_carries_run_steal_context(self):
+        # ... and the steal context: which side ran under contention is
+        # the first question on any storm-day flag
+        base = self.write("b.json", detail({"q1": 4.0}, steal_pct=0.11))
+        new = self.write("n.json", detail({"q1": 4.0}, steal_pct=1.53))
+        r = self.run_tool(SWEEP, "--base", base, "--new", new)
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        self.assertIn("run steal %: base [0.11] new [1.53]", r.stdout)
+
+    def test_missing_steal_field_prints_placeholder(self):
+        # older detail files predate the steal_pct field — the sweep
+        # must not crash or fabricate a number for them
+        base = self.write("b.json", {"queries": {"q1": 4.0}, "n_failed": 0,
+                                     "sf": "/root/testdata/sf0.1"})
+        new = self.write("n.json", detail({"q1": 4.0}, steal_pct=0.2))
+        r = self.run_tool(SWEEP, "--base", base, "--new", new)
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        self.assertIn("base [?]", r.stdout)
+
 
 if __name__ == "__main__":
     unittest.main(verbosity=2)

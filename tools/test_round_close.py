@@ -24,6 +24,18 @@ import round_close  # noqa: E402
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
+def _restore_head(recorded_head):
+    """If an e2e refusal test regressed and --fix actually committed, drop
+    the laundered commit by hard-resetting to the head recorded before the
+    test ran (round-16 ADVICE: the finally blocks previously only cleaned
+    the files, leaving a bogus commit in history on regression)."""
+    head_now = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
+                              capture_output=True, text=True).stdout.strip()
+    if head_now != recorded_head:
+        subprocess.run(["git", "reset", "--hard", recorded_head],
+                       cwd=REPO, capture_output=True)
+
+
 class ClassifyFix(unittest.TestCase):
     def test_exactly_the_driver_artifacts_commit(self):
         lines = ["?? BENCH_r14.json", "?? CORRECTNESS_r14.json",
@@ -157,6 +169,49 @@ class OfficialBenchValue(unittest.TestCase):
         self.assertIsNone(
             round_close.official_bench_value(self._tmp('not json')))
 
+    def test_non_object_top_level_is_none_not_a_crash(self):
+        # valid JSON whose top level is an array has no .get — must be
+        # undeterminable, not an AttributeError (round-16 ADVICE)
+        self.assertIsNone(
+            round_close.official_bench_value(self._tmp('[1, 2, 3]')))
+        self.assertIsNone(
+            round_close.official_bench_value(self._tmp('"a string"')))
+
+
+class LeakcheckRefusal(unittest.TestCase):
+    """leakcheck_refusal: the pure content-corroboration gate for
+    LEAKCHECK.json (round-16 ADVICE hardening)."""
+
+    def test_matching_int_stamp_passes(self):
+        self.assertIsNone(round_close.leakcheck_refusal({"round": 16}, 16))
+
+    def test_matching_string_stamp_passes(self):
+        # a driver that stamps the round as a string is still this
+        # round's file — normalize, don't falsely refuse
+        self.assertIsNone(round_close.leakcheck_refusal({"round": "16"}, 16))
+
+    def test_missing_stamp_passes_on_signature_alone(self):
+        self.assertIsNone(round_close.leakcheck_refusal({"n_hits": 0}, 16))
+
+    def test_mismatching_stamp_refuses_int_and_string(self):
+        for stamp in (42, "42"):
+            reason = round_close.leakcheck_refusal({"round": stamp}, 16)
+            self.assertIsNotNone(reason, stamp)
+            self.assertIn("round=42", reason)
+
+    def test_non_object_top_level_refuses_cleanly(self):
+        # a top-level array previously crashed --fix with an uncaught
+        # AttributeError instead of the normal refusal message
+        for doc in ([1, 2], "scan", 3.5, None):
+            reason = round_close.leakcheck_refusal(doc, 16)
+            self.assertIsNotNone(reason, repr(doc))
+            self.assertIn("not an object", reason)
+
+    def test_non_numeric_stamp_refuses_cleanly(self):
+        reason = round_close.leakcheck_refusal({"round": "sixteen"}, 16)
+        self.assertIsNotNone(reason)
+        self.assertIn("not a round number", reason)
+
 
 class FixCommitFailure(unittest.TestCase):
     def test_commit_error_unstages_and_returns_false(self):
@@ -265,7 +320,9 @@ class FixEndToEnd(unittest.TestCase):
                 capture_output=True, text=True).stdout
             self.assertEqual(staged.strip(), "")
         finally:
-            os.unlink(artifact)
+            _restore_head(head)
+            if os.path.exists(artifact):
+                os.unlink(artifact)
             subprocess.run(["git", "checkout", "--", "BENCH_DETAIL.json"],
                            cwd=REPO, capture_output=True)
 
@@ -303,7 +360,9 @@ class FixEndToEnd(unittest.TestCase):
                 capture_output=True, text=True).stdout
             self.assertEqual(staged.strip(), "")
         finally:
-            os.unlink(artifact)
+            _restore_head(head)
+            if os.path.exists(artifact):
+                os.unlink(artifact)
             subprocess.run(["git", "checkout", "--", "LEAKCHECK.json"],
                            cwd=REPO, capture_output=True)
 
@@ -331,7 +390,9 @@ class FixEndToEnd(unittest.TestCase):
             self.assertEqual(head, head2,
                              "--fix committed an unparseable artifact")
         finally:
-            os.unlink(artifact)
+            _restore_head(head)
+            if os.path.exists(artifact):
+                os.unlink(artifact)
 
 
 if __name__ == "__main__":

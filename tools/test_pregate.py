@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Selftest for tools/pregate.py (the ambient-steal pre-gate).
+
+Drives the real script over recorded /proc/stat snapshots via
+--stat-file, the same synthetic-input pattern test_anchor_sweep.py
+uses — plus direct unit tests of the pure gate()/read_steal() core.
+Run: python3 tools/test_pregate.py (also run by PregateToolSpec in
+sbt test).
+"""
+import os
+import subprocess
+import sys
+import tempfile
+import unittest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import pregate  # noqa: E402
+
+PREGATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "pregate.py")
+
+
+def stat_line(steal):
+    return (f"cpu  100 0 200 30000 40 0 50 {steal} 0 0\n"
+            "cpu0 1 0 2 300 4 0 5 6 0 0\n")
+
+
+class PureCore(unittest.TestCase):
+    def test_gate_quiet_and_noisy(self):
+        self.assertEqual(pregate.gate([13, 0], 300), (True, []))
+        self.assertEqual(pregate.gate([13, 500], 300), (False, [500]))
+        # boundary: exactly at threshold is quiet (> not >=)
+        self.assertEqual(pregate.gate([300], 300), (True, []))
+
+    def test_read_steal_parses_field_9(self):
+        with tempfile.NamedTemporaryFile("w", suffix=".stat",
+                                         delete=False) as f:
+            f.write(stat_line(871431))
+            p = f.name
+        self.addCleanup(os.unlink, p)
+        self.assertEqual(pregate.read_steal(p), 871431)
+
+    def test_read_steal_rejects_malformed(self):
+        with tempfile.NamedTemporaryFile("w", suffix=".stat",
+                                         delete=False) as f:
+            f.write("intr 12345\n")
+            p = f.name
+        self.addCleanup(os.unlink, p)
+        with self.assertRaises(ValueError):
+            pregate.read_steal(p)
+
+
+class EndToEnd(unittest.TestCase):
+    def setUp(self):
+        self.dir = tempfile.TemporaryDirectory()
+        self.addCleanup(self.dir.cleanup)
+
+    def snap(self, name, steal):
+        p = os.path.join(self.dir.name, name)
+        with open(p, "w") as f:
+            f.write(stat_line(steal))
+        return p
+
+    def run_gate(self, *args):
+        return subprocess.run([sys.executable, PREGATE, *args],
+                              capture_output=True, text=True)
+
+    def test_quiet_host_passes(self):
+        ps = [self.snap("a", 1000), self.snap("b", 1013),
+              self.snap("c", 1013)]
+        r = self.run_gate("--samples", "2",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        self.assertIn("QUIET", r.stdout)
+        self.assertIn("[13, 0]", r.stdout)
+
+    def test_storm_refuses(self):
+        # second interval jumps 900 jiffies — the r16 storm shape
+        ps = [self.snap("a", 1000), self.snap("b", 1010),
+              self.snap("c", 1910)]
+        r = self.run_gate("--samples", "2",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 1)
+        self.assertIn("NOISY", r.stdout)
+        self.assertIn("wait out the storm", r.stdout)
+
+    def test_wrong_snapshot_count_is_usage_error(self):
+        ps = [self.snap("a", 1000), self.snap("b", 1010)]
+        r = self.run_gate("--samples", "2",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("samples+1", r.stderr)
+
+    def test_unreadable_stat_is_a_data_error_not_a_pass(self):
+        r = self.run_gate("--samples", "1", "--stat-file", "/nonexistent",
+                          "--stat-file", "/nonexistent")
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("cannot read steal counter", r.stderr)
+
+    def test_custom_threshold(self):
+        ps = [self.snap("a", 1000), self.snap("b", 1050)]
+        r = self.run_gate("--samples", "1", "--threshold", "40",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 1)
+
+
+if __name__ == "__main__":
+    unittest.main(verbosity=2)

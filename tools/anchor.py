@@ -92,7 +92,7 @@ def main() -> int:
         if isinstance(steal, (int, float)) and steal > 0.8:
             print(f"WARNING: {p} run-average steal {steal:.2f}% > 0.8% — "
                   "likely external-contention inflation; prefer re-recording "
-                  "on a quiet host (clean-run band is 0.04-0.54%)",
+                  "on a quiet host (r16-r17 clean runs observed 0.04-0.77%)",
                   file=sys.stderr)
         observations = {}
         for k, v in queries.items():

@@ -8,9 +8,13 @@ Usage: python3 tools/pregate.py [--samples N] [--interval SEC]
 Mechanizes the round-16/17 discipline (VERDICT r16 task 3): before
 recording a clean sf0.1 run, sample /proc/stat's cpu steal counter
 across N intervals (default 2 x 10 s) and refuse to call the host
-quiet if any interval's delta exceeds the threshold (default 300
-jiffies per 10 s ~= 1 % of 32 cpus). Exit 0 = QUIET (record the run),
-1 = NOISY (wait out the storm), 2 = usage/data error.
+quiet if any interval's delta exceeds the threshold. --threshold is
+expressed as jiffies PER 10 SECONDS (default 300 ~= 1 % of 32 cpus)
+and is scaled to the actual --interval, so shortening the interval
+cannot silently weaken the gate. A negative delta (counter reset,
+or replay snapshots passed out of order) is a data error, not quiet.
+Exit 0 = QUIET (record the run), 1 = NOISY (wait out the storm),
+2 = usage/data error.
 
 Scope, learned the hard way in r17: this gate filters LAUNCH-TIME
 storms only. The co-tenant returns on its own schedule — three r17
@@ -41,9 +45,13 @@ def read_steal(path):
     raise ValueError(f"no 'cpu ' aggregate line in {path!r}")
 
 
-def gate(deltas, threshold):
-    """Pure verdict: (quiet, offending deltas)."""
-    noisy = [d for d in deltas if d > threshold]
+def gate(deltas, threshold_per_10s, interval):
+    """Pure verdict: (quiet, offending deltas). The threshold is a
+    jiffies-per-10-seconds rate scaled to the sampling interval;
+    negative deltas are unusable data and must be screened by the
+    caller before gating."""
+    bar = threshold_per_10s * interval / 10.0
+    noisy = [d for d in deltas if d > bar]
     return (not noisy, noisy)
 
 
@@ -90,13 +98,19 @@ def main():
     except (OSError, ValueError) as e:
         print(f"cannot read steal counter: {e}", file=sys.stderr)
         return 2
-    quiet, noisy = gate(deltas, threshold)
+    if any(d < 0 for d in deltas):
+        print(f"steal counter went backwards (deltas {deltas}) — counter "
+              "reset or snapshots out of order; unusable data",
+              file=sys.stderr)
+        return 2
+    quiet, noisy = gate(deltas, threshold, interval)
+    bar = threshold * interval / 10.0
     label = "QUIET" if quiet else "NOISY"
     print(f"pregate: {label} — steal deltas {deltas} jiffies per "
-          f"{interval:g}s interval (threshold {threshold}; "
-          f"~1% of 32 cpus = 320/10s)")
+          f"{interval:g}s interval (bar {bar:g}/interval = "
+          f"{threshold}/10s; 1% of 32 cpus = 320/10s)")
     if not quiet:
-        print(f"  wait out the storm: {noisy} exceed the threshold; "
+        print(f"  wait out the storm: {noisy} exceed the bar; "
               "re-run until QUIET before recording a _clean run")
     return 0 if quiet else 1
 

@@ -118,8 +118,9 @@ def main():
           f"{len(new_paths)} new vs {len(base_paths)} base run(s), "
           f"{len(flags)} flag(s)")
     print(f"  run steal %: base {_steal_str(base_steals)} "
-          f"new {_steal_str(new_steals)} (clean band 0.04-0.54; "
-          "storms inflate distributed, see BASELINE.md r16 note)")
+          f"new {_steal_str(new_steals)} (clean runs observed "
+          "0.04-0.77; anchor.py warns >0.8; storms inflate "
+          "distributed, see BASELINE.md r16 note)")
     for f_ in flags:
         print(f_)
     return 1 if flags or gone else 0

@@ -27,10 +27,20 @@ def stat_line(steal):
 
 class PureCore(unittest.TestCase):
     def test_gate_quiet_and_noisy(self):
-        self.assertEqual(pregate.gate([13, 0], 300), (True, []))
-        self.assertEqual(pregate.gate([13, 500], 300), (False, [500]))
-        # boundary: exactly at threshold is quiet (> not >=)
-        self.assertEqual(pregate.gate([300], 300), (True, []))
+        self.assertEqual(pregate.gate([13, 0], 300, 10), (True, []))
+        self.assertEqual(pregate.gate([13, 500], 300, 10), (False, [500]))
+        # boundary: exactly at the bar is quiet (> not >=)
+        self.assertEqual(pregate.gate([300], 300, 10), (True, []))
+
+    def test_gate_threshold_scales_with_interval(self):
+        # the threshold is a per-10s RATE: at --interval 5 the bar is
+        # 150 jiffies, so a steady ~1.5% steal host (240/5s) must be
+        # NOISY — an absolute threshold would have silently passed it
+        self.assertEqual(pregate.gate([240, 235], 300, 5),
+                         (False, [240, 235]))
+        self.assertEqual(pregate.gate([140], 300, 5), (True, []))
+        # and at a longer interval the bar loosens proportionally
+        self.assertEqual(pregate.gate([580], 300, 20), (True, []))
 
     def test_read_steal_parses_field_9(self):
         with tempfile.NamedTemporaryFile("w", suffix=".stat",
@@ -102,6 +112,24 @@ class EndToEnd(unittest.TestCase):
         r = self.run_gate("--samples", "1", "--threshold", "40",
                           *sum((["--stat-file", p] for p in ps), []))
         self.assertEqual(r.returncode, 1)
+
+    def test_short_interval_scales_the_bar(self):
+        # 240 jiffies in a 5 s interval = ~1.5% of 32 cpus: must be
+        # NOISY under the default 300/10s rate (bar 150/5s)
+        ps = [self.snap("a", 1000), self.snap("b", 1240)]
+        r = self.run_gate("--samples", "1", "--interval", "5",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+        self.assertIn("NOISY", r.stdout)
+
+    def test_backwards_counter_is_a_data_error_not_quiet(self):
+        # counter reset (reboot) or snapshots passed out of order: a
+        # -900 delta hides a +900 storm — must refuse, not pass QUIET
+        ps = [self.snap("a", 1910), self.snap("b", 1010)]
+        r = self.run_gate("--samples", "1",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("backwards", r.stderr)
 
 
 if __name__ == "__main__":

@@ -284,7 +284,9 @@ class FixEndToEnd(unittest.TestCase):
                                     text=True).stdout
             self.assertIn("?? FIX_SELFTEST_SENTINEL.txt", status)
         finally:
-            os.unlink(sentinel)
+            _restore_head(head)
+            if os.path.exists(sentinel):
+                os.unlink(sentinel)
 
     def test_refuses_a_detail_mismatching_the_official_headline(self):
         # driver signature present (untracked BENCH_r97.json) but the

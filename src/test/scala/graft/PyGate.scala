@@ -53,6 +53,13 @@ object PyGate {
         s"$script did not finish within $timeoutMinutes minutes — killed")
     }
     reader.join(10000)
-    (p.exitValue(), sb.toString)
+    // a grandchild holding the stdout pipe open can leave the drain
+    // thread alive past the join: mark the truncation instead of
+    // silently returning partial output (round-17 ADVICE)
+    val out =
+      if (reader.isAlive)
+        sb.toString + "\n<output truncated: reader still draining>"
+      else sb.toString
+    (p.exitValue(), out)
   }
 }

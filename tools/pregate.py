@@ -3,18 +3,29 @@
 
 Usage: python3 tools/pregate.py [--samples N] [--interval SEC]
                                 [--threshold JIFFIES]
+                                [--record OUT.json]
                                 [--stat-file PATH ...]   # tests only
+       python3 tools/pregate.py --stamp RECORD.json BENCH_DETAIL.json
 
 Mechanizes the round-16/17 discipline (VERDICT r16 task 3): before
 recording a clean sf0.1 run, sample /proc/stat's cpu steal counter
 across N intervals (default 2 x 10 s) and refuse to call the host
 quiet if any interval's delta exceeds the threshold. --threshold is
-expressed as jiffies PER 10 SECONDS (default 300 ~= 1 % of 32 cpus)
-and is scaled to the actual --interval, so shortening the interval
-cannot silently weaken the gate. A negative delta (counter reset,
-or replay snapshots passed out of order) is a data error, not quiet.
+expressed as jiffies PER 10 SECONDS; the default scales with the
+host's CPU count as read from the sampled stat file's cpuN lines
+(300 jiffies/10s on the 32-cpu bench host ~= 0.94 % steal — r17
+ADVICE: a hardcoded 300 would mean 7.5 % on a 4-cpu host), and is
+scaled to the actual --interval, so shortening the interval cannot
+silently weaken the gate. A negative delta (counter reset, or replay
+snapshots passed out of order) is a data error, not quiet.
 Exit 0 = QUIET (record the run), 1 = NOISY (wait out the storm),
 2 = usage/data error.
+
+--record writes the samples + verdict as JSON so the decision outlives
+shell history; after the bench finishes, --stamp injects that record
+as a "pregate" field into the run's BENCH_DETAIL evidence file
+(VERDICT r17 task 5: a _clean name is then corroborated by the
+artifact itself, the way steal_pct already corroborates storms).
 
 Scope, learned the hard way in r17: this gate filters LAUNCH-TIME
 storms only. The co-tenant returns on its own schedule — three r17
@@ -28,13 +39,15 @@ the live file, one per reading (N samples need N+1 readings), and
 skips the sleep — the selftest path, same pattern as anchor.py/sweep.py
 driving synthetic detail files.
 """
+import json
 import sys
 import time
 
 
 def read_steal(path):
-    """Steal jiffies from the first 'cpu ' aggregate line: field 9
-    (1-indexed) per proc(5); absent on pre-2.6.11 kernels -> error."""
+    """Steal jiffies from the first 'cpu ' aggregate line: the 8th time
+    value per proc(5), i.e. fields[8] after the 'cpu' label; absent on
+    pre-2.6.11 kernels -> error."""
     with open(path) as f:
         for line in f:
             if line.startswith("cpu "):
@@ -43,6 +56,23 @@ def read_steal(path):
                     raise ValueError(f"no steal field in {path!r} cpu line")
                 return int(fields[8])
     raise ValueError(f"no 'cpu ' aggregate line in {path!r}")
+
+
+def count_cpus(path):
+    """Count per-cpu 'cpuN' lines in a stat file; 0 if none (then the
+    caller falls back to os.cpu_count())."""
+    n = 0
+    with open(path) as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                n += 1
+    return n
+
+
+def default_threshold(n_cpus):
+    """Per-10s jiffy bar scaled to the host: 300 on the 32-cpu bench
+    host (~0.94 % steal), proportional elsewhere, floor 10."""
+    return max(10, round(300 * n_cpus / 32))
 
 
 def gate(deltas, threshold_per_10s, interval):
@@ -55,10 +85,48 @@ def gate(deltas, threshold_per_10s, interval):
     return (not noisy, noisy)
 
 
+def stamp(record_path, detail_path):
+    """Inject a --record verdict JSON into a bench detail file as its
+    "pregate" field. Refuses records without a verdict and targets that
+    are not bench detail files (no "queries" map) — a stamp must
+    corroborate a real run, not manufacture one."""
+    try:
+        with open(record_path) as f:
+            record = json.load(f)
+        with open(detail_path) as f:
+            detail = json.load(f)
+    except (OSError, ValueError) as e:
+        print(f"--stamp: cannot load inputs: {e}", file=sys.stderr)
+        return 2
+    if not isinstance(record, dict) or record.get("verdict") not in (
+            "QUIET", "NOISY"):
+        print(f"--stamp: {record_path!r} is not a pregate --record file "
+              "(no QUIET/NOISY verdict)", file=sys.stderr)
+        return 2
+    if not isinstance(detail, dict) or "queries" not in detail:
+        print(f"--stamp: {detail_path!r} is not a bench detail file "
+              "(no 'queries' map)", file=sys.stderr)
+        return 2
+    detail["pregate"] = record
+    with open(detail_path, "w") as f:
+        json.dump(detail, f)
+        f.write("\n")
+    print(f"stamped pregate verdict {record['verdict']} "
+          f"(deltas {record.get('samples_jiffies')}) into {detail_path}")
+    return 0
+
+
 def main():
     argv = sys.argv[1:]
-    samples, interval, threshold = 2, 10.0, 300
+    if argv and argv[0] == "--stamp":
+        if len(argv) != 3:
+            print("--stamp needs exactly RECORD.json DETAIL.json",
+                  file=sys.stderr)
+            return 2
+        return stamp(argv[1], argv[2])
+    samples, interval, threshold = 2, 10.0, None
     stat_files = []
+    record_path = None
     i = 0
     try:
         while i < len(argv):
@@ -68,6 +136,8 @@ def main():
                 interval = float(argv[i + 1]); i += 2
             elif argv[i] == "--threshold":
                 threshold = int(argv[i + 1]); i += 2
+            elif argv[i] == "--record":
+                record_path = argv[i + 1]; i += 2
             elif argv[i] == "--stat-file":
                 stat_files.append(argv[i + 1]); i += 2
             else:
@@ -79,11 +149,21 @@ def main():
     if samples < 1:
         print("need at least one sample interval", file=sys.stderr)
         return 2
+    if interval <= 0:
+        # interval 0 makes the bar 0 and back-to-back live samples
+        # trivially QUIET; negative makes everything NOISY (r17 ADVICE)
+        print("--interval must be > 0", file=sys.stderr)
+        return 2
     if stat_files and len(stat_files) != samples + 1:
         print(f"--stat-file needs exactly samples+1 ({samples + 1}) "
               f"readings, got {len(stat_files)}", file=sys.stderr)
         return 2
+    stat_source = stat_files[0] if stat_files else "/proc/stat"
     try:
+        n_cpus = count_cpus(stat_source)
+        if n_cpus == 0:
+            import os
+            n_cpus = os.cpu_count() or 1
         deltas = []
         if stat_files:
             readings = [read_steal(p) for p in stat_files]
@@ -103,15 +183,30 @@ def main():
               "reset or snapshots out of order; unusable data",
               file=sys.stderr)
         return 2
+    if threshold is None:
+        threshold = default_threshold(n_cpus)
     quiet, noisy = gate(deltas, threshold, interval)
     bar = threshold * interval / 10.0
     label = "QUIET" if quiet else "NOISY"
+    # host capacity over 10 s = n_cpus * 100 jiffies/s * 10 s
+    pct_of_host = 100.0 * threshold / (n_cpus * 1000.0)
     print(f"pregate: {label} — steal deltas {deltas} jiffies per "
           f"{interval:g}s interval (bar {bar:g}/interval = "
-          f"{threshold}/10s; 1% of 32 cpus = 320/10s)")
+          f"{threshold}/10s ~= {pct_of_host:.2f}% of {n_cpus} cpus)")
     if not quiet:
         print(f"  wait out the storm: {noisy} exceed the bar; "
               "re-run until QUIET before recording a _clean run")
+    if record_path is not None:
+        record = {"samples_jiffies": deltas, "interval_s": interval,
+                  "threshold_per_10s": threshold, "bar_per_interval": bar,
+                  "n_cpus": n_cpus, "verdict": label}
+        try:
+            with open(record_path, "w") as f:
+                json.dump(record, f)
+                f.write("\n")
+        except OSError as e:
+            print(f"cannot write --record file: {e}", file=sys.stderr)
+            return 2
     return 0 if quiet else 1
 
 

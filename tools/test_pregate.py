@@ -20,9 +20,13 @@ PREGATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "pregate.py")
 
 
-def stat_line(steal):
-    return (f"cpu  100 0 200 30000 40 0 50 {steal} 0 0\n"
-            "cpu0 1 0 2 300 4 0 5 6 0 0\n")
+def stat_line(steal, n_cpus=32):
+    # 32 per-cpu lines by default: the bench host's shape, from which
+    # pregate derives its default threshold (r17 ADVICE)
+    lines = [f"cpu  100 0 200 30000 40 0 50 {steal} 0 0\n"]
+    for n in range(n_cpus):
+        lines.append(f"cpu{n} 1 0 2 300 4 0 5 6 0 0\n")
+    return "".join(lines)
 
 
 class PureCore(unittest.TestCase):
@@ -41,6 +45,18 @@ class PureCore(unittest.TestCase):
         self.assertEqual(pregate.gate([140], 300, 5), (True, []))
         # and at a longer interval the bar loosens proportionally
         self.assertEqual(pregate.gate([580], 300, 20), (True, []))
+
+    def test_count_cpus_and_default_threshold(self):
+        with tempfile.NamedTemporaryFile("w", suffix=".stat",
+                                         delete=False) as f:
+            f.write(stat_line(0, n_cpus=4))
+            p = f.name
+        self.addCleanup(os.unlink, p)
+        self.assertEqual(pregate.count_cpus(p), 4)
+        # 300 on the 32-cpu bench host, proportional elsewhere
+        self.assertEqual(pregate.default_threshold(32), 300)
+        self.assertEqual(pregate.default_threshold(4), 38)
+        self.assertEqual(pregate.default_threshold(1), 10)  # floor
 
     def test_read_steal_parses_field_9(self):
         with tempfile.NamedTemporaryFile("w", suffix=".stat",
@@ -65,10 +81,10 @@ class EndToEnd(unittest.TestCase):
         self.dir = tempfile.TemporaryDirectory()
         self.addCleanup(self.dir.cleanup)
 
-    def snap(self, name, steal):
+    def snap(self, name, steal, n_cpus=32):
         p = os.path.join(self.dir.name, name)
         with open(p, "w") as f:
-            f.write(stat_line(steal))
+            f.write(stat_line(steal, n_cpus))
         return p
 
     def run_gate(self, *args):
@@ -121,6 +137,86 @@ class EndToEnd(unittest.TestCase):
                           *sum((["--stat-file", p] for p in ps), []))
         self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
         self.assertIn("NOISY", r.stdout)
+
+    def test_default_threshold_scales_with_host_cpus(self):
+        # 50 jiffies/10s is quiet on 32 cpus (bar 300) but ~1.25% on a
+        # 4-cpu host (bar 38): the derived default must flag it (r17
+        # ADVICE — the hardcoded 300 meant ~7.5% there)
+        ps = [self.snap("a", 1000, n_cpus=4),
+              self.snap("b", 1050, n_cpus=4)]
+        r = self.run_gate("--samples", "1",
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+        self.assertIn("38/10s", r.stdout)
+        self.assertIn("4 cpus", r.stdout)
+
+    def test_nonpositive_interval_is_usage_error(self):
+        # interval 0 would make the bar 0 with near-0 live deltas
+        # (trivially QUIET); negative would make everything NOISY
+        for bad in ("0", "-5"):
+            r = self.run_gate("--interval", bad)
+            self.assertEqual(r.returncode, 2, r.stdout + r.stderr)
+            self.assertIn("--interval must be > 0", r.stderr)
+
+    def test_record_writes_verdict_json(self):
+        import json
+        rec = os.path.join(self.dir.name, "rec.json")
+        ps = [self.snap("a", 1000), self.snap("b", 1013),
+              self.snap("c", 1013)]
+        r = self.run_gate("--samples", "2", "--record", rec,
+                          *sum((["--stat-file", p] for p in ps), []))
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        with open(rec) as f:
+            d = json.load(f)
+        self.assertEqual(d["verdict"], "QUIET")
+        self.assertEqual(d["samples_jiffies"], [13, 0])
+        self.assertEqual(d["threshold_per_10s"], 300)
+        self.assertEqual(d["n_cpus"], 32)
+        # a NOISY verdict is recorded too (exit still 1)
+        ps2 = [self.snap("d", 1000), self.snap("e", 1900)]
+        r = self.run_gate("--samples", "1", "--record", rec,
+                          *sum((["--stat-file", p] for p in ps2), []))
+        self.assertEqual(r.returncode, 1)
+        with open(rec) as f:
+            self.assertEqual(json.load(f)["verdict"], "NOISY")
+
+    def test_stamp_injects_record_into_detail(self):
+        import json
+        rec = os.path.join(self.dir.name, "rec.json")
+        detail = os.path.join(self.dir.name, "detail.json")
+        with open(rec, "w") as f:
+            json.dump({"samples_jiffies": [13, 0], "verdict": "QUIET"}, f)
+        with open(detail, "w") as f:
+            json.dump({"queries": {"q01": 1.0}, "steal_pct": 0.1}, f)
+        r = self.run_gate("--stamp", rec, detail)
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        with open(detail) as f:
+            d = json.load(f)
+        self.assertEqual(d["pregate"]["verdict"], "QUIET")
+        self.assertEqual(d["queries"], {"q01": 1.0})  # rest untouched
+
+    def test_stamp_refuses_bad_inputs(self):
+        import json
+        rec = os.path.join(self.dir.name, "rec.json")
+        detail = os.path.join(self.dir.name, "detail.json")
+        with open(rec, "w") as f:
+            json.dump({"no": "verdict"}, f)
+        with open(detail, "w") as f:
+            json.dump({"queries": {}}, f)
+        r = self.run_gate("--stamp", rec, detail)
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("no QUIET/NOISY verdict", r.stderr)
+        # a target without a queries map is not a bench detail file
+        with open(rec, "w") as f:
+            json.dump({"samples_jiffies": [1], "verdict": "QUIET"}, f)
+        notdetail = os.path.join(self.dir.name, "other.json")
+        with open(notdetail, "w") as f:
+            json.dump({"metric": "x"}, f)
+        r = self.run_gate("--stamp", rec, notdetail)
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("not a bench detail file", r.stderr)
+        r = self.run_gate("--stamp", rec)
+        self.assertEqual(r.returncode, 2)
 
     def test_backwards_counter_is_a_data_error_not_quiet(self):
         # counter reset (reboot) or snapshots passed out of order: a

@@ -28,12 +28,26 @@ def _restore_head(recorded_head):
     """If an e2e refusal test regressed and --fix actually committed, drop
     the laundered commit by hard-resetting to the head recorded before the
     test ran (round-16 ADVICE: the finally blocks previously only cleaned
-    the files, leaving a bogus commit in history on regression)."""
+    the files, leaving a bogus commit in history on regression). Guarded
+    per round-17 ADVICE: only reset if EVERY commit being dropped carries
+    the --fix commit message — a concurrent legitimate commit landing
+    mid-test must not be destroyed along with working-tree state."""
     head_now = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                               capture_output=True, text=True).stdout.strip()
-    if head_now != recorded_head:
+    if head_now == recorded_head:
+        return
+    subjects = subprocess.run(
+        ["git", "log", "--format=%s", f"{recorded_head}..HEAD"],
+        cwd=REPO, capture_output=True, text=True).stdout.splitlines()
+    if subjects and all(
+            "track official driver bench/correctness artifacts" in s
+            for s in subjects):
         subprocess.run(["git", "reset", "--hard", recorded_head],
                        cwd=REPO, capture_output=True)
+    else:
+        print(f"_restore_head: NOT resetting {head_now[:9]} -> "
+              f"{recorded_head[:9]}: commits in between are not --fix "
+              f"commits ({subjects!r}); clean up by hand", file=sys.stderr)
 
 
 class ClassifyFix(unittest.TestCase):

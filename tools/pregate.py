@@ -21,11 +21,16 @@ snapshots passed out of order) is a data error, not quiet.
 Exit 0 = QUIET (record the run), 1 = NOISY (wait out the storm),
 2 = usage/data error.
 
---record writes the samples + verdict as JSON so the decision outlives
-shell history; after the bench finishes, --stamp injects that record
-as a "pregate" field into the run's BENCH_DETAIL evidence file
-(VERDICT r17 task 5: a _clean name is then corroborated by the
-artifact itself, the way steal_pct already corroborates storms).
+--record writes the samples + verdict (+ a recorded_at_epoch
+timestamp) as JSON so the decision outlives shell history; after the
+bench finishes, --stamp injects that record as a "pregate" field into
+the run's BENCH_DETAIL evidence file (VERDICT r17 task 5: a _clean
+name is then corroborated by the artifact itself, the way steal_pct
+already corroborates storms). --stamp adds the record's age as
+stamp_age_s and REFUSES records older than 6 hours — a pre-gate
+corroborates the launch window of THE run it immediately preceded
+(sf0.1 runs are 7-20 min); a stale QUIET record stamped into an
+arbitrary later run would be corroboration laundering.
 
 Scope, learned the hard way in r17: this gate filters LAUNCH-TIME
 storms only. The co-tenant returns on its own schedule — three r17
@@ -85,11 +90,17 @@ def gate(deltas, threshold_per_10s, interval):
     return (not noisy, noisy)
 
 
+MAX_STAMP_AGE_S = 6 * 3600.0
+
+
 def stamp(record_path, detail_path):
     """Inject a --record verdict JSON into a bench detail file as its
-    "pregate" field. Refuses records without a verdict and targets that
-    are not bench detail files (no "queries" map) — a stamp must
-    corroborate a real run, not manufacture one."""
+    "pregate" field. Refuses records without a verdict, targets that
+    are not bench detail files (no "queries" map), and records older
+    than MAX_STAMP_AGE_S — a stamp must corroborate the real run its
+    pre-gate immediately preceded, not manufacture one. The record's
+    age at stamp time is preserved as stamp_age_s; records written
+    before the timestamp existed stamp with an explicit note."""
     try:
         with open(record_path) as f:
             record = json.load(f)
@@ -107,12 +118,33 @@ def stamp(record_path, detail_path):
         print(f"--stamp: {detail_path!r} is not a bench detail file "
               "(no 'queries' map)", file=sys.stderr)
         return 2
+    age_note = " (record has no timestamp — pre-r18 format)"
+    epoch = record.get("recorded_at_epoch")
+    if isinstance(epoch, (int, float)):
+        age = time.time() - epoch
+        if age < -60:
+            print(f"--stamp: record timestamp is {-age:.0f}s in the "
+                  "future — clock skew or a hand-edited record; refusing",
+                  file=sys.stderr)
+            return 2
+        if age > MAX_STAMP_AGE_S:
+            print(f"--stamp: record is {age / 3600:.1f}h old (cap "
+                  f"{MAX_STAMP_AGE_S / 3600:.0f}h) — a pre-gate "
+                  "corroborates the run it immediately preceded; re-run "
+                  "pregate --record instead of reusing a stale verdict",
+                  file=sys.stderr)
+            return 2
+        record["stamp_age_s"] = round(max(age, 0.0), 1)
+        age_note = f" (record age {record['stamp_age_s']:.0f}s)"
+    if "pregate" in detail:
+        print(f"--stamp: replacing existing pregate field in {detail_path}")
     detail["pregate"] = record
     with open(detail_path, "w") as f:
         json.dump(detail, f)
         f.write("\n")
     print(f"stamped pregate verdict {record['verdict']} "
-          f"(deltas {record.get('samples_jiffies')}) into {detail_path}")
+          f"(deltas {record.get('samples_jiffies')}) into "
+          f"{detail_path}{age_note}")
     return 0
 
 
@@ -199,7 +231,8 @@ def main():
     if record_path is not None:
         record = {"samples_jiffies": deltas, "interval_s": interval,
                   "threshold_per_10s": threshold, "bar_per_interval": bar,
-                  "n_cpus": n_cpus, "verdict": label}
+                  "n_cpus": n_cpus, "verdict": label,
+                  "recorded_at_epoch": round(time.time(), 3)}
         try:
             with open(record_path, "w") as f:
                 json.dump(record, f)

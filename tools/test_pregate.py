@@ -172,6 +172,10 @@ class EndToEnd(unittest.TestCase):
         self.assertEqual(d["samples_jiffies"], [13, 0])
         self.assertEqual(d["threshold_per_10s"], 300)
         self.assertEqual(d["n_cpus"], 32)
+        # freshness timestamp for --stamp's age cap
+        import time
+        self.assertAlmostEqual(d["recorded_at_epoch"], time.time(),
+                               delta=120)
         # a NOISY verdict is recorded too (exit still 1)
         ps2 = [self.snap("d", 1000), self.snap("e", 1900)]
         r = self.run_gate("--samples", "1", "--record", rec,
@@ -182,10 +186,12 @@ class EndToEnd(unittest.TestCase):
 
     def test_stamp_injects_record_into_detail(self):
         import json
+        import time
         rec = os.path.join(self.dir.name, "rec.json")
         detail = os.path.join(self.dir.name, "detail.json")
         with open(rec, "w") as f:
-            json.dump({"samples_jiffies": [13, 0], "verdict": "QUIET"}, f)
+            json.dump({"samples_jiffies": [13, 0], "verdict": "QUIET",
+                       "recorded_at_epoch": time.time() - 500}, f)
         with open(detail, "w") as f:
             json.dump({"queries": {"q01": 1.0}, "steal_pct": 0.1}, f)
         r = self.run_gate("--stamp", rec, detail)
@@ -194,6 +200,53 @@ class EndToEnd(unittest.TestCase):
             d = json.load(f)
         self.assertEqual(d["pregate"]["verdict"], "QUIET")
         self.assertEqual(d["queries"], {"q01": 1.0})  # rest untouched
+        # the record's age at stamp time is preserved in the artifact
+        self.assertAlmostEqual(d["pregate"]["stamp_age_s"], 500, delta=120)
+        # re-stamping is allowed but announced
+        r = self.run_gate("--stamp", rec, detail)
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        self.assertIn("replacing existing pregate field", r.stdout)
+
+    def test_stamp_refuses_stale_record(self):
+        # a QUIET verdict from hours ago cannot corroborate this run's
+        # launch window — reusing it would be corroboration laundering
+        import json
+        import time
+        rec = os.path.join(self.dir.name, "stale.json")
+        detail = os.path.join(self.dir.name, "detail2.json")
+        with open(rec, "w") as f:
+            json.dump({"samples_jiffies": [1, 0], "verdict": "QUIET",
+                       "recorded_at_epoch": time.time() - 7 * 3600}, f)
+        with open(detail, "w") as f:
+            json.dump({"queries": {"q01": 1.0}}, f)
+        r = self.run_gate("--stamp", rec, detail)
+        self.assertEqual(r.returncode, 2, r.stdout + r.stderr)
+        self.assertIn("stale", r.stderr)
+        with open(detail) as f:
+            self.assertNotIn("pregate", json.load(f))  # untouched
+        # a future timestamp is a data error too
+        with open(rec, "w") as f:
+            json.dump({"samples_jiffies": [1, 0], "verdict": "QUIET",
+                       "recorded_at_epoch": time.time() + 3600}, f)
+        r = self.run_gate("--stamp", rec, detail)
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("future", r.stderr)
+
+    def test_stamp_accepts_untimestamped_record_with_note(self):
+        # records written before recorded_at_epoch existed (r18 storm
+        # stamps) must keep stamping — with the gap made explicit
+        import json
+        rec = os.path.join(self.dir.name, "old.json")
+        detail = os.path.join(self.dir.name, "detail3.json")
+        with open(rec, "w") as f:
+            json.dump({"samples_jiffies": [2, 0], "verdict": "QUIET"}, f)
+        with open(detail, "w") as f:
+            json.dump({"queries": {"q01": 1.0}}, f)
+        r = self.run_gate("--stamp", rec, detail)
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        self.assertIn("no timestamp", r.stdout)
+        with open(detail) as f:
+            self.assertNotIn("stamp_age_s", json.load(f)["pregate"])
 
     def test_stamp_refuses_bad_inputs(self):
         import json

@@ -49,6 +49,13 @@ def main() -> int:
     if stat not in ("median", "min"):
         print(f"unknown stat {stat!r}", file=sys.stderr)
         return 1
+    if len(argv) < 2:
+        # without this, no args crashed with IndexError and a lone
+        # commit arg emitted a header-only anchor file then died with a
+        # bare StopIteration at the sf line — neither is a usage message
+        print("usage: python3 tools/anchor.py [--stat median|min] "
+              "<commit> DETAIL.json [DETAIL2.json ...]", file=sys.stderr)
+        return 1
     commit, paths = argv[0], argv[1:]
     values: dict[str, list[float]] = {}
     totals = []

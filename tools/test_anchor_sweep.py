@@ -71,6 +71,16 @@ class AnchorTool(Base):
         self.assertEqual(r.returncode, 1)
         self.assertIn("mixed scale factors", r.stderr)
 
+    def test_missing_args_is_a_usage_error_not_a_crash(self):
+        # no args crashed with IndexError; a lone commit arg printed a
+        # header-only anchor file then died with a bare StopIteration
+        for args in ([], ["abc1234"]):
+            r = self.run_tool(ANCHOR, *args)
+            self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
+            self.assertIn("usage:", r.stderr)
+            self.assertNotIn("Traceback", r.stderr)
+            self.assertEqual(r.stdout, "")
+
     def test_refuses_failed_queries(self):
         p = self.write("a.json", detail({"q1": -1.0}))
         r = self.run_tool(ANCHOR, "abc1234", p)

@@ -38,8 +38,18 @@ _SFS = set()
 
 def observations(path):
     """(per-query honest-cold dict, run-average steal_pct or None)."""
-    with open(path) as f:
-        d = json.load(f)
+    try:
+        with open(path) as f:
+            d = json.load(f)
+    except (OSError, ValueError) as e:
+        # a typo'd path or truncated file is a data error (documented
+        # exit 2), not a traceback
+        print(f"REFUSED: cannot load {path}: {e}", file=sys.stderr)
+        sys.exit(2)
+    if not isinstance(d, dict) or "queries" not in d:
+        print(f"REFUSED: {path} is not a bench detail file "
+              "(no 'queries' map)", file=sys.stderr)
+        sys.exit(2)
     if d.get("n_failed", 0) > 0:
         print(f"REFUSED: {path} has failed queries — not a clean run",
               file=sys.stderr)

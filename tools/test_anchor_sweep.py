@@ -184,6 +184,20 @@ class SweepTool(Base):
         self.assertEqual(r.returncode, 2)
         self.assertIn("mixed scale factors", r.stderr)
 
+    def test_unreadable_or_malformed_input_is_a_data_error(self):
+        # a typo'd path or a non-detail JSON must exit 2 with a message,
+        # not a Python traceback
+        good = self.write("good.json", detail({"q1": 1.0}))
+        r = self.run_tool(SWEEP, "--base", "/nonexistent.json",
+                          "--new", good)
+        self.assertEqual(r.returncode, 2, r.stdout + r.stderr)
+        self.assertIn("cannot load", r.stderr)
+        self.assertNotIn("Traceback", r.stderr)
+        notdetail = self.write("notdetail.json", {"metric": "x"})
+        r = self.run_tool(SWEEP, "--base", notdetail, "--new", good)
+        self.assertEqual(r.returncode, 2)
+        self.assertIn("not a bench detail file", r.stderr)
+
     def test_refuses_a_failed_run(self):
         base = self.write("b.json", detail({"q1": 4.0}))
         new = self.write("n.json", detail({"q1": 4.0}, n_failed=1))

@@ -38,11 +38,23 @@ object PyGate {
     pb.directory(root)
     pb.redirectErrorStream(true)
     val p = pb.start()
+    // Drain incrementally, appending per line under a lock: the earlier
+    // src.mkString buffered everything inside the Source and appended
+    // only at EOF, so a drain thread stuck on a grandchild's open pipe
+    // meant TOTAL output loss (the "truncated" marker with nothing
+    // before it) and the post-timeout read of the unsynchronized
+    // builder was a data race (round-18 ADVICE).
     val sb = new StringBuilder
     val reader = new Thread(() => {
-      val src = scala.io.Source.fromInputStream(p.getInputStream)(
-        scala.io.Codec.UTF8)
-      try sb.append(src.mkString) finally src.close()
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(
+        p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+      try {
+        var line = br.readLine()
+        while (line != null) {
+          sb.synchronized { sb.append(line).append('\n') }
+          line = br.readLine()
+        }
+      } finally br.close()
     })
     reader.setDaemon(true)
     reader.start()
@@ -54,12 +66,13 @@ object PyGate {
     }
     reader.join(10000)
     // a grandchild holding the stdout pipe open can leave the drain
-    // thread alive past the join: mark the truncation instead of
-    // silently returning partial output (round-17 ADVICE)
-    val out =
+    // thread alive past the join: mark the truncation — the lines
+    // drained so far survive, and the synchronized read is safe
+    val out = sb.synchronized {
       if (reader.isAlive)
         sb.toString + "\n<output truncated: reader still draining>"
       else sb.toString
+    }
     (p.exitValue(), out)
   }
 }

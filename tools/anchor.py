@@ -44,6 +44,14 @@ def main() -> int:
     argv = sys.argv[1:]
     stat = "median"
     if argv and argv[0] == "--stat":
+        if len(argv) < 2:
+            # a bare --stat crashed with IndexError at argv[1] — the
+            # same failure class the missing-args guard below exists
+            # to eliminate (r18 ADVICE)
+            print("usage: python3 tools/anchor.py [--stat median|min] "
+                  "<commit> DETAIL.json [DETAIL2.json ...]",
+                  file=sys.stderr)
+            return 1
         stat = argv[1]
         argv = argv[2:]
     if stat not in ("median", "min"):

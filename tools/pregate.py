@@ -27,10 +27,12 @@ bench finishes, --stamp injects that record as a "pregate" field into
 the run's BENCH_DETAIL evidence file (VERDICT r17 task 5: a _clean
 name is then corroborated by the artifact itself, the way steal_pct
 already corroborates storms). --stamp adds the record's age as
-stamp_age_s and REFUSES records older than 6 hours — a pre-gate
-corroborates the launch window of THE run it immediately preceded
-(sf0.1 runs are 7-20 min); a stale QUIET record stamped into an
-arbitrary later run would be corroboration laundering.
+stamp_age_s and REFUSES records older than 6 hours OR lacking the
+recorded_at_epoch field entirely (r18 ADVICE: an untimestamped record
+would bypass the cap) — a pre-gate corroborates the launch window of
+THE run it immediately preceded (sf0.1 runs are 7-20 min); a stale
+QUIET record stamped into an arbitrary later run would be
+corroboration laundering.
 
 Scope, learned the hard way in r17: this gate filters LAUNCH-TIME
 storms only. The co-tenant returns on its own schedule — three r17
@@ -96,11 +98,12 @@ MAX_STAMP_AGE_S = 6 * 3600.0
 def stamp(record_path, detail_path):
     """Inject a --record verdict JSON into a bench detail file as its
     "pregate" field. Refuses records without a verdict, targets that
-    are not bench detail files (no "queries" map), and records older
-    than MAX_STAMP_AGE_S — a stamp must corroborate the real run its
-    pre-gate immediately preceded, not manufacture one. The record's
-    age at stamp time is preserved as stamp_age_s; records written
-    before the timestamp existed stamp with an explicit note."""
+    are not bench detail files (no "queries" map), records older than
+    MAX_STAMP_AGE_S, and records with no recorded_at_epoch at all — a
+    stamp must corroborate the real run its pre-gate immediately
+    preceded, not manufacture one, and an untimestamped record cannot
+    prove freshness. The record's age at stamp time is preserved as
+    stamp_age_s."""
     try:
         with open(record_path) as f:
             record = json.load(f)
@@ -118,24 +121,33 @@ def stamp(record_path, detail_path):
         print(f"--stamp: {detail_path!r} is not a bench detail file "
               "(no 'queries' map)", file=sys.stderr)
         return 2
-    age_note = " (record has no timestamp — pre-r18 format)"
     epoch = record.get("recorded_at_epoch")
-    if isinstance(epoch, (int, float)):
-        age = time.time() - epoch
-        if age < -60:
-            print(f"--stamp: record timestamp is {-age:.0f}s in the "
-                  "future — clock skew or a hand-edited record; refusing",
-                  file=sys.stderr)
-            return 2
-        if age > MAX_STAMP_AGE_S:
-            print(f"--stamp: record is {age / 3600:.1f}h old (cap "
-                  f"{MAX_STAMP_AGE_S / 3600:.0f}h) — a pre-gate "
-                  "corroborates the run it immediately preceded; re-run "
-                  "pregate --record instead of reusing a stale verdict",
-                  file=sys.stderr)
-            return 2
-        record["stamp_age_s"] = round(max(age, 0.0), 1)
-        age_note = f" (record age {record['stamp_age_s']:.0f}s)"
+    if not isinstance(epoch, (int, float)) or isinstance(epoch, bool):
+        # r18 ADVICE (medium): the age cap was bypassable by deleting
+        # recorded_at_epoch from a stale record. Every record since r18
+        # carries the timestamp and the pre-r18 artifacts are already
+        # stamped, so an untimestamped record today is either hand-edited
+        # or ancient — refuse it rather than stamp with a stdout-only note
+        print(f"--stamp: {record_path!r} has no recorded_at_epoch — the "
+              "6h freshness cap cannot be enforced on an untimestamped "
+              "record; re-run pregate --record (every record since r18 "
+              "is timestamped)", file=sys.stderr)
+        return 2
+    age = time.time() - epoch
+    if age < -60:
+        print(f"--stamp: record timestamp is {-age:.0f}s in the "
+              "future — clock skew or a hand-edited record; refusing",
+              file=sys.stderr)
+        return 2
+    if age > MAX_STAMP_AGE_S:
+        print(f"--stamp: record is {age / 3600:.1f}h old (cap "
+              f"{MAX_STAMP_AGE_S / 3600:.0f}h) — a pre-gate "
+              "corroborates the run it immediately preceded; re-run "
+              "pregate --record instead of reusing a stale verdict",
+              file=sys.stderr)
+        return 2
+    record["stamp_age_s"] = round(max(age, 0.0), 1)
+    age_note = f" (record age {record['stamp_age_s']:.0f}s)"
     if "pregate" in detail:
         print(f"--stamp: replacing existing pregate field in {detail_path}")
     detail["pregate"] = record

@@ -16,8 +16,8 @@ Flags a query when BOTH:
   - new_best > 3 s (the retry jitter floor — sub-second churn is noise).
 
 Each flag line also carries the per-side MEDIANS across runs, and the
-summary carries each run's run-average steal_pct (round-16 VERDICT task
-7): on a steal-storm day the r16 adjudication needed per-query medians
+summary carries each run's run-average steal_pct plus its stamped
+launch-time pregate verdict when present (round-16/18 VERDICT task 7): on a steal-storm day the r16 adjudication needed per-query medians
 plus the steal context assembled by hand from six detail files — with
 them inline, one sweep command answers "is this flag code or weather"
 directly (a flag whose medians agree while only one side's best is off,
@@ -37,7 +37,8 @@ _SFS = set()
 
 
 def observations(path):
-    """(per-query honest-cold dict, run-average steal_pct or None)."""
+    """(per-query honest-cold dict, run-average steal_pct or None,
+    stamped pregate verdict or None)."""
     try:
         with open(path) as f:
             d = json.load(f)
@@ -74,24 +75,34 @@ def observations(path):
     steal = d.get("steal_pct")
     if not isinstance(steal, (int, float)):
         steal = None
+    pregate = d.get("pregate")
+    verdict = pregate.get("verdict") if isinstance(pregate, dict) else None
+    if verdict not in ("QUIET", "NOISY"):
+        verdict = None
     return ({k: (first[k] if k in retry and k in first else v)
-             for k, v in queries.items()}, steal)
+             for k, v in queries.items()}, steal, verdict)
 
 
 def collect(paths):
-    """(per-query list of observations across runs, per-run steal list)."""
-    values, steals = {}, []
+    """(per-query list of observations across runs, per-run steal list,
+    per-run pregate verdict list)."""
+    values, steals, pregates = {}, [], []
     for p in paths:
-        obs, steal = observations(p)
+        obs, steal, verdict = observations(p)
         steals.append(steal)
+        pregates.append(verdict)
         for k, v in obs.items():
             values.setdefault(k, []).append(v)
-    return values, steals
+    return values, steals, pregates
 
 
 def _steal_str(steals):
     return "[" + ", ".join("?" if s is None else f"{s:.2f}"
                            for s in steals) + "]"
+
+
+def _pregate_str(pregates):
+    return "[" + ", ".join("-" if v is None else v for v in pregates) + "]"
 
 
 def main():
@@ -106,8 +117,8 @@ def main():
     if not base_paths or not new_paths:
         print("need at least one file on each side", file=sys.stderr)
         return 2
-    base_all, base_steals = collect(base_paths)
-    new_all, new_steals = collect(new_paths)
+    base_all, base_steals, base_pregates = collect(base_paths)
+    new_all, new_steals, new_pregates = collect(new_paths)
     base = {k: min(vs) for k, vs in base_all.items()}
     new = {k: min(vs) for k, vs in new_all.items()}
     flags = []
@@ -131,6 +142,11 @@ def main():
           f"new {_steal_str(new_steals)} (clean runs observed "
           "0.04-0.77; anchor.py warns >0.8; storms inflate "
           "distributed, see BASELINE.md r16 note)")
+    # r18 VERDICT task 7: echo the stamped launch-time pregate verdicts
+    # so the one-command regression check also corroborates the clean-set
+    # naming ('-' = no stamp: pre-r18 artifacts, twins, sanity runs)
+    print(f"  run pregate: base {_pregate_str(base_pregates)} "
+          f"new {_pregate_str(new_pregates)}")
     for f_ in flags:
         print(f_)
     return 1 if flags or gone else 0

@@ -73,8 +73,9 @@ class AnchorTool(Base):
 
     def test_missing_args_is_a_usage_error_not_a_crash(self):
         # no args crashed with IndexError; a lone commit arg printed a
-        # header-only anchor file then died with a bare StopIteration
-        for args in ([], ["abc1234"]):
+        # header-only anchor file then died with a bare StopIteration;
+        # a bare --stat crashed at argv[1] (r18 ADVICE)
+        for args in ([], ["abc1234"], ["--stat"]):
             r = self.run_tool(ANCHOR, *args)
             self.assertEqual(r.returncode, 1, r.stdout + r.stderr)
             self.assertIn("usage:", r.stderr)
@@ -244,6 +245,26 @@ class SweepTool(Base):
         r = self.run_tool(SWEEP, "--base", base, "--new", new)
         self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
         self.assertIn("base [?]", r.stdout)
+
+    def test_summary_echoes_pregate_verdicts(self):
+        # r18 VERDICT task 7: the stamped launch-time pregate verdicts
+        # appear in the header so the sweep also corroborates the
+        # clean-set naming; unstamped runs (twins, sanity, pre-r18)
+        # print '-' and a malformed stamp is not trusted
+        d_q = detail({"q1": 4.0})
+        d_q["pregate"] = {"verdict": "QUIET", "samples_jiffies": [3, 0]}
+        d_n = detail({"q1": 4.0})
+        d_n["pregate"] = {"verdict": "NOISY", "samples_jiffies": [900, 2]}
+        d_bad = detail({"q1": 4.0})
+        d_bad["pregate"] = {"verdict": "MAYBE"}
+        b1 = self.write("b1.json", d_q)
+        b2 = self.write("b2.json", detail({"q1": 4.0}))  # no stamp
+        n1 = self.write("n1.json", d_n)
+        n2 = self.write("n2.json", d_bad)
+        r = self.run_tool(SWEEP, "--base", b1, b2, "--new", n1, n2)
+        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
+        self.assertIn("run pregate: base [QUIET, -] new [NOISY, -]",
+                      r.stdout)
 
 
 if __name__ == "__main__":

@@ -232,21 +232,27 @@ class EndToEnd(unittest.TestCase):
         self.assertEqual(r.returncode, 2)
         self.assertIn("future", r.stderr)
 
-    def test_stamp_accepts_untimestamped_record_with_note(self):
-        # records written before recorded_at_epoch existed (r18 storm
-        # stamps) must keep stamping — with the gap made explicit
+    def test_stamp_refuses_untimestamped_record(self):
+        # r18 ADVICE (medium): the pre-r18 compatibility path let anyone
+        # bypass the 6h cap by deleting recorded_at_epoch from a stale
+        # record. All pre-r18 artifacts are stamped and every record
+        # since carries the timestamp, so an untimestamped record is now
+        # refused outright (a bool timestamp is equally unusable)
         import json
         rec = os.path.join(self.dir.name, "old.json")
         detail = os.path.join(self.dir.name, "detail3.json")
-        with open(rec, "w") as f:
-            json.dump({"samples_jiffies": [2, 0], "verdict": "QUIET"}, f)
-        with open(detail, "w") as f:
-            json.dump({"queries": {"q01": 1.0}}, f)
-        r = self.run_gate("--stamp", rec, detail)
-        self.assertEqual(r.returncode, 0, r.stdout + r.stderr)
-        self.assertIn("no timestamp", r.stdout)
-        with open(detail) as f:
-            self.assertNotIn("stamp_age_s", json.load(f)["pregate"])
+        for epoch_field in ({}, {"recorded_at_epoch": True},
+                            {"recorded_at_epoch": "yesterday"}):
+            with open(rec, "w") as f:
+                json.dump({"samples_jiffies": [2, 0], "verdict": "QUIET",
+                           **epoch_field}, f)
+            with open(detail, "w") as f:
+                json.dump({"queries": {"q01": 1.0}}, f)
+            r = self.run_gate("--stamp", rec, detail)
+            self.assertEqual(r.returncode, 2, r.stdout + r.stderr)
+            self.assertIn("recorded_at_epoch", r.stderr)
+            with open(detail) as f:
+                self.assertNotIn("pregate", json.load(f))  # untouched
 
     def test_stamp_refuses_bad_inputs(self):
         import json

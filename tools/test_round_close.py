@@ -24,14 +24,26 @@ import round_close  # noqa: E402
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
+# the only rounds the e2e refusal tests ever pass to --fix; a regression
+# commit can therefore only touch these paths
+_SELFTEST_ROUNDS = (97, 98, 99)
+_SELFTEST_PATHS = frozenset(
+    [f"BENCH_r{n}.json" for n in _SELFTEST_ROUNDS]
+    + [f"CORRECTNESS_r{n}.json" for n in _SELFTEST_ROUNDS]
+    + ["BENCH_DETAIL.json", "LEAKCHECK.json"])
+
+
 def _restore_head(recorded_head):
     """If an e2e refusal test regressed and --fix actually committed, drop
     the laundered commit by hard-resetting to the head recorded before the
     test ran (round-16 ADVICE: the finally blocks previously only cleaned
     the files, leaving a bogus commit in history on regression). Guarded
-    per round-17 ADVICE: only reset if EVERY commit being dropped carries
-    the --fix commit message — a concurrent legitimate commit landing
-    mid-test must not be destroyed along with working-tree state."""
+    per round-17/18 ADVICE: only reset if every commit being dropped both
+    carries the --fix commit message AND touches only the selftest rounds'
+    artifact paths — real round-close commits share the subject (e.g.
+    "round 18: track official driver bench/correctness artifacts") but
+    commit BENCH_r<real-round>.json, which is outside the selftest set,
+    so a legitimate commit landing mid-test survives."""
     head_now = subprocess.run(["git", "rev-parse", "HEAD"], cwd=REPO,
                               capture_output=True, text=True).stdout.strip()
     if head_now == recorded_head:
@@ -39,15 +51,20 @@ def _restore_head(recorded_head):
     subjects = subprocess.run(
         ["git", "log", "--format=%s", f"{recorded_head}..HEAD"],
         cwd=REPO, capture_output=True, text=True).stdout.splitlines()
-    if subjects and all(
+    touched = set(subprocess.run(
+        ["git", "log", "--format=", "--name-only",
+         f"{recorded_head}..HEAD"],
+        cwd=REPO, capture_output=True, text=True).stdout.split())
+    if subjects and touched and all(
             "track official driver bench/correctness artifacts" in s
-            for s in subjects):
+            for s in subjects) and touched <= _SELFTEST_PATHS:
         subprocess.run(["git", "reset", "--hard", recorded_head],
                        cwd=REPO, capture_output=True)
     else:
         print(f"_restore_head: NOT resetting {head_now[:9]} -> "
-              f"{recorded_head[:9]}: commits in between are not --fix "
-              f"commits ({subjects!r}); clean up by hand", file=sys.stderr)
+              f"{recorded_head[:9]}: commits in between are not selftest "
+              f"--fix commits (subjects {subjects!r}, paths "
+              f"{sorted(touched)!r}); clean up by hand", file=sys.stderr)
 
 
 class ClassifyFix(unittest.TestCase):

@@ -62,9 +62,12 @@ class AnchorPolicySpec extends AnyFunSuite {
 
   /** A named flat string→double map of a BENCH_DETAIL json ("queries",
     * "first", "retry" — no nested braces, so a regex extraction is
-    * exact). "retry" may be empty ({}) in a fully-clean run. */
+    * exact). "retry" may be empty ({}) in a fully-clean run. Tolerates
+    * whitespace after the colons: Bench.scala writes compact JSON but
+    * pregate.py --stamp rewrites the file with python's default
+    * '": "' separators (first hit: the stamped r18 anchor sources). */
   private def mapOf(text: String, name: String): Map[String, Double] = {
-    val m = ("\"" + name + "\":\\{([^}]*)\\}").r.findFirstMatchIn(text)
+    val m = ("\"" + name + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(text)
       .getOrElse(fail(s"no $name map in the source run"))
     val body = m.group(1).trim
     if (body.isEmpty) Map.empty
@@ -168,7 +171,8 @@ class AnchorPolicySpec extends AnyFunSuite {
       s"'# sf:' header '$declSf' is a machine-local path — commit the " +
         "portable basename (regenerate with tools/anchor.py)")
     val (_, _, sources) = provenance("BENCH_ANCHOR.txt")
-    val sfRe = "\"sf\":\"([^\"]*)\"".r
+    // \s*: pregate-stamped details use python's '": "' separators
+    val sfRe = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
     sources.foreach { p =>
       val s = scala.io.Source.fromFile(p)(scala.io.Codec.UTF8)
       val text = try s.mkString finally s.close()

@@ -93,8 +93,11 @@ def citations():
 
 
 def _flat_map(text, name):
-    """Extract a flat string→float json map by name (no nested braces)."""
-    m = re.search(r'"%s":\{([^}]*)\}' % name, text)
+    """Extract a flat string→float json map by name (no nested braces).
+    Tolerates whitespace after the colons: Bench.scala writes compact
+    JSON but pregate.py --stamp rewrites stamped details with python's
+    default '": "' separators (first hit: the r18 anchor sources)."""
+    m = re.search(r'"%s"\s*:\s*\{([^}]*)\}' % name, text)
     out = {}
     if m and m.group(1).strip():
         for kv in m.group(1).split(","):
@@ -143,7 +146,7 @@ def anchors():
         # generation time and a hand-edited file passes (round-14 ADVICE);
         # basenames compared: runs record a machine-local absolute path
         if decl_sf:
-            m = re.search(r'"sf":"([^"]*)"', text)
+            m = re.search(r'"sf"\s*:\s*"([^"]*)"', text)
             run_sf = os.path.basename(m.group(1).rstrip("/")) if m else "?"
             if run_sf != os.path.basename(decl_sf.rstrip("/")):
                 return check("anchor sources at the declared sf", False,

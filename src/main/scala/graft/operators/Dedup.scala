@@ -39,12 +39,23 @@ object Dedup {
     * n-gram explode is the heavy map of the whole MinHash family — a
     * narrow single-row-group input would serialize it on one core, so
     * the scan is spread when narrower than the session's parallelism
-    * (no-op on an already-wide scan, see [[graft.plans.Spread]]). */
+    * (no-op on an already-wide scan, see [[graft.plans.Spread]]).
+    *
+    * Dedup runs PER ROW (`array_distinct` before the explode), never as a
+    * global `.distinct()`: a document's shingle multiset lives entirely in
+    * its own row, so row-local dedup is set-identical when `id` is unique
+    * per row — and it removes a full (id, shingle) Exchange + two
+    * HashAggregates from every MinHash/Jaccard-family plan (the widest
+    * table in those pipelines never shuffles for dedup; at 100 TB that
+    * shuffle is corpus × n-grams sized). CALLER CONTRACT: `id` unique per
+    * input row. The two source-keyed callers (q117/q185, many rows per
+    * source) add their own `.distinct()` on top — still cheaper, because
+    * the global dedup then shuffles only row-locally-deduped rows. */
   def shingles(docs: DataFrame, n: Int,
                id: String = "doc_id", text: String = "text"): DataFrame =
     graft.plans.Spread(docs)
-      .select(col(id), explode(T.wordNgrams(T.tokens(col(text)), n)).as("sh"))
-      .distinct()
+      .select(col(id),
+        explode(array_distinct(T.wordNgrams(T.tokens(col(text)), n))).as("sh"))
 
   /** Shared-item counts for every (a < b) pair of id values — the
     * source-overlap matrix shape. Semantically the item self-join

@@ -208,6 +208,7 @@ object DedupPack extends QueryPack {
       val sh = Dedup.shingles(
           Tables.table(s, dir, "documents").select(col("source"), col("text")),
           5, id = "source")
+        .distinct() // ids repeat per source — shingles() dedups per ROW
         .localCheckpoint() // sketch + counts + exact-verify share it
       val sigs = Dedup.minhashSignatures(sh, H, id = "source")
       val sa = sigs.select(col("source").as("src_a") +:
@@ -247,7 +248,9 @@ object DedupPack extends QueryPack {
     // vocabulary aggregation regardless of corpus size.
     "q117_source_overlap" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents").select(col("source"), col("text"))
-      val sh = Dedup.shingles(docs, 5, id = "source").localCheckpoint()
+      val sh = Dedup.shingles(docs, 5, id = "source")
+        .distinct() // ids repeat per source — shingles() dedups per ROW
+        .localCheckpoint()
       val counts = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
       val pairs = Dedup.sharedPairCounts(sh)
       pairs

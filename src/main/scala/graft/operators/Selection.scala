@@ -188,11 +188,19 @@ object Selection {
     * exists — the global pass touches only per-bucket totals. */
   def budgetSelect(docs: DataFrame, idCol: String, textCol: String,
                    score: org.apache.spark.sql.Column, budget: Long,
-                   scoreBlocks: Int = 64): DataFrame = {
+                   scoreBlocks: Int = 64): DataFrame =
+    budgetSelectOnCounts(docs.select(col(idCol).as("id"),
+        T.tokenStats(col(textCol)).getField("ws_tokens").cast("long").as("n_toks"),
+        score.as("_q")),
+      budget, scoreBlocks)
+
+  /** [[budgetSelect]] over PRE-COUNTED rows `(id, n_toks LONG, _q)` — the
+    * form for callers that already carry the token count, so the document
+    * text never reaches this operator's exchanges (decide with small rows;
+    * the text column stays behind in the caller's scan stage). */
+  def budgetSelectOnCounts(base: DataFrame, budget: Long,
+                           scoreBlocks: Int = 64): DataFrame = {
     require(budget >= 0 && scoreBlocks >= 1, "budget/scoreBlocks must be >= 0/1")
-    val base = docs.select(col(idCol).as("id"),
-      T.tokenStats(col(textCol)).getField("ws_tokens").cast("long").as("n_toks"),
-      score.as("_q"))
     // block ascending == score descending; floor keeps equal scores together
     val blk = floor((lit(1.0) - col("_q")) * scoreBlocks).cast("long")
     CorpusOps.blockedPrefixSum(base, blk,

@@ -61,20 +61,32 @@ object SelectionPack extends QueryPack {
     * budget holds) are testable on the KEPT SET, not just the shard
     * aggregate the q100 contract query emits. */
   def mixKept(frame: DataFrame): DataFrame = {
-    val scored = frame.select(col("doc_id"), col("source"), col("text"),
+    // Decide with SMALL rows (optimization-guide §8): token count, quality
+    // and content hash are all computed in the scan stage and the text is
+    // dropped before the first exchange — previously the raw document rode
+    // the dedup shuffle, the cap shuffle AND the budget stage, so every
+    // wire byte was corpus-sized. At 100 TB these exchanges are now
+    // metadata-sized (~50 B/row).
+    val scored = frame.select(col("doc_id"), col("source"),
+      T.tokenStats(col("text")).getField("ws_tokens").cast("long").as("n_toks"),
       T.qualityScore(col("text"), TextPack.stopwords).as("_q"),
       Dedup.contentHash(col("text")).as("_h"))
-    val wDed = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_h")).orderBy(col("doc_id"))
+    // exact-dedup keeper via ONE min_by aggregation (map-side partials
+    // shrink rows before the wire) instead of a rank window + filter —
+    // same keeper row (min doc_id per content hash), no per-group sort.
+    val keeper = scored.groupBy(col("_h"))
+      .agg(min_by(struct(col("doc_id"), col("source"), col("n_toks"),
+        col("_q")), col("doc_id")).as("_k"))
+      .select(col("_k.doc_id").as("doc_id"), col("_k.source").as("source"),
+        col("_k.n_toks").as("n_toks"), col("_k._q").as("_q"))
     val wCap = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("_q").desc, col("doc_id"))
-    val capped = scored
-      .withColumn("_rn", row_number().over(wDed)).filter(col("_rn") === 1)
+    val capped = keeper
       .withColumn("_r2", row_number().over(wCap))
       .filter(col("_r2") <= CapPerSource)
-    Selection.budgetSelect(
-      capped.select(col("doc_id"), col("text"), col("_q")),
-      "doc_id", "text", col("_q"), budget = MixBudget)
+    Selection.budgetSelectOnCounts(
+      capped.select(col("doc_id").as("id"), col("n_toks"), col("_q")),
+      budget = MixBudget)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

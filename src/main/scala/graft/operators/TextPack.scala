@@ -344,31 +344,38 @@ object TextPack extends QueryPack {
       val pairs = d.select(col("doc_id").as("cand_id"),
           lead(col("doc_id"), 1).over(wNext).as("ref_id"))
         .filter(col("ref_id").isNotNull)
-      def counts(n: Int) = d.select(col("doc_id"),
-          explode(T.wordNgrams(col("toks"), n)).as("g"))
-        .groupBy(col("doc_id"), md5(col("g")).as("h"))
+      // BOTH gram sizes in ONE pass: the 1- and 2-gram rows ride a single
+      // explode tagged with n, so the corpus is tokenized/aggregated once
+      // and the tot/overlap join chain exists once (keyed by n) instead of
+      // per gram size — half the stages of the old per-n branches for the
+      // same shuffled rows (each gram row previously crossed its own
+      // branch's exchange anyway).
+      val cc = d.select(col("doc_id"), explode(concat(
+          transform(T.wordNgrams(col("toks"), 1),
+            g => struct(lit(1).as("n"), g.as("g"))),
+          transform(T.wordNgrams(col("toks"), 2),
+            g => struct(lit(2).as("n"), g.as("g"))))).as("_ng"))
+        .groupBy(col("doc_id"), col("_ng.n").as("n"), md5(col("_ng.g")).as("h"))
         .agg(count(lit(1)).as("c"))
-      Seq(1, 2).map { n =>
-        val cc = counts(n)
-        val tot = cc.groupBy("doc_id").agg(sum("c").as("n_grams"))
-        val ov = pairs
-          .join(cc.select(col("doc_id").as("cand_id"), col("h"),
-            col("c").as("c_cand")), "cand_id")
-          .join(cc.select(col("doc_id").as("ref_id"), col("h"),
-            col("c").as("c_ref")), Seq("ref_id", "h"))
-          .groupBy("cand_id", "ref_id")
-          .agg(sum(least(col("c_cand"), col("c_ref"))).as("overlap"))
-        pairs
-          .join(tot.select(col("doc_id").as("cand_id"),
-            col("n_grams").as("n_cand")), Seq("cand_id"), "left_outer")
-          .join(tot.select(col("doc_id").as("ref_id"),
-            col("n_grams").as("n_ref")), Seq("ref_id"), "left_outer")
-          .join(ov, Seq("cand_id", "ref_id"), "left_outer")
-          .select(lit(n).as("n"), col("cand_id"), col("ref_id"),
-            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-            coalesce(col("overlap"), lit(0L)).as("overlap"))
-      }.reduce(_ unionAll _)
+      val tot = cc.groupBy("doc_id", "n").agg(sum("c").as("n_grams"))
+      val ov = pairs
+        .join(cc.select(col("doc_id").as("cand_id"), col("n"), col("h"),
+          col("c").as("c_cand")), "cand_id")
+        .join(cc.select(col("doc_id").as("ref_id"), col("n"), col("h"),
+          col("c").as("c_ref")), Seq("ref_id", "n", "h"))
+        .groupBy("cand_id", "ref_id", "n")
+        .agg(sum(least(col("c_cand"), col("c_ref"))).as("overlap"))
+      pairs.select(col("cand_id"), col("ref_id"),
+          explode(array(lit(1), lit(2))).as("n"))
+        .join(tot.select(col("doc_id").as("cand_id"), col("n"),
+          col("n_grams").as("n_cand")), Seq("cand_id", "n"), "left_outer")
+        .join(tot.select(col("doc_id").as("ref_id"), col("n"),
+          col("n_grams").as("n_ref")), Seq("ref_id", "n"), "left_outer")
+        .join(ov, Seq("cand_id", "ref_id", "n"), "left_outer")
+        .select(col("n"), col("cand_id"), col("ref_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"))
         .select(col("n"), col("cand_id"), col("ref_id"),
           col("n_cand"), col("n_ref"), col("overlap"),
           when(col("n_cand") === 0, lit(null).cast("double"))

@@ -355,13 +355,19 @@ object AnalyticsPack extends QueryPack {
     // percentile() in Spark and quantile_cont() in DuckDB share the
     // linear-interpolation definition, so the results hash-match.
     "q43_percentiles" -> ((s, dir) => {
+      // ONE percentile buffer per group: the array form computes all three
+      // points from a single value map — three separate percentile() aggs
+      // each buffered every group value (3x agg memory and insert cost).
       Tables.table(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
-          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"),
+          expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("_ps"),
           count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          round(col("_ps")(0), 4).as("p50"),
+          round(col("_ps")(1), 4).as("p90"),
+          round(col("_ps")(2), 4).as("p99"),
+          col("n"))
         .orderBy("o_orderpriority")
     }),
 
@@ -374,17 +380,25 @@ object AnalyticsPack extends QueryPack {
     // be an output column — only the deterministic gate is).
     "q66_approx_quantiles" -> ((s, dir) => {
       val acc = 10000 // rank error <= 1/acc
-      def exact(p: Double) = expr(s"percentile(o_totalprice, $p)")
-      def approx(p: Double) = expr(s"approx_percentile(o_totalprice, $p, $acc)")
-      def gate(p: Double, eps: Double) =
-        (approx(p) >= exact(p - eps)) && (approx(p) <= exact(p + eps))
+      // ONE exact buffer + ONE sketch per group: the old per-point form
+      // ran SEVEN exact percentile() aggs (each holding a full copy of the
+      // group's values) and three independent approx sketches; the array
+      // forms compute every point from one value map / one sketch.
+      val exactPs = Seq(0.495, 0.5, 0.505, 0.895, 0.905, 0.985, 0.995)
+      val ex = expr("percentile(o_totalprice, array(" +
+        exactPs.map(p => s"${p}D").mkString(", ") + "))")
+      val ap = expr(
+        s"approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), $acc)")
+      def gate(ai: Int, loI: Int, hiI: Int) =
+        (col("_ap")(ai) >= col("_ex")(loI)) && (col("_ap")(ai) <= col("_ex")(hiI))
       Tables.table(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"),
-          round(exact(0.5), 4).as("p50_exact"),
-          gate(0.5, 0.005).as("p50_ok"),
-          gate(0.9, 0.005).as("p90_ok"),
-          gate(0.99, 0.005).as("p99_ok"))
+        .agg(count(lit(1)).as("n"), ex.as("_ex"), ap.as("_ap"))
+        .select(col("o_orderpriority"), col("n"),
+          round(col("_ex")(1), 4).as("p50_exact"),
+          gate(0, 0, 2).as("p50_ok"),
+          gate(1, 3, 4).as("p90_ok"),
+          gate(2, 5, 6).as("p99_ok"))
         .orderBy("o_orderpriority")
     }),
 

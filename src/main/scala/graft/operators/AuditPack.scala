@@ -525,9 +525,12 @@ object AuditPack extends QueryPack {
     "q128_winsorize" -> ((s, dir) => {
       val c = Tables.table(s, dir, "customer")
         .select("c_mktsegment", "c_acctbal")
+      // one percentile buffer for both cut points (array form), not two
       val cuts = c.groupBy("c_mktsegment")
-        .agg(round(expr(s"percentile(c_acctbal, $WinsorLo)"), 9).as("lo"),
-          round(expr(s"percentile(c_acctbal, $WinsorHi)"), 9).as("hi"))
+        .agg(expr(
+          s"percentile(c_acctbal, array(${WinsorLo}D, ${WinsorHi}D))").as("_c"))
+        .select(col("c_mktsegment"),
+          round(col("_c")(0), 9).as("lo"), round(col("_c")(1), 9).as("hi"))
       c.join(cuts, "c_mktsegment")
         .withColumn("w", least(greatest(col("c_acctbal"), col("lo")), col("hi")))
         .groupBy("c_mktsegment", "lo", "hi")

@@ -208,6 +208,22 @@ object CorpusOps {
     // narrow single-row-group input would serialize it on one core
     // (q237's index build measured as a 4.5 s 2-task stage) — no-op on
     // an already-wide scan, see graft.plans.Spread
+    chunkTokenArrays(docs, idCol, textCol, window, stride)
+      .withColumn("chunk", array_join(col("chunk_toks"), " "))
+      .drop("chunk_toks")
+  }
+
+  /** [[chunkTokens]] with the chunk as a TOKEN ARRAY (`chunk_toks`, no
+    * array_join): the form for consumers that immediately re-tokenize the
+    * chunk (q237 builds postings and query spans from the tokens) —
+    * rendering the joined string only for a downstream split() pays one
+    * string build plus one re-parse per chunk for nothing. Tokens carry no
+    * spaces (they come from split on " "), so
+    * `split(array_join(chunk_toks, " "), " ") == chunk_toks` exactly and
+    * the two forms are interchangeable. */
+  def chunkTokenArrays(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
     graft.plans.Spread(docs)
       .select(col(idCol), split(col(textCol), " ").as("_toks"))
       .select(col(idCol), col("_toks"),
@@ -215,8 +231,7 @@ object CorpusOps {
           lit(stride))).as(Seq("chunk_idx", "_start")))
       .select(col(idCol), col("chunk_idx"),
         least(lit(window), size(col("_toks")) - col("_start")).as("n_toks"),
-        array_join(slice(col("_toks"), col("_start") + 1, lit(window)), " ")
-          .as("chunk"))
+        slice(col("_toks"), col("_start") + 1, lit(window)).as("chunk_toks"))
   }
 
   /** Corpus-wide paragraph-level exact dedup (the CCNet shape: dedupe at

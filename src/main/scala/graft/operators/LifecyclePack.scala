@@ -186,10 +186,12 @@ object LifecyclePack extends QueryPack {
     "q143_range_layout" -> ((s, dir) => {
       val d = Tables.table(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
+      // one percentile buffer for all three cut points (array form)
       val cuts = d.agg(
-        round(expr("percentile(n_chars, 0.25)"), 9).as("c1"),
-        round(expr("percentile(n_chars, 0.50)"), 9).as("c2"),
-        round(expr("percentile(n_chars, 0.75)"), 9).as("c3"))
+          expr("percentile(n_chars, array(0.25D, 0.50D, 0.75D))").as("_c"))
+        .select(round(col("_c")(0), 9).as("c1"),
+          round(col("_c")(1), 9).as("c2"),
+          round(col("_c")(2), 9).as("c3"))
       d.crossJoin(broadcast(cuts))
         .withColumn("shard",
           when(col("n_chars") < col("c1"), 0L)

@@ -110,24 +110,28 @@ object SearchPack extends QueryPack {
     // partition-order-free; metrics ride integer reciprocal ranks.
     "q237_retrieval_eval" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents").select("doc_id", "text")
-      val chunks = CorpusOps.chunkTokens(docs, "doc_id", "text",
+      // chunks ride as TOKEN ARRAYS: the chunk string itself is never an
+      // output here, and both consumers (query spans, postings) re-split
+      // it — chunkTokenArrays skips the array_join + two split() passes
+      // over the chunk corpus (exactly-equal tokens, see its doc).
+      val chunks = CorpusOps.chunkTokenArrays(docs, "doc_id", "text",
           RagWindow, RagStride)
         .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
           col("doc_id"), col("chunk_idx"),
-          col("n_toks").cast("long").as("dl"), col("chunk"))
+          col("n_toks").cast("long").as("dl"), col("chunk_toks"))
         .localCheckpoint() // feeds queries, postings, dl and stats — EAGER:
         // the stats broadcast + postings job race a lazy checkpoint
       val queries = chunks
         .filter(col("doc_id") % RagQMod === 0 && col("chunk_idx") === 1 &&
           col("dl") >= RagSpanStart + RagSpanLen - 1)
         .select(col("cid").as("qid"),
-          array_distinct(slice(split(col("chunk"), " "),
+          array_distinct(slice(col("chunk_toks"),
             RagSpanStart, RagSpanLen)).as("qterms"))
         .localCheckpoint()
       val qterms = queries.select(col("qid"), explode(col("qterms")).as("term"))
       val allTerms = broadcast(qterms.select("term").distinct())
       val postings = chunks
-        .select(col("cid"), explode(split(col("chunk"), " ")).as("term"))
+        .select(col("cid"), explode(col("chunk_toks")).as("term"))
         .join(allTerms, Seq("term"), "left_semi")
         .groupBy("cid", "term").agg(count(lit(1)).as("tf"))
         .localCheckpoint() // feeds df and the scoring join (df is a

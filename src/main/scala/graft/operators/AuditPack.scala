@@ -637,8 +637,15 @@ object AuditPack extends QueryPack {
       val li = Tables.table(s, dir, "lineitem")
         .select(col("l_returnflag"),
           round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
-      val bounds = li.agg(min("c").as("lo"), max("c").as("hi"))
-      val binned = li.crossJoin(broadcast(bounds))
+      // ONE global aggregate (min/max/count/median in a single scan) feeds
+      // both the binning bounds and the exact-median reference — this was
+      // two separate full scans of li (bounds, then total+exact_med).
+      val bounds = li.agg(min("c").as("lo"), max("c").as("hi"),
+        count(lit(1)).as("total"),
+        round(expr("percentile(c, 0.5)"), 9).as("exact_med"))
+        .localCheckpoint() // 1 row, two differently-projected broadcast
+        // consumers below — the pin stops each from re-running the scan
+      val binned = li.crossJoin(broadcast(bounds.select("lo", "hi")))
         .withColumn("bin",
           expr(s"least(${HistBins - 1}, ((c - lo) * $HistBins) DIV (hi - lo + 1))"))
       // per-group histograms, then the global merge (sum of counts)
@@ -649,8 +656,6 @@ object AuditPack extends QueryPack {
         .rowsBetween(Window.unboundedPreceding, -1)
       val est = global.crossJoin(broadcast(bounds))
         .withColumn("cum_before", coalesce(sum("n").over(w), lit(0L)))
-        .crossJoin(broadcast(li.agg(count(lit(1)).as("total"),
-          round(expr("percentile(c, 0.5)"), 9).as("exact_med"))))
         .withColumn("k", expr("(total + 1) DIV 2"))
         .filter(col("cum_before") < col("k") &&
           col("cum_before") + col("n") >= col("k"))

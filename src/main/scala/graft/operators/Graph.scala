@@ -96,7 +96,6 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int, materialize: Boolean = true): DataFrame = {
     require(iters >= 1)
-    import org.apache.spark.sql.expressions.Window
     def pin(df: DataFrame): DataFrame =
       if (materialize) df.localCheckpoint() else df
     val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -108,10 +107,11 @@ object Graph {
     for (_ <- 1 to iters) {
       val counts = und.join(labels, und("dst") === labels("v"))
         .groupBy(und("src"), col("lab")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("src").orderBy(desc("c"), asc("lab"))
-      val best = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("v"), col("lab"))
+      // winner via ONE min_by aggregation (map-side partials) instead of a
+      // rank window: same (most frequent, then smallest) label, no
+      // per-node sort of the full (label, count) list
+      val best = counts.groupBy(col("src").as("v"))
+        .agg(min_by(col("lab"), struct(-col("c"), col("lab"))).as("lab"))
       labels = nodes.join(best, Seq("v"), "left")
         .select(col("v"), coalesce(col("lab"), col("v")).as("lab"))
     }
@@ -194,7 +194,12 @@ object Graph {
     val nodes = pin(e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct())
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
-    val deg = pin(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // the degree join is LOOP-INVARIANT: materialize (src, dst, deg) once
+    // instead of re-joining deg inside every iteration — each round then
+    // pays exactly one join (ranks) + one aggregation, the Pregel floor
+    val eDeg = pin(e.join(deg, "src")
+      .select(col("src"), col("dst"), col("deg")))
     // base teleport share (1-d)/n, in fixed point, floor division. The
     // numerator is precomputed in Scala: spelled as `15 * 1000000000` it
     // would be INT32 arithmetic in both engines (silent wrap in Spark's
@@ -216,8 +221,7 @@ object Graph {
       .select(col("v"), init.as("r"))
     var prevCp: DataFrame = null // last every-k checkpoint, superseded below
     for (i <- 1 to iters) {
-      val contrib = e.join(ranks, e("src") === ranks("v"))
-        .join(deg, "src")
+      val contrib = eDeg.join(ranks, eDeg("src") === ranks("v"))
         .select(col("dst").as("v"), expr("r DIV deg").as("c"))
       val inbound = contrib.groupBy("v").agg(sum(col("c")).as("in_fp"))
       ranks = nodes.join(inbound, Seq("v"), "left")

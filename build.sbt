@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver harvests the last ~2 KB of `sbt "runMain graft.Bench"` stdout
+// and tries to parse the bench's JSON line out of it. With the default
+// LoggedOutput strategy sbt prefixes every forked-process line with
+// "[info] ", which defeated that parse in every round to date
+// (BENCH_r01..r19 all carry "parsed": null even when the complete line sat
+// inside the tail window). StdoutOutput passes the program's own
+// stdout/stderr through untouched, so the bench's bare JSON lines reach the
+// driver unprefixed. Run-scoped: test/compile logging is unchanged.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,7 +21,13 @@ object Decontaminate {
     * contaminated). `n_sh` distinct n-grams in the eval doc, `n_hit` of
     * them present anywhere in train; contaminated ⇔ rounded overlap
     * fraction ≥ threshold. Eval docs too short for a single n-gram report
-    * 0 / not contaminated. */
+    * 0 / not contaminated.
+    *
+    * INPUT CONTRACT (inherited from [[Dedup.shingles]]): `id` must be
+    * unique per `eval` row — shingle dedup is row-local, so an eval frame
+    * with several rows per id would inflate n_sh/n_hit (overlap_frac
+    * still divides out). The train side needs no such contract (its
+    * shingles are globally `.distinct()`-ed here). */
   def overlap(train: DataFrame, eval: DataFrame, n: Int, threshold: Double,
               id: String = "doc_id", text: String = "text"): DataFrame = {
     val trainSh = Dedup.shingles(train, n, id, text).select(col("sh")).distinct()

@@ -268,7 +268,8 @@ object Dedup {
                  bands: Int = 4, threshold: Double = 0.5,
                  id: String = "doc_id", text: String = "text"): DataFrame = {
     // EAGER local checkpoint: the shingle table (tokenize + n-grams +
-    // DISTINCT — a shuffle) feeds the signature aggregation AND all three
+    // row-local array_distinct — a heavy map, no dedup shuffle since the
+    // r19 shingles change) feeds the signature aggregation AND all three
     // references inside the jaccard verify; without it each reference
     // recomputes the pipeline. Eager, so the independent consumer stages
     // read materialized blocks instead of racing to compute the shared

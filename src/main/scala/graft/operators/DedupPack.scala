@@ -129,12 +129,16 @@ object DedupPack extends QueryPack {
       val sigs = Dedup.minhashSignatures(sh, H)
         .localCheckpoint() // bands + both agreement sides share it
       val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, H, 4))
-      val sa = sigs.select(col("doc_id").as("doc_a") +:
-        (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
-      val sb = sigs.select(col("doc_id").as("doc_b") +:
-        (1 to H).map(i => col(s"m$i").as(s"b$i")): _*)
-      val agree = (1 to H).map(i =>
-        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      // signatures ride as ONE array column per side instead of 16 loose
+      // longs each: same bytes through the joins, but the join projections
+      // carry 2 attributes instead of 34 and the agreement count is one
+      // zip_with instead of a 16-way when-sum — a markedly narrower plan
+      // for the same integer result (cold-side codegen cost, guide §1.2)
+      val packed = array((1 to H).map(i => col(s"m$i")): _*)
+      val sa = sigs.select(col("doc_id").as("doc_a"), packed.as("siga"))
+      val sb = sigs.select(col("doc_id").as("doc_b"), packed.as("sigb"))
+      val agree = size(filter(
+        zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
       val est = cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"), agree.cast("long").as("n_agree"))
       Dedup.jaccard(cand, sh)
@@ -163,12 +167,12 @@ object DedupPack extends QueryPack {
         .localCheckpoint()
       val sigs = Dedup.minhashSignatures(sh, H).localCheckpoint()
       val cand = Dedup.lshCandidates(Dedup.lshBands(sigs, H, 4))
-      val sa = sigs.select(col("doc_id").as("doc_a") +:
-        (1 to H).map(i => col(s"m$i").as(s"a$i")): _*)
-      val sb = sigs.select(col("doc_id").as("doc_b") +:
-        (1 to H).map(i => col(s"m$i").as(s"b$i")): _*)
-      val agree = (1 to H).map(i =>
-        when(col(s"a$i") === col(s"b$i"), 1).otherwise(0)).reduce(_ + _)
+      // array-packed signature agreement — same shape as q180 (see there)
+      val packed = array((1 to H).map(i => col(s"m$i")): _*)
+      val sa = sigs.select(col("doc_id").as("doc_a"), packed.as("siga"))
+      val sb = sigs.select(col("doc_id").as("doc_b"), packed.as("sigb"))
+      val agree = size(filter(
+        zip_with(col("siga"), col("sigb"), (x, y) => x === y), b => b))
       val est = cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"), agree.cast("long").as("n_agree"))
       val pairs = Dedup.jaccard(cand, sh)

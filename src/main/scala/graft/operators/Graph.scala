@@ -200,6 +200,10 @@ object Graph {
     // pays exactly one join (ranks) + one aggregation, the Pregel floor
     val eDeg = pin(e.join(deg, "src")
       .select(col("src"), col("dst"), col("deg")))
+    // e's last consumer is eDeg's checkpoint job (nodes pinned above, deg
+    // folded into eDeg) — release it or the run pins TWO |E|-sized tables
+    // for every iteration (r19 ADVICE)
+    if (materialize) graft.plans.Checkpoints.release(e)
     // base teleport share (1-d)/n, in fixed point, floor division. The
     // numerator is precomputed in Scala: spelled as `15 * 1000000000` it
     // would be INT32 arithmetic in both engines (silent wrap in Spark's

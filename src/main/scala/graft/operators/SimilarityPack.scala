@@ -243,13 +243,24 @@ object SimilarityPack extends QueryPack {
         .select(lit(0).as("step"), col("id").as("cid"),
           col("vec").as("cvec"), col("n2").as("cn2"),
           lit(null).cast("double").as("radius"))
-      val sim = round(
-        graft.functions.VectorFunctions.dot(col("vec"), col("cvec"))
-          / (sqrt(col("n2")) * sqrt(col("cn2"))), 4)
+      def sim(cv: org.apache.spark.sql.Column,
+              c2: org.apache.spark.sql.Column) = round(
+        graft.functions.VectorFunctions.dot(col("vec"), cv)
+          / (sqrt(col("n2")) * sqrt(c2)), 4)
       val chosen = (1 until CoresetK).foldLeft(first) { (acc, k) =>
-        val nearest = e.crossJoin(broadcast(acc.select("cid", "cvec", "cn2")))
-          .groupBy(col("id"), col("vec"), col("n2"))
-          .agg(max(sim).as("smax"))
+        // the chosen set rides as ONE broadcast row holding a struct
+        // array, and the per-row nearest-center max is an array_max over
+        // its ≤ k elements — identical rounded sims and the same max, but
+        // no corpus-sized exchange and no array-keyed hash aggregate per
+        // step (guide §2.3/§2.4: the old crossJoin×k + groupBy(id, vec,
+        // n2) shuffled the whole embedding corpus once per FPS step and
+        // hashed 64-double array keys in every partial aggregate)
+        val centers = acc.agg(
+          collect_list(struct(col("cvec"), col("cn2"))).as("cs"))
+        val nearest = e.crossJoin(broadcast(centers))
+          .select(col("id"), col("vec"), col("n2"),
+            array_max(transform(col("cs"),
+              c => sim(c.getField("cvec"), c.getField("cn2")))).as("smax"))
         // each 1-row selection is checkpointed EAGERLY: without a
         // checkpoint, step k's plan re-executes the whole prefix chain
         // (acc appears both under `nearest` and in the union); lazy, the

@@ -495,36 +495,8 @@ object TextPack extends QueryPack {
             .as("xent_bits"))
     }),
 
-    "q87_bigram_xent" -> ((s, dir) => {
-      // tokenization feeds three consumers (bigram counts, vocab, the
-      // probe-side join) — cache it instead of re-scanning per branch
-      // (the Dedup.allPairsJaccard pattern). The scan is spread first:
-      // tokenize + the bigram explode below are the heavy maps, and a
-      // 1-split scan would pin them (and both checkpoints) to one core
-      // (round-9 fleet profile: q87 carried the suite's last >1 s of
-      // narrow-stage time)
-      val toks = graft.plans.Spread(Tables.table(s, dir, "documents"))
-        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-        .localCheckpoint()
-      val docBigrams = toks
-        .select(col("doc_id"), explode(T.wordNgrams(col("toks"), 2)).as("bigram"))
-        .localCheckpoint()
-      val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-      val parts = bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
-      val ctx = parts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val vocab = toks.select(explode(col("toks")).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
-      val model = parts.join(ctx, "w1").crossJoin(vocab)
-        .select(col("bigram"),
-          round(-log(2.0, (col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
-            .cast("decimal(18,6)").as("nll"))
-      docBigrams.join(model, "bigram")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("_s"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("_s").cast("double") / col("n_bigrams"), 6).as("xent_bits"))
-        .orderBy("doc_id")
-    }),
+    "q87_bigram_xent" -> ((s, dir) =>
+      bigramXent(s, dir).orderBy("doc_id")),
 
     // CCNet-style perplexity bucketing composed on the q87 bigram LM:
     // documents split into head / middle / tail terciles of cross-entropy
@@ -534,7 +506,12 @@ object TextPack extends QueryPack {
     // approx_percentile (the q66 gate pattern) instead of a global
     // window, trading the exact tercile boundary for no global sort.
     "q96_ppl_buckets" -> ((s, dir) => {
-      val xent = queries("q87_bigram_xent")(s, dir)
+      // composes the UNSORTED xent table (same rows as q87): q87's final
+      // orderBy("doc_id") is presentation-only, and embedding it under
+      // this query's global ntile window would execute a full doc_id sort
+      // whose order the window immediately discards (guide §2.4: "an
+      // orderBy used only to make output deterministic")
+      val xent = bigramXent(s, dir)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("xent_bits"), col("doc_id"))
       xent.withColumn("tercile", ntile(3).over(w))
@@ -676,6 +653,41 @@ object TextPack extends QueryPack {
         .orderBy("doc_id")
     })
   )
+
+  /** Per-document add-one-smoothed bigram cross-entropy (UNSORTED) — the
+    * pipeline shared by q87 (which adds the presentation orderBy) and
+    * q96 (which feeds it straight into the tercile window; composing
+    * q87's sorted frame would embed a doc_id sort the window's own
+    * (xent_bits, doc_id) sort immediately discards).
+    *
+    * Tokenization feeds three consumers (bigram counts, vocab, the
+    * probe-side join) — cache it instead of re-scanning per branch (the
+    * Dedup.allPairsJaccard pattern). The scan is spread first: tokenize +
+    * the bigram explode below are the heavy maps, and a 1-split scan
+    * would pin them (and both checkpoints) to one core (round-9 fleet
+    * profile: q87 carried the suite's last >1 s of narrow-stage time). */
+  private def bigramXent(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.plans.Spread(Tables.table(s, dir, "documents"))
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val docBigrams = toks
+      .select(col("doc_id"), explode(T.wordNgrams(col("toks"), 2)).as("bigram"))
+      .localCheckpoint()
+    val bi = docBigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val parts = bi.withColumn("w1", split(col("bigram"), " ").getItem(0))
+    val ctx = parts.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = toks.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val model = parts.join(ctx, "w1").crossJoin(vocab)
+      .select(col("bigram"),
+        round(-log(2.0, (col("c2") + 1).cast("double") / (col("c1") + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+    docBigrams.join(model, "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("_s").cast("double") / col("n_bigrams"), 6).as("xent_bits"))
+  }
 
   /** RE2-safe PII patterns (no lookarounds — portable to DuckDB). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

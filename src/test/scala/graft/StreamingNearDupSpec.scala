@@ -26,6 +26,34 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("signature/band pipeline shuffles nothing: no Exchange in the per-row plan") {
+    // VERDICT r19 task 8: the streaming path must INHERIT the batch
+    // shingle optimization's no-dedup-shuffle property. signature() is
+    // row-local by construction (array_min over the shingle array), so
+    // the whole doc → signature → band-rows prefix must plan without a
+    // single Exchange — this pins that, so a future edit that reintroduces
+    // a (doc_id, shingle) explode + groupBy fails loudly here.
+    val docs = Tables.table(spark, sf0, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 50) // NOT limit(): GlobalLimit plans its own
+      //                             SinglePartition exchange — test noise
+    val bands = 4
+    val r = 16 / bands
+    val bandRows = docs
+      .select(col("doc_id"),
+        StreamingNearDup.signature(col("text"), 3, 16).as("sig"))
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col("doc_id"), posexplode(
+        array((0 until bands).map { b =>
+          concat_ws(":", (0 until r).map(j =>
+            element_at(col("sig"), b * r + j + 1)): _*)
+        }: _*)).as(Seq("band", "bkey")))
+    val physical = bandRows.queryExecution.executedPlan.toString
+    assert(!physical.contains("Exchange"),
+      s"streaming near-dup prefix gained a shuffle:\n$physical")
+    assert(bandRows.count() > 0)
+  }
+
   test("planted duplicate is caught as a candidate pair with estimate 1.0; disjoint doc is not") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]

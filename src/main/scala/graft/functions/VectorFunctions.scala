@@ -64,6 +64,19 @@ object VectorFunctions {
       .toAggregateExpression())
   }
 
+  /** [[vecSum]]'s exact-integer twin over ARRAY<BIGINT> rows (see
+    * [[graft.functions.expressions.VectorSumLongAgg]]): BIGINT adds are
+    * associative, so fixed-point vector sums (the q241 Lloyd lattice)
+    * reproduce bit-for-bit under any partitioning. */
+  def vecSumLong(a: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    column(graft.functions.expressions.VectorSumLongAgg(
+      Cast(expression(a), ArrayType(LongType)))
+      .toAggregateExpression())
+  }
+
   def l2Norm(a: Column): Column = sqrt(sqNorm(a))
 
   def cosine(a: Column, b: Column): Column =

@@ -341,31 +341,44 @@ object RerankPack extends QueryPack {
       .withColumn("n_members", lit(null).cast("long"))
     val fit = (1 to KmRounds)
       .foldLeft((cent0, null: DataFrame)) { case ((cent, prevAsg), _) =>
+      // the K centroids ride as ONE broadcast row holding a struct array,
+      // and the per-point argmax is an array_max over its K elements —
+      // the q235 FPS shape: identical rounded sims and the same
+      // (sim desc, cid asc) winner, but no corpus-sized exchange whose
+      // hash keys included the 64-double vector (the old crossJoin×K +
+      // groupBy(id, v) shuffled the whole corpus per Lloyd round)
       val cb = cent.select(col("cid"), col("cv"))
         .withColumn("n2c", sqNorm(col("cv")))
+        .agg(collect_list(struct(col("cid"), col("cv"), col("n2c"))).as("cs"))
       // roll: each round's frames land EAGERLY and release the round they
       // supersede — lazy per-round checkpoints pinned rounds × corpus
       // blocks for the session lifetime (the BENCH_r06 leak) and let the
       // final action's broadcasts race to materialize the same chain
       val asg = graft.plans.Checkpoints.roll(
         e.crossJoin(broadcast(cb))
-          .select(col("id"), col("v"), col("cid"),
-            sim4(col("v"), col("n2"), col("cv"), col("n2c")).as("sim"))
-          .groupBy(col("id"), col("v"))
-          .agg(max_by(col("cid"), struct(col("sim"), negate(col("cid"))))
-            .as("cid")),
+          .select(col("id"), col("v"),
+            array_max(transform(col("cs"), c => struct(
+              sim4(col("v"), col("n2"), c.getField("cv"),
+                c.getField("n2c")).as("s"),
+              negate(c.getField("cid")).as("m"),
+              c.getField("cid").as("cid"))))
+              .getField("cid").as("cid")),
         Option(prevAsg).toSeq: _*)
-      val sums = asg.select(col("cid"), posexplode(col("v")))
-        .select(col("cid"), (col("pos") + 1).as("d"),
-          expr("CAST(round(col * 1e9) AS BIGINT)").as("x_e9"))
-        .groupBy(col("cid"), col("d"))
-        .agg(sum(col("x_e9")).as("s_e9"), count(lit(1)).as("n"))
-        .withColumn("m_e9",
-          expr("CAST(round(CAST(s_e9 AS DOUBLE) / n) AS BIGINT)"))
-      val newc = sums.groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("d"),
-            col("m_e9")))), p => p.getField("m_e9")).as("me9_new"),
-          max(col("n")).as("n_new"))
+      // element-wise BIGINT vector sum in ONE aggregation (map-side
+      // partials, exact-integer lattice as before) — replaces the
+      // posexplode to 64× corpus rows + groupBy(cid, d) + the
+      // collect_list/array_sort re-assembly
+      val newc = asg
+        .select(col("cid"), transform(col("v"),
+          x => round(x * lit(1e9)).cast("long")).as("xv"))
+        .groupBy(col("cid"))
+        .agg(graft.functions.VectorFunctions.vecSumLong(col("xv")).as("s_arr"),
+          count(lit(1)).as("n_new"))
+        .select(col("cid"),
+          transform(col("s_arr"), s =>
+            round(s.cast("double") / col("n_new")).cast("long"))
+            .as("me9_new"),
+          col("n_new"))
       val next = graft.plans.Checkpoints.roll(
         cent.select(col("cid"), col("me9").as("me9_prev"))
           .join(newc, Seq("cid"), "left_outer")

@@ -42,6 +42,32 @@ class VectorFunctionsSpec extends SparkSpec {
       "SELECT graft_vecsum(v) FROM vecs WHERE k = 99").collect()(0)
     assert(empty.isNullAt(0))
   }
+  test("vecSumLong aggregates element-wise, exactly, across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (1 to 100).map(i => (i % 3, Array(i.toLong, 1L)))
+      .toDF("k", "v").repartition(8)
+    val got = df.groupBy($"k")
+      .agg(graft.functions.VectorFunctions.vecSumLong($"v").as("s"))
+      .as[(Int, Array[Long])].collect().toMap
+    (0 to 2).foreach { k =>
+      val members = (1 to 100).filter(_ % 3 == k)
+      assert(got(k).toSeq === Seq(members.map(_.toLong).sum, members.size.toLong))
+    }
+    // a row with any null element is skipped whole; empty groups are null
+    val withNull = Seq(
+      (0, Array[java.lang.Long](1L, 2L)),
+      (0, Array[java.lang.Long](10L, null))).toDF("k", "v")
+    val s = withNull.groupBy($"k")
+      .agg(graft.functions.VectorFunctions.vecSumLong($"v").as("s"))
+      .select($"s").as[Array[Long]].collect()
+    assert(s.head.toSeq === Seq(1L, 2L))
+    val empty = withNull.filter($"k" === 9).groupBy($"k")
+      .agg(graft.functions.VectorFunctions.vecSumLong($"v").as("s"))
+      .collect()
+    assert(empty.isEmpty)
+  }
+
   import spark.implicits._
 
   private def arr(xs: Double*) = array(xs.map(lit): _*)

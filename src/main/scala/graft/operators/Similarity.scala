@@ -175,6 +175,23 @@ object Similarity {
     * results) match the single-probe path. */
   def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
                         centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val scored = ivfMultiProbeScored(corpus, queries, centroids, nprobe)
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
+    scored.select(col("qid"), col("id"), col("sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Multi-probe IVF scoring WITHOUT the final top-k cut: every candidate
+    * in the query's `nprobe` nearest buckets, scored, tagged with the
+    * bucket's probe rank. Because probe sets NEST (the np nearest buckets
+    * are the first np of the nprobe nearest), one corpus assignment + one
+    * scoring join serve every probe level ≤ nprobe: level np's exact
+    * [[ivfTopKMultiProbe]] result is `probe_rank <= np` + the same
+    * (sim desc, id) rank window. q223's sweep composes all its levels
+    * from one pass instead of re-assigning and re-scoring the corpus per
+    * level (guide §1.2: remove duplicate passes). */
+  def ivfMultiProbeScored(corpus: DataFrame, queries: DataFrame,
+                          centroids: DataFrame, nprobe: Int): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     val corpusB = assign(corpus, centroids, "id", "vec")
       .select(col("cid"), col("id").as("id_c"), col("vec").as("vec_c"),
@@ -188,13 +205,12 @@ object Similarity {
     val probes = q.crossJoin(broadcast(c))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
-      .select(col("id_q"), col("vec_q"), col("n2_q"), col("id_k").as("cid"))
-    val scored = broadcast(probes).join(corpusB, "cid")
+      .select(col("id_q"), col("vec_q"), col("n2_q"),
+        col("id_k").as("cid"), col("rn").as("probe_rank"))
+    broadcast(probes).join(corpusB, "cid")
       .filter(col("id_c") =!= col("id_q"))
       .select(col("id_q").as("qid"), col("id_c").as("id"),
-        pairSim("_c", "_q").as("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        pairSim("_c", "_q").as("sim"), col("probe_rank"))
   }
 
   /** The 100 TB path for [[hardNegatives]]: search only the query's IVF

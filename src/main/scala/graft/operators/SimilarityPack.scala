@@ -201,9 +201,21 @@ object SimilarityPack extends QueryPack {
         .localCheckpoint(true) // shared by all probe levels
       val exTot = ex.agg(count(lit(1)).as("n_exact"),
         countDistinct(col("qid")).as("n_queries"))
+      // probe sets NEST, so ONE assignment + scoring pass at the deepest
+      // level serves the whole sweep (guide §1.2: the old per-level
+      // ivfTopKMultiProbe calls re-assigned and re-scored the corpus
+      // 3×); level np = candidates from the first np buckets + the same
+      // (sim desc, id) top-k window, exactly ivfTopKMultiProbe's result
+      val scored = Similarity.ivfMultiProbeScored(corpus(s, dir),
+          queriesDf(s, dir), centroids(s, dir), NprobeSweep.max)
+        .localCheckpoint(true) // shared by all probe levels (eager: the
+        // per-level broadcast jobs race a lazy pin)
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("sim").desc, col("id"))
       NprobeSweep.map { np =>
-        val approx = Similarity.ivfTopKMultiProbe(corpus(s, dir),
-            queriesDf(s, dir), centroids(s, dir), k, np)
+        val approx = scored.filter(col("probe_rank") <= np)
+          .withColumn("rank", row_number().over(wk))
+          .filter(col("rank") <= k)
           .select(col("qid"), col("id"))
         val hits = ex.join(approx, Seq("qid", "id"))
           .agg(count(lit(1)).as("n_hit"))
